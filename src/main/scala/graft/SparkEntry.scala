@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    _root_.graft.queries.RelationalQueries.all
+    _root_.graft.queries.RelationalQueries.all ++
+      _root_.graft.queries.ScalarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
