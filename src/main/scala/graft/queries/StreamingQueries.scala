@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming operators (SURVEY.md §2.9).
+  *
+  * Each streaming capability is implemented twice: the Structured
+  * Streaming form lives in [[graft.streaming.StreamOps]] (the deliverable
+  * capability, exercised by the equivalence specs), and the batch form
+  * here carries the t2 key — after a complete replay the streaming
+  * output equals this batch output, so one DuckDB oracle checks both.
+  *
+  * Timestamps are emitted as epoch-µs BIGINT (`unix_micros` ↔ DuckDB
+  * `epoch_us`) whenever sub-second precision appears: Spark trims
+  * trailing fraction zeros in timestamp→string casts, DuckDB always
+  * prints 6 digits, so strings only match at whole-second boundaries.
+  *
+  * @note scale: all six shapes are single-shuffle (one `groupBy` on the
+  *   aggregation key or one shuffled join on `user_id`). The forward-fill
+  *   scaffold is bounded by users × hours — at 100 TB the per-user
+  *   sequence explode stays proportional to the *output*, not the input,
+  *   and the per-user window functions shuffle once on `user_id`.
+  */
+object StreamingQueries {
+
+  // ------------------------------------------------------------ T2 tumbling
+  private val tumbling = Q(
+    "stream_tumbling_hour",
+    s"""SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR) AS ws,
+       |  event_type, count(*) AS n, ${Det.osum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  // ------------------------------------------------------------ T3 sliding
+  /** 1 h windows sliding by 15 min: every event lands in 4 buckets.
+    * Spark aligns window starts to the epoch modulo the slide; the oracle
+    * reproduces that grid with a generate_series range-join (DuckDB's
+    * generate_series cannot be LATERAL, hence the global series). */
+  private val sliding = Q(
+    "stream_sliding",
+    s"""WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) - INTERVAL 1 HOUR AS lo,
+       |                  max(CAST(ts AS TIMESTAMP)) AS hi FROM events),
+       |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws FROM b)
+       |SELECT CAST(s.ws AS VARCHAR) AS ws, count(*) AS n, ${Det.osum("e.value")} AS sum_value
+       |FROM s JOIN events e
+       |  ON CAST(e.ts AS TIMESTAMP) >= s.ws AND CAST(e.ts AS TIMESTAMP) < s.ws + INTERVAL 1 HOUR
+       |GROUP BY s.ws ORDER BY s.ws""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("ws"), col("n"), col("sum_value"))
+      .orderBy("ws")
+  }
+
+  // ------------------------------------------------------------ T4 session
+  /** 30-min-gap sessions per user. Spark keeps an event in the session
+    * while `ts < prev_ts + gap`, so the oracle breaks at `diff >= gap`
+    * (gaps-and-islands: lag + running sum of breaks). */
+  private val session = Q(
+    "stream_session",
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+       |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                          >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+       |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+       |SELECT user_id, epoch_us(min(ts)) AS ss_us, count(*) AS n, ${Det.osum("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, ss_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "ss_us")
+  }
+
+  // ------------------------------------------------------------ T6 dedup-first
+  /** First event per user — deterministic keep-first via row_number with
+    * (ts, event_id) tiebreak, never bare dropDuplicates (SURVEY §8.3). */
+  private val dedupFirst = Q(
+    "stream_dedup_first",
+    """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------ T7 forward-fill
+  /** The flagship stateful pattern: per-user hourly scaffold carrying the
+    * last observed value into empty hours. Hour buckets take the value of
+    * the latest event in the bucket (max (ts, event_id) — unique, so
+    * max_by and the oracle's row_number DESC pick the same row).
+    *
+    * @note scale: scaffold size = users × active hours (output-bounded);
+    *   one shuffle on user_id serves bounds, hourly agg and the fill
+    *   window. The streaming twin keeps O(1) state per key
+    *   ([[graft.streaming.StreamOps.forwardFill]]). */
+  private val forwardFill = Q(
+    "state_forward_fill",
+    """WITH eu AS (SELECT user_id, CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+      |                   value, ts, event_id FROM events),
+      |hourly AS (SELECT user_id, h, value AS v FROM (
+      |  SELECT user_id, h, value,
+      |         row_number() OVER (PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM eu) WHERE rn = 1),
+      |bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM eu GROUP BY 1),
+      |g AS (SELECT min(lo) AS glo, max(hi) AS ghi FROM bounds),
+      |series AS (SELECT unnest(generate_series(glo, ghi, INTERVAL 1 HOUR)) AS h FROM g),
+      |scaffold AS (SELECT b.user_id, s.h FROM bounds b JOIN series s ON s.h BETWEEN b.lo AND b.hi)
+      |SELECT user_id, epoch_us(h) AS h_us,
+      |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      |                                        ROWS UNBOUNDED PRECEDING) AS v_fill
+      |FROM scaffold LEFT JOIN hourly USING (user_id, h)
+      |ORDER BY user_id, h_us""".stripMargin) { (s, d) =>
+    val eu = Tables.events(s, d).select(col("user_id"),
+      date_trunc("hour", col("ts")).as("h"), col("value"), col("ts"), col("event_id"))
+    val hourly = eu.groupBy(col("user_id"), col("h"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+    val scaffold = eu.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_micros(col("h")).as("h_us"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+      .orderBy("user_id", "h_us")
+  }
+
+  // ------------------------------------------------------------ T8 CEP-lite
+  /** Pattern "error then purchase within 10 min, same user" — all
+    * qualifying pairs (the 2-event sequence staple; full CEP out of
+    * scope per SURVEY §2.9 T8). Equivalent to an event-time interval
+    * join with typed endpoints. */
+  private val cepSequence = Q(
+    "cep_sequence",
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_type = 'error' AND b.event_type = 'purchase'
+      | AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+      |ORDER BY a.user_id, a_id, b_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val a = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_uid"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+    a.join(b, col("user_id") === col("b_uid") && col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill, cepSequence)
+}

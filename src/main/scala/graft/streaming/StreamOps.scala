@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed rows for the stateful forward-fill processor. */
+case class FillEvent(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+case class FillState(curHourUs: Long, curTsUs: Long, curEventId: Long, curValue: Double)
+case class FillRow(user_id: Long, h_us: Long, v_fill: Double)
+
+/** Structured Streaming implementations of the reference's streaming
+  * patterns (SURVEY.md §2.9 T1-T8). Each op's complete-replay output
+  * equals its batch twin in [[graft.queries.StreamingQueries]] — that
+  * equality is asserted by `StreamingEquivalenceSpec`, and the batch twin
+  * carries the DuckDB-checked t2 key.
+  *
+  * Every op takes the (possibly streaming) events DataFrame produced by
+  * [[source]] — `ts` already TimestampType µs — and stays declarative, so
+  * the same code compiles to an `IncrementalExecution` plan with
+  * `StateStoreSaveExec`/`SessionWindowStateStoreSaveExec` under
+  * streaming and a plain batch plan otherwise.
+  *
+  * Divergences from Flink, by design (SURVEY §7 "what is hard"):
+  *  - watermark is a per-query global min, not per-key;
+  *  - late data below watermark is silently dropped (no side outputs) —
+  *    capture via foreachBatch if needed;
+  *  - [[forwardFill]] emits an hour bucket when the next bucket opens;
+  *    a tail bucket with no successor flushes only at event-time timeout,
+  *    so a finite replay omits each key's final partial hour (the batch
+  *    twin includes it).
+  *
+  * @note scale: windowed aggs and dedup keep watermark-bounded state per
+  *   key in the state store (RocksDB provider on a real cluster);
+  *   forward-fill state is O(1) per user. All ops shuffle once on their
+  *   grouping key.
+  */
+object StreamOps {
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Bounded-replay streaming source over the driver's events.parquet
+    * (SURVEY §2.1 S2). Glob-filtered so only the events file is read. */
+  def source(spark: SparkSession, sfDir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(Tables.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    r2.parquet(sfDir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** T2: 1-hour tumbling event-time window per event_type. */
+  def tumblingHour(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T3: 1-hour windows sliding every 15 minutes. */
+  def slidingQuarter(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("ws"), col("n"), col("sum_value"))
+
+  /** T4: 30-minute-gap session windows per user. */
+  def sessionByUser(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+        col("n"), col("sum_value"))
+
+  /** T6: streaming dedup — first event per user. Arrival order within a
+    * micro-batch decides "first"; the replay harness feeds file order
+    * (= ts order), matching the batch twin's (ts, event_id) keep-first. */
+  def dedupFirst(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** T7: keyed stateful forward-fill (`flatMapGroupsWithState`): per user,
+    * emit one row per hour carrying the latest observed value into hours
+    * with no events. An hour is emitted when the first event of a later
+    * hour arrives for that key; within an hour the (ts, event_id)-latest
+    * event wins, mirroring the batch twin's max_by. */
+  def forwardFill(ev: DataFrame): Dataset[FillRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[FillEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FillRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        var st: FillState = state.getOption.orNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[FillRow]
+        evs.foreach { e =>
+          val h = Math.floorDiv(e.ts_us, HourUs) * HourUs
+          if (st == null) st = FillState(h, e.ts_us, e.event_id, e.value)
+          else if (h > st.curHourUs) {
+            var hh = st.curHourUs
+            while (hh < h) { out += FillRow(uid, hh, st.curValue); hh += HourUs }
+            st = FillState(h, e.ts_us, e.event_id, e.value)
+          } else if (e.ts_us > st.curTsUs ||
+            (e.ts_us == st.curTsUs && e.event_id > st.curEventId)) {
+            st = FillState(st.curHourUs, e.ts_us, e.event_id, e.value)
+          }
+        }
+        if (st != null) state.update(st)
+        out.iterator
+      }
+  }
+
+  /** T8: CEP-lite stream-stream self-join — "error then purchase within
+    * 10 minutes, same user". Watermarks on both sides + the time-bound
+    * condition let the join state be evicted as event time advances. */
+  def cepSequence(ev: DataFrame): DataFrame = {
+    val a = ev.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = ev.withWatermark("ts", "10 minutes")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_uid"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+    a.join(b, col("user_id") === col("b_uid") && col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+}
