@@ -12,7 +12,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     _root_.graft.queries.RelationalQueries.all ++
       _root_.graft.queries.ScalarQueries.all ++
-      _root_.graft.queries.StreamingQueries.all
+      _root_.graft.queries.StreamingQueries.all ++
+      _root_.graft.queries.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
