@@ -13,7 +13,9 @@ object SparkEntry {
     _root_.graft.queries.RelationalQueries.all ++
       _root_.graft.queries.ScalarQueries.all ++
       _root_.graft.queries.StreamingQueries.all ++
-      _root_.graft.queries.TextQueries.all
+      _root_.graft.queries.TextQueries.all ++
+      _root_.graft.queries.DedupQueries.all ++
+      _root_.graft.queries.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The IVF-style ANN (no SQL oracle — engine-specific pruning) is held
+  * to the exact brute force by recall. With 16 cells / 4 probes over a
+  * near-isotropic synthetic embedding space, pruning is aggressive; the
+  * bound asserts the plumbing finds a meaningful share of true
+  * neighbors, and [[SimilarityQueries.knnIvf]]'s scaladoc carries the
+  * 100 TB scaling rationale.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def pairs(key: String): Set[(Long, Long)] =
+    SparkEntry.queries(key)(spark, sf)
+      .select("qid", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF ANN returns 10 neighbors per query with recall vs brute force") {
+    val exact = pairs("llm_knn_cosine")
+    val approx = pairs("llm_knn_ivf")
+    assert(approx.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low — IVF probe routing broken")
+  }
+}
