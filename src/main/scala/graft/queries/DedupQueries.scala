@@ -60,6 +60,22 @@ object DedupQueries {
         round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
   }
 
+  /** Exact Jaccard computed ONLY for the given candidate pairs, via
+    * per-doc sorted shingle-hash arrays + `array_intersect` — the
+    * LSH-side kernel: cost is |candidates| × |shingle set|, never the
+    * full pair space. */
+  private def jaccardFor(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val sets = shingles(docs).withColumn("h", Hashes.polyHash(col("sh")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("xs"), count(lit(1)).as("n"))
+    cands
+      .join(sets.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("bi") === col("sb.doc_id"))
+      .withColumn("c", size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double"))
+      .select(col("ai"), col("bi"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
+  }
+
   private val oJaccardPairs =
     s"""$oShingles,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -171,9 +187,8 @@ object DedupQueries {
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi")).distinct()
-    jaccardPairs(docs).join(cands, Seq("ai", "bi"))
+    jaccardFor(cands, docs)
       .filter(col("jac") >= 0.8)
-      .select(col("ai"), col("bi"), col("jac"))
       .orderBy("ai", "bi")
   }
 

@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val key = args(0); val sfDir = args(1); val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.extensions","graft.functions.GraftExtensions")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.entry(spark).count()
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(key)(spark, sfDir).count()
+      println(f"[benchone] $key rep$r: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
