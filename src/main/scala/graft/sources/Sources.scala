@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.Tables
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Source/sink surface (SURVEY.md §2.1).
+  *
+  * | # | capability | here |
+  * |---|---|---|
+  * | S1 | parquet batch scan        | [[graft.Tables]] (explicit-schema readers) |
+  * | S2 | bounded stream replay     | [[eventsReplay]] / [[StreamOps.source]] |
+  * | S3 | Kafka source              | [[kafkaJson]] — API parity only: this
+  *       zero-egress image ships no broker and no spark-sql-kafka
+  *       connector jar, so the format is unresolvable here; the method
+  *       documents the exact production wiring |
+  * | S4 | rate/datagen source       | [[rate]] (smoke-tested) |
+  * | S5 | file/parquet sink         | [[parquetSink]] (used by Verify + recovery spec) |
+  * | S6 | console sink              | [[consoleSink]] |
+  * | S7 | JDBC upsert sink          | [[foreachBatchJdbcNote]] — foreachBatch pattern,
+  *       no DB in this environment |
+  *
+  * @note scale: all streaming reads are incremental-file-listing or
+  *   offset-based; none list the full lake per trigger. Replay uses
+  *   `maxFilesPerTrigger` to bound per-batch state growth.
+  */
+object Sources {
+
+  /** S2: bounded replay of the driver's events table as a stream. */
+  def eventsReplay(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    StreamOps.source(spark, sfDir, maxFilesPerTrigger)
+
+  /** S4: rate source — monotonically increasing (timestamp, value) rows. */
+  def rate(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** S3: Kafka JSON-value topic → typed columns. Requires the
+    * spark-sql-kafka-0-10 connector on the classpath and a reachable
+    * broker — neither exists in this environment, so calling this here
+    * fails at format resolution; the wiring is the production-exact
+    * shape (earliest offsets, value parsed with an explicit schema —
+    * never schema inference on a stream). */
+  def kafkaJson(spark: SparkSession, bootstrapServers: String, topic: String,
+      schema: StructType): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select("r.*")
+
+  /** S5: exactly-once parquet sink (commit log in the checkpoint). */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+
+  /** S6: console sink for ad-hoc inspection. */
+  def consoleSink(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("console").option("truncate", "false")
+
+  /** S7 (pattern note): JDBC upsert goes through foreachBatch —
+    * {{{
+    * df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+    *   batch.write.mode("append").jdbc(url, table, props)
+    * }
+    * }}}
+    * idempotence comes from keying the upsert on the batch's natural key;
+    * no database exists in this environment to exercise it. */
+  def foreachBatchJdbcNote: String = "see scaladoc"
+}
