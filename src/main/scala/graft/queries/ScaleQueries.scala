@@ -36,5 +36,25 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(joinSkewSalted)
+  /** The SQL-string entry path (SURVEY §3.2-3): one ANSI-portable string
+    * registered over temp views and executed by `spark.sql` — the SAME
+    * string is the DuckDB oracle, proving dialect-portable SQL runs
+    * unchanged on both engines. */
+  private val sqlQ3: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4) AS DOUBLE) AS revenue
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val sqlEntry = Q("sql_entry_q3", sqlQ3) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(sqlQ3)
+  }
+
+  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry)
 }

@@ -3,8 +3,9 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val key = args(0); val sfDir = args(1); val reps = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.extensions","graft.functions.GraftExtensions")
       .config("spark.ui.enabled","false").getOrCreate()
