@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining Flink-pattern surfaces beyond the SURVEY §2 core:
+  * count-based windows, typed coGroup/connect, CUBE and GROUPING SETS.
+  */
+object ExtendedQueries {
+
+  // ------------------------------------------------------- count windows
+  /** Flink `countWindow(10)`: per-key tumbling windows of 10 *events*
+    * (not time). Batch-deterministic via (ts, event_id) arrival order —
+    * bucket = (row_number−1) div 10.
+    *
+    * @note scale: one shuffle on the key; the row_number window is
+    *   streaming-evaluated. A streaming twin would be
+    *   `flatMapGroupsWithState` counting per key — same state shape as
+    *   forward-fill. */
+  private val windowCountBased = Q(
+    "window_count_based",
+    s"""SELECT user_id, CAST((rn - 1) // 10 AS INT) AS bucket,
+       |  count(*) AS n, ${Det.osum("value")} AS sum_value
+       |FROM (SELECT user_id, value,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |      FROM events)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bucket", expr("CAST((rn - 1) div 10 AS INT)"))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "bucket")
+  }
+
+  // ------------------------------------------------------- typed coGroup
+  /** Flink `coGroup` / `connect`+CoProcessFunction: per-key access to
+    * BOTH inputs' full groups. Typed `Dataset.cogroup` with exact
+    * decimal summation inside the function (order-independent, so the
+    * nondeterministic group iteration order cannot perturb the result).
+    *
+    * @note scale: cogroup shuffles both sides once on the key; the
+    *   function streams both iterators — no per-key materialization
+    *   beyond what the function itself retains. */
+  private val cogroupTyped = Q(
+    "cogroup_typed",
+    s"""WITH o AS (SELECT o_orderkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+       |l AS (SELECT l_orderkey AS k, count(*) AS n_items,
+       |        ${Det.osum("l_extendedprice")} AS revenue FROM lineitem GROUP BY 1)
+       |SELECT coalesce(o.k, l.k) AS o_orderkey,
+       |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       |  CAST(coalesce(n_items, 0) AS BIGINT) AS n_items,
+       |  CAST(coalesce(revenue, 0) AS DOUBLE) AS revenue
+       |FROM o FULL JOIN l ON o.k = l.k ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val sp = s
+    import sp.implicits._
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+    orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) { (k, os, ls) =>
+      var nOrders = 0L
+      os.foreach(_ => nOrders += 1)
+      var nItems = 0L
+      var rev = BigDecimal(0)
+      ls.foreach { case (_, p) =>
+        nItems += 1
+        rev += BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      Iterator((k, nOrders, nItems,
+        rev.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("o_orderkey", "n_orders", "n_items", "revenue")
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------- CUBE
+  private val aggCube = Q(
+    "agg_cube",
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       |  ${Det.osum("l_quantity")} AS sum_qty, count(*) AS cnt
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("rf", "ls")
+  }
+
+  // ------------------------------------------------------- GROUPING SETS
+  /** Explicit GROUPING SETS (A5's general form): the same ANSI string
+    * runs on Spark (temp view) and DuckDB. */
+  private val gsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  private val aggGroupingSets = Q("agg_grouping_sets", gsSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(gsSql)
+  }
+
+  val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets)
+}

@@ -154,7 +154,9 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = t.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // df(tok) = number of docs containing tok = number of tf rows for tok
+    // — derived from tf, saving a second explode + distinct over the corpus
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     tf.join(dfreq, "tok").crossJoin(nd)
