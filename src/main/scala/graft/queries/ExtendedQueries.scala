@@ -107,5 +107,31 @@ object ExtendedQueries {
     s.sql(gsSql)
   }
 
-  val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets)
+  // ------------------------------------------------------- native as-of join
+  /** J7 through the custom operator ([[graft.plans.AsOfJoinExec]]):
+    * same oracle as the window-emulation `join_asof` key, linear merge
+    * instead of a quadratic per-key intermediate. */
+  private val joinAsofNative = Q(
+    "join_asof_native",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |        row_number() OVER (PARTITION BY p.event_id
+      |          ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) AS rn
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |        AND epoch_us(c.ts) <= epoch_us(p.ts))
+      |SELECT purchase_id, click_id FROM j WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    graft.plans.AsOfJoinOps.asofJoin(p, c, p("pu"), c("cu"), p("pts"), c("cts"), c("click_id"))
+      .select("purchase_id", "click_id")
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
+    joinAsofNative)
 }
