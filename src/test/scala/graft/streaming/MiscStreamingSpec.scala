@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import java.nio.file.Files
+
+/** Remaining streaming surfaces:
+  *  - U1 on streams: union of two streaming DataFrames;
+  *  - S3's transform half: the Kafka value-parse wiring (JSON string →
+  *    typed columns with an explicit schema) driven by a file stream
+  *    standing in for the unreachable broker;
+  *  - O4: continuous Top-N maintained per micro-batch via foreachBatch
+  *    (the retract-sink workaround — file sinks are append-only).
+  */
+class MiscStreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def replay(df: DataFrame, mode: String, name: String): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"ckpt-$name").toString
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("U1-stream: union of two filtered streams equals one filtered stream") {
+    val src = StreamOps.source(spark, sf)
+    val u = src.filter(col("event_type") === "click")
+      .unionByName(src.filter(col("event_type") === "error"))
+      .select("event_id")
+    val got = replay(u, "append", "t_union")
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "error")).count()
+    assert(got.count() == expected)
+    assert(got.distinct().count() == got.count())
+  }
+
+  test("S3 transform path: JSON value parsing with explicit schema") {
+    // events.props is a JSON string — exactly a Kafka value column's shape
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val parsed = StreamOps.source(spark, sf)
+      .select(col("event_id"), from_json(col("props"), schema).as("r"))
+      .select(col("event_id"), col("r.k").as("k"))
+    val got = replay(parsed, "append", "t_kafka_shape")
+    assert(got.count() == 1000)
+    assert(got.filter(col("k").isNull).count() == 0, "every props row parses")
+  }
+
+  test("O4: continuous Top-N via foreachBatch converges to the batch Top-N") {
+    val ckpt = Files.createTempDirectory("ckpt-topn").toString
+    // global top-10 events by (value desc, event_id) maintained across batches
+    val acc = new java.util.concurrent.ConcurrentSkipListSet[(Double, Long)](
+      java.util.Comparator.comparingDouble[(Double, Long)](_._1.unary_-)
+        .thenComparingLong(_._2))
+    val q = StreamOps.source(spark, sf, maxFilesPerTrigger = Some(1))
+      .select("value", "event_id").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.orderBy(col("value").desc, col("event_id")).limit(10)
+          .collect().foreach(r => acc.add((r.getDouble(0), r.getLong(1))))
+        // retract: keep only the current global top-10
+        while (acc.size() > 10) acc.remove(acc.last())
+        ()
+      }
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val expected = graft.Tables.events(spark, sf)
+      .orderBy(col("value").desc, col("event_id")).limit(10)
+      .collect().map(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id"))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(acc.asScala.toSet == expected)
+  }
+}
