@@ -49,7 +49,10 @@ object DedupQueries {
   private def jaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).withColumn("h", Hashes.polyHash(col("sh")))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    // shuffle_hash beats the planner's broadcast here: the shingle set
+    // under-estimates below the broadcast threshold but costs ~2x to
+    // replicate per task; at lake scale the same join is a shuffle anyway
+    val inter = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
       .agg(count(lit(1)).as("c"))
