@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * @note scale: the fold is per-row, embarrassingly parallel, and stays
   *   inside whole-stage codegen — no shuffle, no UDF deserialization.
+  *
+  * Domain bound: parity holds for BMP text (and byte-for-codepoint for
+  * ASCII). Spark's `split(s, "")` yields UTF-16 code units while
+  * DuckDB's `string_split(s, '')` yields codepoints, so surrogate-pair
+  * characters (emoji etc.) fold differently. A corpus beyond the BMP
+  * needs a byte-domain hash on both engines (DuckDB 1.0 lacks blob
+  * iteration, so that day the oracle moves to a precomputed column).
   */
 object Hashes {
 

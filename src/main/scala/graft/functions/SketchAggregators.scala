@@ -56,10 +56,12 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
-  /** SimHash signature: 60 bit-vote counters over the shingle hashes,
-    * packed to one BIGINT (bit i set iff vote ≥ 0). */
+  /** SimHash signature: 57 bit-vote counters over the shingle hashes,
+    * packed to one BIGINT (bit i set iff vote ≥ 0). 57, not 64: the
+    * input hash domain is [[Hashes.P]] < 2^57, so higher bits are
+    * constant in every input and would carry zero similarity signal. */
   object SimHashSig extends Aggregator[Long, Array[Int], Long] {
-    private val B = 60
+    private val B = 57
 
     override def zero: Array[Int] = new Array[Int](B)
 

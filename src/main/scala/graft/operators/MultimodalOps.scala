@@ -33,12 +33,15 @@ case class MediaFeatures(doc_id: Long, n_bytes: Int, content_hash: Long)
 object MultimodalOps {
 
   /** Wrap documents into multimodal records: text bytes as the opaque
-    * payload (UTF-8 — stands in for image/audio bytes). */
+    * payload (UTF-8 — stands in for image/audio bytes). `n_bytes` is
+    * the BYTE length (`octet_length`), not the char count — they differ
+    * on non-ASCII text and the features are byte-domain. */
   def toMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val sp = docs.sparkSession
     import sp.implicits._
     docs.select(col("doc_id"), lit("text").as("modality"),
-        length(col("text")).as("n_bytes"), encode(col("text"), "utf-8").as("payload"))
+        octet_length(encode(col("text"), "utf-8")).as("n_bytes"),
+        encode(col("text"), "utf-8").as("payload"))
       .as[MediaRecord]
   }
 

@@ -92,11 +92,18 @@ case class AsOfJoinExec(
         advanceRight()
 
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
+          // skip right rows with null key or time: SQL join semantics —
+          // NULL never matches (they sort first, so skipping preserves
+          // the cursor's monotonicity)
+          rValid = false; rRow = null
+          while (!rValid && rIter.hasNext) {
             rRow = rIter.next()
             val k = rProj(rRow)
-            rKey = k.getLong(0); rTime = k.getLong(1); rValid = true
-          } else { rValid = false; rRow = null }
+            if (!k.isNullAt(0) && !k.isNullAt(1)) {
+              rKey = k.getLong(0); rTime = k.getLong(1); rValid = true
+            }
+          }
+          if (!rValid) rRow = null
         }
 
         override def hasNext: Boolean = lIter.hasNext
@@ -104,6 +111,10 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lk = lProj(lRow)
+          if (lk.isNullAt(0) || lk.isNullAt(1)) {
+            // null probe key/time matches nothing (left-outer nulls)
+            return resultProj(joined(lRow, nullRight))
+          }
           val lKey = lk.getLong(0); val lTime = lk.getLong(1)
           // consume right rows at or before (lKey, lTime); the last one
           // consumed with rKey == lKey is the as-of match

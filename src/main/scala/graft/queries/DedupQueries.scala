@@ -64,13 +64,13 @@ object DedupQueries {
   }
 
   /** Exact Jaccard computed ONLY for the given candidate pairs, via
-    * per-doc sorted shingle-hash arrays + `array_intersect` — the
-    * LSH-side kernel: cost is |candidates| × |shingle set|, never the
-    * full pair space. */
+    * per-doc shingle-hash arrays + `array_intersect` (hash-based, no
+    * sort needed) — the LSH-side kernel: cost is |candidates| ×
+    * |shingle set|, never the full pair space. */
   private def jaccardFor(cands: DataFrame, docs: DataFrame): DataFrame = {
     val sets = shingles(docs).withColumn("h", Hashes.polyHash(col("sh")))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("h"))).as("xs"), count(lit(1)).as("n"))
+      .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
     cands
       .join(sets.as("sa"), col("ai") === col("sa.doc_id"))
       .join(sets.as("sb"), col("bi") === col("sb.doc_id"))
@@ -121,7 +121,7 @@ object DedupQueries {
   }
 
   // ------------------------------------------------------------ SimHash
-  /** 60-bit SimHash over shingle hashes; near-dup = Hamming ≤ 10.
+  /** 57-bit SimHash over shingle hashes (the polyHash domain is < 2^57); near-dup = Hamming ≤ 10.
     * Bit i votes +1/-1 per shingle, the signature packs the vote signs.
     *
     * @note scale: the signature is one BIGINT per doc; the pair stage
@@ -134,7 +134,7 @@ object DedupQueries {
     s"""WITH $oShingles,
        |th AS (SELECT doc_id, ${Hashes.oPolyHash("sh")} AS h FROM sh),
        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |         FROM th, unnest(range(60)) AS u(i) GROUP BY 1, 2),
+       |         FROM th, unnest(range(57)) AS u(i) GROUP BY 1, 2),
        |sim AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
        |                                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
        |        FROM bits GROUP BY 1)
@@ -142,7 +142,7 @@ object DedupQueries {
        |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hd
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 10 ORDER BY ai, bi""".stripMargin) { (s, d) =>
-    // One-pass typed Aggregator builds the 60-bit signature with a
+    // One-pass typed Aggregator builds the 57-bit signature with a
     // constant-size vote buffer — no bit-row explode, map-side partials.
     val simSig = udaf(graft.functions.SketchAggregators.SimHashSig,
       org.apache.spark.sql.Encoders.scalaLong)

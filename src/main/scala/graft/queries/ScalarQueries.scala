@@ -33,7 +33,7 @@ object ScalarQueries {
       lower(col("p_name")).as("lo"), upper(col("p_brand")).as("up"),
       substring(col("p_name"), 1, 5).as("sub5"),
       length(col("p_name")).as("len"),
-      regexp_replace(col("p_name"), " ", "_").as("repl"),
+      expr("replace(p_name, ' ', '_')").as("repl"),
       concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
       lpad(col("p_size").cast("string"), 4, "0").as("padded"),
       element_at(split(col("p_name"), " "), 1).as("first_tok"),

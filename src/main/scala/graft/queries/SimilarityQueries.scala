@@ -148,12 +148,14 @@ object SimilarityQueries {
 
   // ------------------------------------------------------------ multimodal features
   /** Binary-column feature extraction through the typed mapPartitions
-    * pipeline ([[MultimodalOps]]): payload bytes → (length, rolling
-    * hash). The payload is UTF-8 text bytes, so the DuckDB oracle can
-    * recompute the identical features from the text column. */
+    * pipeline ([[MultimodalOps]]): payload bytes → (byte length, rolling
+    * hash over the bytes). The oracle recomputes both from the text
+    * column: `octet_length(encode(text))` is byte-exact; the hash fold
+    * agrees because the corpus is ASCII (byte == codepoint) — the same
+    * documented domain bound as [[Hashes.polyHash]]. */
   private val multimodalFeatures = Q(
     "llm_multimodal_features",
-    s"""SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+    s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        |  ${Hashes.oPolyHash("text")} AS content_hash
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     MultimodalOps.extractFeatures(MultimodalOps.toMedia(Tables.documents(s, d)))

@@ -102,7 +102,7 @@ object TextQueries {
     val toks = split(col("text"), " ")
     val n = size(toks).cast("double")
     val ttr = size(array_distinct(toks)).cast("double") / n
-    val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / n
+    val meanLen = length(expr("replace(text, ' ', '')")).cast("double") / n
     Tables.documents(s, d).select(
       col("doc_id"),
       size(toks).as("n_tok"),

@@ -72,12 +72,19 @@ object StreamOps {
       .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
         col("n"), col("sum_value"))
 
-  /** T6: streaming dedup — first event per user. Arrival order within a
-    * micro-batch decides "first"; the replay harness feeds file order
-    * (= ts order), matching the batch twin's (ts, event_id) keep-first. */
+  /** T6: streaming dedup — first event per user.
+    *
+    * `dropDuplicatesWithinWatermark` so per-key state is EVICTED once
+    * the watermark passes (bare `dropDuplicates` on a non-time key
+    * retains state for every user forever — unbounded on a real
+    * stream). Semantics caveat, shared with Flink's streaming dedup:
+    * "first" is arrival order within the watermark window, which equals
+    * the batch twin's (ts, event_id) order only when the replay feeds
+    * event-time order; the batch twin (`stream_dedup_first`) is the
+    * deterministic form and carries the oracle. */
   def dedupFirst(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id")
+      .dropDuplicatesWithinWatermark("user_id")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
 

@@ -13,7 +13,8 @@ object BenchOne {
     graft.SparkEntry.entry(spark).count()
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(key)(spark, sfDir).count()
+      // toRdd: run the query's own plan; .count() would prune the work
+      val n = graft.SparkEntry.queries(key)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[benchone] $key rep$r: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
     }
     spark.stop()
