@@ -86,18 +86,27 @@ object TextQueries {
 
   // ------------------------------------------------------------ quality score
   /** Composite document quality: type-token ratio, length saturation,
-    * mean token length — the standard corpus-hygiene heuristics. */
+    * mean token length — the standard corpus-hygiene heuristics.
+    *
+    * Scores are emitted as `floor(1e6·x)` micro-units, NOT `round(x,6)`:
+    * every upstream op (int casts, division, multiply, add, least) is a
+    * correctly-rounded IEEE op on identical operands, so the doubles are
+    * bit-identical across engines — but `round`'s tie RULE differs
+    * (Spark HALF_UP on the shortest decimal string vs DuckDB's binary
+    * nearest), and sf0.1 hit an exact `.xxxxxx5` tie. `floor` has no
+    * tie rule, so parity is unconditional. */
   private val quality = Q(
     "llm_quality_score",
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr,
-      |  round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
-      |      + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-      |      + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |                     / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score
+      |  CAST(floor(1000000 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))) AS BIGINT) AS ttr_u,
+      |  CAST(floor(1000000 * (
+      |    0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |    + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |    + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |                   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0))) AS BIGINT) AS score_u
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = split(col("text"), " ")
     val n = size(toks).cast("double")
@@ -106,9 +115,9 @@ object TextQueries {
     Tables.documents(s, d).select(
       col("doc_id"),
       size(toks).as("n_tok"),
-      round(ttr, 6).as("ttr"),
-      round(lit(0.5) * ttr + lit(0.3) * least(n / 100.0, lit(1.0))
-        + lit(0.2) * least(meanLen / 10.0, lit(1.0)), 6).as("score"))
+      floor(lit(1000000) * ttr).cast("long").as("ttr_u"),
+      floor(lit(1000000) * (lit(0.5) * ttr + lit(0.3) * least(n / 100.0, lit(1.0))
+        + lit(0.2) * least(meanLen / 10.0, lit(1.0)))).cast("long").as("score_u"))
       .orderBy("doc_id")
   }
 
@@ -159,7 +168,9 @@ object TextQueries {
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
-    tf.join(dfreq, "tok").crossJoin(nd)
+    // dfreq is the term dimension (|vocabulary| rows) — broadcast it so
+    // tf keeps its partitioning instead of reshuffling on tok
+    tf.join(broadcast(dfreq), "tok").crossJoin(nd)
       .withColumn("tfidf",
         round(col("tf") * log(col("nd").cast("double") / col("df").cast("double")), 6))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
