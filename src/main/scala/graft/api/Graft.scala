@@ -1,0 +1,49 @@
+package graft.api
+
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.plans.AsOfJoinOps
+import graft.streaming.StreamOps
+
+/** The user-facing library surface — one discoverable entry point over
+  * the parameterized operators. Everything here takes YOUR DataFrames
+  * and column names; the `SparkEntry.queries` keys are these same
+  * operators bound to the test fixtures and verified row-exact against
+  * a DuckDB oracle.
+  *
+  * Requires `spark.sql.extensions=graft.functions.GraftExtensions` on
+  * the session (registers the native `vec_dot` expression and the
+  * as-of join planner strategy).
+  *
+  * {{{
+  * import graft.api.Graft
+  * val dups   = Graft.dedup.minhashNearDups(corpus, minJaccard = 0.8,
+  *                idCol = "id", textCol = "body")
+  * val nbrs   = Graft.similarity.knnCosine(vectors, col("id") < 100, k = 20)
+  * val scores = Graft.text.quality(corpus, idCol = "id", textCol = "body")
+  * val joined = Graft.joins.asof(trades, quotes, $"sym", $"sym", $"t", $"qt", $"qid")
+  * val filled = Graft.streams.forwardFill(eventStream)
+  * }}}
+  */
+object Graft {
+  /** Exact / n-gram / SimHash / MinHash+LSH document dedup. */
+  val dedup: DedupOps.type = DedupOps
+  /** Brute-force + IVF kNN, embedding near-dup. */
+  val similarity: SimilarityOps.type = SimilarityOps
+  /** Wordcount, token stats, fingerprint, language ID, quality, tf-idf. */
+  val text: TextOps.type = TextOps
+  /** Binary payload plumbing + batched feature extraction. */
+  val multimodal: MultimodalOps.type = MultimodalOps
+  /** Windowed aggs, dedup, forward-fill, CEP — streaming or batch. */
+  val streams: StreamOps.type = StreamOps
+
+  object joins {
+    /** Native as-of join (custom Catalyst operator): latest `build` row
+      * with `buildTime <= probeTime` per key, left-outer. */
+    def asof(probe: org.apache.spark.sql.DataFrame,
+        build: org.apache.spark.sql.DataFrame,
+        probeKey: org.apache.spark.sql.Column, buildKey: org.apache.spark.sql.Column,
+        probeTime: org.apache.spark.sql.Column, buildTime: org.apache.spark.sql.Column,
+        buildTie: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      AsOfJoinOps.asofJoin(probe, build, probeKey, buildKey, probeTime, buildTime, buildTie)
+  }
+}

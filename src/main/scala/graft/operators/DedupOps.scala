@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.{Hashes, SketchAggregators}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized document-dedup operators — the library surface behind
+  * the fixture-bound `llm_dedup_*` query keys (which the DuckDB oracle
+  * regression-tests end to end).
+  *
+  * Inputs: any DataFrame with a unique id column (integral) and a text
+  * column. Pair outputs use columns `(ai, bi, <metric>)` with ai < bi.
+  * Scale notes live on each method and in SCALE.md.
+  */
+object DedupOps {
+
+  private def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Distinct n-token shingles per doc: `(doc_id, sh)`. */
+  def shingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame =
+    normalized(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"))).as("sh"))
+
+  /** Shingle rows with the cross-engine 57-bit hash: `(doc_id, sh, h)`. */
+  def hashedShingles(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    shingles(df, idCol, textCol, n).withColumn("h", Hashes.polyHash(col("sh")))
+
+  /** Exact dedup: content-hash groups with deterministic keep-first by
+    * id — `(kept, h, dup_count)`.
+    * @note scale: one shuffle on the content hash; window state is one
+    *   group at a time. */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = normalized(df, idCol, textCol)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val wCnt = Window.partitionBy(col("h"))
+    val wRn = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    hashed
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("rn", row_number().over(wRn))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("kept"), col("h"), col("cnt").as("dup_count"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over ALL pairs sharing a shingle:
+    * `(ai, bi, jac)`. Joins on the shingle hash (cheap key compare;
+    * collision term ~|shingles|²/2^57).
+    * @note scale: shuffle on the shingle hash, never doc×doc; cap hot
+    *   shingles (df > threshold carries no dedup signal) on skewed
+    *   corpora; shuffle-hash beats broadcast for the self-join. */
+  def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("bi") === col("sb.doc_id"))
+      .select(col("ai"), col("bi"),
+        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
+  }
+
+  /** Exact Jaccard for GIVEN candidate pairs `(ai, bi)` via per-doc
+    * shingle-hash arrays + array_intersect — cost ∝ |candidates|. */
+  def jaccardFor(cands: DataFrame, df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sets = hashedShingles(df, idCol, textCol, n)
+      .groupBy("doc_id")
+      .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
+    cands
+      .join(sets.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("bi") === col("sb.doc_id"))
+      .withColumn("c", size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double"))
+      .select(col("ai"), col("bi"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
+  }
+
+  /** SimHash near-dup pairs at Hamming ≤ `maxHamming`: `(ai, bi, hd)`.
+    * 57-bit signatures (the hash domain) via the one-pass Aggregator.
+    * @note scale: signature is one BIGINT/doc; the pair stage here is
+    *   all-pairs — band the signature into prefixes for lake scale. */
+  def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 10, n: Int = 3): DataFrame = {
+    val simSig = udaf(SketchAggregators.SimHashSig, Encoders.scalaLong)
+    val sim = hashedShingles(df, idCol, textCol, n)
+      .groupBy("doc_id").agg(simSig(col("h")).as("s"))
+    sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        expr("bit_count(a.s ^ b.s)").cast("int").as("hd"))
+      .filter(col("hd") <= maxHamming)
+  }
+
+  /** MinHash+LSH near-dup pairs at Jaccard ≥ `minJaccard`:
+    * `(ai, bi, jac)`. 64 permutations, 16 bands × 4 rows; banded
+    * candidates are verified with exact Jaccard, so the output is the
+    * exact pair set whenever LSH recall holds at the threshold
+    * ((1-J⁴)¹⁶ miss probability per pair).
+    * @note scale: the only all-pairs work is inside an LSH bucket. */
+  def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minJaccard: Double = 0.8, n: Int = 3): DataFrame = {
+    val M = 2147483647L
+    val minhashSig = udaf(SketchAggregators.MinHashSig, Encoders.scalaLong)
+    val sig = hashedShingles(df, idCol, textCol, n)
+      .withColumn("x", col("h") % M)
+      .groupBy("doc_id").agg(minhashSig(col("x")).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      .withColumn("bsig", expr(
+        "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
+      .select("doc_id", "band", "bsig")
+    val cands = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi")).distinct()
+    jaccardFor(cands, df, idCol, textCol, n)
+      .filter(col("jac") >= minJaccard)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized embedding-similarity operators — the library surface
+  * behind the fixture-bound `llm_knn_*` / `llm_dedup_embcos` keys.
+  * Inputs: a DataFrame with an integral id column and an array-typed
+  * embedding column (float or double elements). Cosine math rides the
+  * native `vec_dot` expression (codegen fused loop, registered by
+  * `graft.functions.GraftExtensions`).
+  */
+object SimilarityOps {
+
+  /** `(vec_id, v: array<double>, nrm)` — normalized working set. */
+  def normed(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+
+  /** Exact top-k cosine neighbors for the query rows selected by
+    * `isQuery`: `(qid, nbr, cos, rk)`.
+    * @note scale: broadcasts the query set, linear-scans the partitioned
+    *   corpus — no corpus shuffle; this is the in-cell kernel of
+    *   [[knnIvf]]. */
+  def knnCosine(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol)
+    val q = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    n.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+
+  /** All vector pairs with cosine > `minCosine`: `(ai, bi, cos)`.
+    * @note scale: exact all-pairs — bound the input or route through
+    *   [[knnIvf]]-style cells / LSH banding on large corpora. */
+  def cosineNearDups(df: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
+        round(expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") > minCosine)
+  }
+
+  /** IVF-style approximate kNN: vectors selected by `isCentroid` act as
+    * coarse cells; every vector is assigned to its nearest cell and each
+    * query scans its `nprobe` nearest cells: `(qid, nbr, cos, rk)`.
+    * @note scale: scan per query drops from N to N·(nprobe/ncells);
+    *   cells are the partitioning key, so a probe is a pruned partition
+    *   scan, not a full shuffle. */
+  def knnIvf(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      isCentroid: org.apache.spark.sql.Column, nprobe: Int = 4, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol)
+    val cents = n.filter(isCentroid)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    def cosTo(v: String, nrm: String, cv: String, cn: String) =
+      expr(s"vec_dot($v, $cv)") / (col(nrm) * col(cn))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = n.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosTo("v", "nrm", "cv", "cn"))
+      .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val q = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qcos", cosTo("qv", "qn", "cv", "cn"))
+      .withColumn("prk", row_number().over(wProbe)).filter(col("prk") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cid").filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosTo("v", "nrm", "qv", "qn"), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.Hashes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized text-analysis operators — the library surface behind
+  * the fixture-bound `llm_*` text keys. Inputs: integral id column +
+  * whitespace-tokenized text column.
+  * @note scale: every op is explode → one hash-shuffle on a token/doc
+  *   key → partial+final agg; no cross joins, no driver collection.
+  */
+object TextOps {
+
+  private def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Corpus-wide token counts: `(tok, n)`. */
+  def wordcount(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+
+  /** Per-doc token statistics: whitespace tokens, alpha-run (BPE-ish)
+    * tokens, char length: `(doc_id, n_ws, n_alpha, n_chars_calc)`. */
+  def tokenCounts(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    normalized(df, idCol, textCol).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws"),
+      regexp_count(col("text"), lit("[a-z]+")).cast("int").as("n_alpha"),
+      length(col("text")).as("n_chars_calc"))
+
+  /** Whole-document rolling-hash fingerprint: `(doc_id, fp)`. */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    normalized(df, idCol, textCol)
+      .select(col("doc_id"), Hashes.polyHash(col("text")).as("fp"))
+
+  /** Stopword-ratio language heuristic: `(doc_id, en_ratio, pred)`. */
+  def langId(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      stopwords: Seq[String] = Seq("a", "the"), threshold: Double = 0.1,
+      lang: String = "en"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ratio = size(filter(toks, t => stopwords.map(s => t === s).reduce(_ || _)))
+      .cast("double") / size(toks).cast("double")
+    normalized(df, idCol, textCol).select(
+      col("doc_id"),
+      round(ratio, 6).as("en_ratio"),
+      when(ratio >= threshold, lang).otherwise("unk").as("pred"))
+  }
+
+  /** Composite quality in tie-proof micro-units:
+    * `(doc_id, n_tok, ttr_u, score_u)` — see the key's scaladoc for why
+    * floor(1e6·x) instead of round(x, 6). */
+  def quality(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val meanLen = length(expr("replace(text, ' ', '')")).cast("double") / n
+    normalized(df, idCol, textCol).select(
+      col("doc_id"),
+      size(toks).as("n_tok"),
+      floor(lit(1000000) * ttr).cast("long").as("ttr_u"),
+      floor(lit(1000000) * (lit(0.5) * ttr + lit(0.3) * least(n / 100.0, lit(1.0))
+        + lit(0.2) * least(meanLen / 10.0, lit(1.0)))).cast("long").as("score_u"))
+  }
+
+  /** Weighted-lexicon scoring (broadcast join on exploded tokens):
+    * `(doc_id, score)`; docs with no lexicon hits score 0. */
+  def keywordScore(df: DataFrame, lexicon: Seq[(String, Long)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val docs = normalized(df, idCol, textCol)
+    val lex = lexicon.toDF("tok", "w")
+    val scores = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(lex), "tok")
+      .groupBy("doc_id").agg(sum(col("w")).as("sc"))
+    docs.join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sc"), lit(0L)).as("score"))
+  }
+
+  /** Top-k tf-idf terms per doc: `(doc_id, tok, tfidf, rk)`. df(tok) is
+    * derived from the tf aggregate (no second corpus pass); the
+    * vocabulary-sized df table is broadcast. */
+  def tfidfTop(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docs = normalized(df, idCol, textCol)
+    val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok").crossJoin(nd)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("nd").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tfidf"), col("rk"))
+  }
+}

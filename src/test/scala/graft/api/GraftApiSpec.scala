@@ -1,0 +1,40 @@
+package graft.api
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The facade must work with USER column names — the fixture keys only
+  * ever exercise doc_id/text/vec_id/embedding, so this spec renames the
+  * columns and asserts the parameterized path produces the same results
+  * as the fixture-bound oracle keys.
+  */
+class GraftApiSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("dedup + text ops accept custom column names") {
+    val docs = Tables.documents(spark, sf)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")
+    val viaApi = Graft.dedup.minhashNearDups(docs, idCol = "id", textCol = "body",
+      minJaccard = 0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaKey = graft.SparkEntry.queries("llm_dedup_fuzzy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == viaKey && viaApi.nonEmpty)
+
+    val q = Graft.text.quality(docs, idCol = "id", textCol = "body")
+    assert(q.columns.toSeq == Seq("doc_id", "n_tok", "ttr_u", "score_u"))
+    assert(q.count() == docs.count())
+  }
+
+  test("similarity ops accept custom column names") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "vec")
+    val viaApi = Graft.similarity.knnCosine(emb, col("vec_id") < 5, k = 10,
+      idCol = "id", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaKey = graft.SparkEntry.queries("llm_knn_cosine")(spark, sf)
+      .select("qid", "nbr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == viaKey && viaApi.size == 50)
+  }
+}
