@@ -57,6 +57,46 @@ object MultimodalOps {
     (payload.length, h)
   }
 
+  /** "Resize" stub: deterministic payload downscale to ≤ `maxBytes`
+    * (stride-sampled bytes — stands in for an image resize; swap the
+    * body for a codec call and the pipeline shape is unchanged).
+    * Metadata (`n_bytes`) is recomputed so downstream stages see a
+    * consistent record. */
+  def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.payload.length <= maxBytes) r
+        else {
+          val stride = math.max(1, r.payload.length / maxBytes)
+          val out = r.payload.indices.by(stride).take(maxBytes)
+            .map(r.payload).toArray
+          r.copy(n_bytes = out.length, payload = out)
+        }
+      }
+    }
+  }
+
+  /** "Frame-sample" stub: split the payload into fixed-size frames and
+    * keep every `everyN`-th — the video-frame-sampling batch shape; one
+    * output record per kept frame with `(parent id, frame index)`
+    * metadata packed into modality. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+      everyN: Int): Dataset[MediaRecord] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        r.payload.grouped(frameBytes).zipWithIndex
+          .filter { case (_, i) => i % everyN == 0 }
+          .map { case (frame, i) =>
+            MediaRecord(r.doc_id, s"${r.modality}/frame=$i", frame.length, frame)
+          }
+      }
+    }
+  }
+
   /** Batched feature extraction over the binary column. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val sp = media.sparkSession
