@@ -18,9 +18,13 @@ import graft.streaming.StreamOps
   * import graft.api.Graft
   * val dups   = Graft.dedup.minhashNearDups(corpus, minJaccard = 0.8,
   *                idCol = "id", textCol = "body")
-  * val nbrs   = Graft.similarity.knnCosine(vectors, col("id") < 100, k = 20)
+  * // similarity predicates run AFTER id normalization — reference vec_id:
+  * val nbrs   = Graft.similarity.knnCosine(vectors, col("vec_id") < 100,
+  *                k = 20, idCol = "id", vecCol = "vec")
   * val scores = Graft.text.quality(corpus, idCol = "id", textCol = "body")
-  * val joined = Graft.joins.asof(trades, quotes, $"sym", $"sym", $"t", $"qt", $"qid")
+  * // qualify as-of join columns by their side (both sides carry "sym"):
+  * val joined = Graft.joins.asof(trades, quotes, trades("sym"), quotes("sym"),
+  *                trades("t"), quotes("qt"), quotes("qid"))
   * val filled = Graft.streams.forwardFill(eventStream)
   * }}}
   */

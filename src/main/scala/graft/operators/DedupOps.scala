@@ -15,8 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+  import Norm.normalized
 
   /** Distinct n-token shingles per doc: `(doc_id, sh)`. */
   def shingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -73,8 +72,14 @@ object DedupOps {
   /** Exact Jaccard for GIVEN candidate pairs `(ai, bi)` via per-doc
     * shingle-hash arrays + array_intersect — cost ∝ |candidates|. */
   def jaccardFor(cands: DataFrame, df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3): DataFrame = {
-    val sets = hashedShingles(df, idCol, textCol, n)
+      textCol: String = "text", n: Int = 3): DataFrame =
+    jaccardForHashed(cands, hashedShingles(df, idCol, textCol, n))
+
+  /** [[jaccardFor]] over ALREADY-HASHED shingles `(doc_id, sh, h)` —
+    * lets callers that built the shingle set for another stage (LSH
+    * signatures) avoid a second tokenize+hash pass over the corpus. */
+  def jaccardForHashed(cands: DataFrame, hashedSh: DataFrame): DataFrame = {
+    val sets = hashedSh
       .groupBy("doc_id")
       .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
     cands
@@ -110,7 +115,8 @@ object DedupOps {
       textCol: String = "text", minJaccard: Double = 0.8, n: Int = 3): DataFrame = {
     val M = 2147483647L
     val minhashSig = udaf(SketchAggregators.MinHashSig, Encoders.scalaLong)
-    val sig = hashedShingles(df, idCol, textCol, n)
+    val hs = hashedShingles(df, idCol, textCol, n)
+    val sig = hs
       .withColumn("x", col("h") % M)
       .groupBy("doc_id").agg(minhashSig(col("x")).as("sig"))
     val bands = sig
@@ -122,7 +128,9 @@ object DedupOps {
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi")).distinct()
-    jaccardFor(cands, df, idCol, textCol, n)
+    // reuse the hashed shingles built for the signatures — no second
+    // tokenize+hash pass over the corpus
+    jaccardForHashed(cands, hs)
       .filter(col("jac") >= minJaccard)
   }
 }

@@ -63,13 +63,16 @@ object MultimodalOps {
     * Metadata (`n_bytes`) is recomputed so downstream stages see a
     * consistent record. */
   def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
     val sp = media.sparkSession
     import sp.implicits._
     media.mapPartitions { it =>
       it.map { r =>
         if (r.payload.length <= maxBytes) r
         else {
-          val stride = math.max(1, r.payload.length / maxBytes)
+          // ceil stride so the samples span the WHOLE payload (floor
+          // would return a plain prefix when length % maxBytes != 0)
+          val stride = (r.payload.length + maxBytes - 1) / maxBytes
           val out = r.payload.indices.by(stride).take(maxBytes)
             .map(r.payload).toArray
           r.copy(n_bytes = out.length, payload = out)
@@ -84,6 +87,8 @@ object MultimodalOps {
     * metadata packed into modality. */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
       everyN: Int): Dataset[MediaRecord] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val sp = media.sparkSession
     import sp.implicits._
     media.mapPartitions { it =>

@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** `(vec_id, v: array<double>, nrm)` — normalized working set. */
+  /** `(vec_id, v: array<double>, nrm)` — normalized working set.
+    * NOTE: downstream predicates (`isQuery`, `isCentroid`) are applied
+    * AFTER this normalization, so they must reference `vec_id`, not the
+    * original id column name. Zero-norm vectors (cosine undefined) are
+    * excluded here rather than surfacing as null similarities. */
   def normed(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol).as("vec_id"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+        transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      .filter(col("nrm") > 0)
 
   /** Exact top-k cosine neighbors for the query rows selected by
     * `isQuery`: `(qid, nbr, cos, rk)`.

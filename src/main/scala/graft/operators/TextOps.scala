@@ -13,8 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+  import Norm.normalized
 
   /** Corpus-wide token counts: `(tok, n)`. */
   def wordcount(df: DataFrame, textCol: String = "text"): DataFrame =

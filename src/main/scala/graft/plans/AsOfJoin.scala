@@ -70,6 +70,12 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // rows stay partitioned exactly as the left child delivered them —
+  // without this, downstream key-based operators would re-shuffle
+  // already co-partitioned output (UnknownPartitioning default)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   protected override def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -139,14 +145,32 @@ case class AsOfJoinExec(
 /** Public API: `AsOfJoinOps.asofJoin(probe, build, ...)`. Requires the
   * planner strategy registered via [[graft.functions.GraftExtensions]]. */
 object AsOfJoinOps {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampType, TimestampNTZType}
+
+  private def require64Bit(e: Expression, what: String): Unit = {
+    val ok: DataType => Boolean = {
+      case LongType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(ok(e.dataType),
+      s"asofJoin $what must be LongType or TimestampType (64-bit), got ${e.dataType} — " +
+        "a narrower type would be read as garbage by the merge")
+  }
+
   def asofJoin(probe: DataFrame, build: DataFrame,
       probeKey: Column, buildKey: Column,
       probeTime: Column, buildTime: Column, buildTie: Column): DataFrame = {
+    val exprs = Seq(
+      "probeKey" -> PlanBridge.expression(probeKey),
+      "buildKey" -> PlanBridge.expression(buildKey),
+      "probeTime" -> PlanBridge.expression(probeTime),
+      "buildTime" -> PlanBridge.expression(buildTime),
+      "buildTie" -> PlanBridge.expression(buildTie))
+    exprs.foreach { case (w, e) => require64Bit(e, w) }
+    val Seq(pk, bk, pt, bt, tie) = exprs.map(_._2)
     val node = AsOfJoinNode(
       probe.queryExecution.analyzed, build.queryExecution.analyzed,
-      PlanBridge.expression(probeKey), PlanBridge.expression(buildKey),
-      PlanBridge.expression(probeTime), PlanBridge.expression(buildTime),
-      PlanBridge.expression(buildTie))
+      pk, bk, pt, bt, tie)
     PlanBridge.ofRows(probe.sparkSession, node)
   }
 }

@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  // nrm > 0: zero-norm vectors have undefined cosine and are excluded on
+  // both engines (SimilarityOps.normed applies the same filter)
   private val oNormed =
-    """n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
-      |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |            FROM embeddings))""".stripMargin
+    """n AS (SELECT * FROM (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings)) WHERE nrm > 0)""".stripMargin
 
   private val knnCosine = Q(
     "llm_knn_cosine",

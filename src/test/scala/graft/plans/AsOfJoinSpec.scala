@@ -35,4 +35,16 @@ class AsOfJoinSpec extends SparkSpec {
 
     assert(got == Map(100L -> 11L, 101L -> 13L, 200L -> -1L, 300L -> -1L), got.toString)
   }
+
+  test("as-of join rejects non-64-bit key/time columns up front") {
+    val sp = spark
+    import sp.implicits._
+    val probe = Seq((1, t("10:00:00"), 100L)).toDF("k", "pts", "pid") // k: Int
+    val build = Seq((1, t("09:30:00"), 11L)).toDF("bk", "bts", "bid")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofJoin(probe, build,
+        probe("k"), build("bk"), probe("pts"), build("bts"), build("bid"))
+    }
+    assert(e.getMessage.contains("64-bit"), e.getMessage)
+  }
 }
