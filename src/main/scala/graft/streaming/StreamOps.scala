@@ -29,7 +29,11 @@ case class FillRow(user_id: Long, h_us: Long, v_fill: Double)
   *  - [[forwardFill]] emits an hour bucket when the next bucket opens;
   *    a tail bucket with no successor flushes only at event-time timeout,
   *    so a finite replay omits each key's final partial hour (the batch
-  *    twin includes it).
+  *    twin includes it);
+  *  - Flink `DataStream#iterate` (cyclic dataflow) has no Structured
+  *    Streaming equivalent — iterative refinement is expressed as a
+  *    driver-side loop over batch jobs, or a self-union re-ingest via
+  *    an external queue, by design in Spark's acyclic model.
   *
   * @note scale: windowed aggs and dedup keep watermark-bounded state per
   *   key in the state store (RocksDB provider on a real cluster);
