@@ -9,6 +9,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class FillEvent(user_id: Long, ts_us: Long, event_id: Long, value: Double)
 case class FillState(curHourUs: Long, curTsUs: Long, curEventId: Long, curValue: Double)
 case class FillRow(user_id: Long, h_us: Long, v_fill: Double)
+case class CountWinState(bucket: Int, cnt: Int, sum: Double)
+case class CountWinRow(user_id: Long, bucket: Int, n: Int, sum_value: Double)
 
 /** Structured Streaming implementations of the reference's streaming
   * patterns (SURVEY.md §2.9 T1-T8). Each op's complete-replay output
@@ -122,6 +124,37 @@ object StreamOps {
           }
         }
         if (st != null) state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Count-based tumbling windows (Flink `countWindow(n)`): per key,
+    * emit one row per completed block of `n` events in arrival order.
+    * State is one (bucket, count, sum) triple per key; a partial final
+    * bucket stays in state (the batch twin `window_count_based` includes
+    * it — same tail caveat as [[forwardFill]]).
+    * Arrival order within a micro-batch is pinned by sorting on
+    * (ts, event_id), matching the batch twin's ordering. */
+  def countWindows(ev: DataFrame, n: Int = 10): Dataset[CountWinRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[FillEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CountWinState, CountWinRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        var st = state.getOption.getOrElse(CountWinState(0, 0, 0.0))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CountWinRow]
+        evs.foreach { e =>
+          st = CountWinState(st.bucket, st.cnt + 1, st.sum + e.value)
+          if (st.cnt == n) {
+            out += CountWinRow(uid, st.bucket, st.cnt, st.sum)
+            st = CountWinState(st.bucket + 1, 0, 0.0)
+          }
+        }
+        state.update(st)
         out.iterator
       }
   }

@@ -50,6 +50,26 @@ class MiscStreamingSpec extends SparkSpec {
     assert(got.filter(col("k").isNull).count() == 0, "every props row parses")
   }
 
+  test("count-window streaming twin emits exactly the batch twin's full buckets") {
+    val got = replay(
+        StreamOps.countWindows(StreamOps.source(spark, sf), n = 10).toDF(),
+        "append", "t_cntwin")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val batch = graft.SparkEntry.queries("window_count_based")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // streaming emits a bucket only when it FILLS; the batch twin also
+    // carries each user's partial tail bucket
+    val expected = batch.filter(_._3 == 10L)
+    assert(got.map(t => (t._1, t._2, t._3.toLong)).toSet ==
+      expected.map(t => (t._1, t._2, t._3)).toSet)
+    // sums: streaming folds raw doubles, batch goes through exact
+    // decimals — equal to 1e-6 at these magnitudes
+    val gotSums = got.map(t => (t._1, t._2) -> t._4).toMap
+    expected.foreach { case (u, b, _, s) =>
+      assert(math.abs(gotSums((u, b)) - s) < 1e-6, s"user=$u bucket=$b")
+    }
+  }
+
   test("O4: continuous Top-N via foreachBatch converges to the batch Top-N") {
     val ckpt = Files.createTempDirectory("ckpt-topn").toString
     // global top-10 events by (value desc, event_id) maintained across batches
