@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression gate: the properties the plan audit verified
+  * by hand (SCALE.md) asserted as tests, so a future change that
+  * silently degrades a plan (lost pushdown, surprise cartesian, dropped
+  * broadcast) fails here instead of only showing up in bench numbers.
+  * Planning only — nothing executes.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no key plans a cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { k =>
+      plan(k).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("compound predicates reach the parquet scan") {
+    // plan toString truncates long filter lists — assert on the head
+    val p = plan("filter_compound")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice)"), p)
+  }
+
+  test("global top-k avoids a global sort") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("pinned dimension broadcast survives") {
+    assert(plan("join_broadcast_dim").contains("BroadcastHashJoin"))
+  }
+
+  test("shingle self-join stays a shuffled hash join") {
+    assert(plan("llm_dedup_ngram").contains("ShuffledHashJoin"))
+  }
+
+  test("native as-of join plans the custom operator with co-partitioned sorts") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the as-of node must not fall back to a standard join")
+  }
+
+  test("aggregations run two-phase (partial then final)") {
+    val p = plan("agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
