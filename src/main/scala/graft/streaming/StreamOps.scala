@@ -12,6 +12,26 @@ case class FillRow(user_id: Long, h_us: Long, v_fill: Double)
 case class CountWinState(bucket: Int, cnt: Int, sum: Double)
 case class CountWinRow(user_id: Long, bucket: Int, n: Int, sum_value: Double)
 
+/** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
+  * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
+  * are sequential, reads may be concurrent). */
+final class TopNTracker(k: Int) extends Serializable {
+  private val acc = new java.util.concurrent.ConcurrentSkipListSet[(Double, Long)](
+    java.util.Comparator.comparingDouble[(Double, Long)](_._1.unary_-)
+      .thenComparingLong(_._2))
+
+  def offer(rows: Iterable[(Double, Long)]): Unit = {
+    rows.foreach(acc.add)
+    while (acc.size() > k) acc.remove(acc.last())
+  }
+
+  /** Current global top-k, best first. */
+  def current: Seq[(Double, Long)] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq
+  }
+}
+
 /** Structured Streaming implementations of the reference's streaming
   * patterns (SURVEY.md §2.9 T1-T8). Each op's complete-replay output
   * equals its batch twin in [[graft.queries.StreamingQueries]] — that
@@ -126,6 +146,28 @@ object StreamOps {
         if (st != null) state.update(st)
         out.iterator
       }
+  }
+
+  /** O4: continuous global Top-N (Flink's retract-stream Top-N). File
+    * sinks are append-only, so the retraction lives in a driver-side
+    * tracker updated per micro-batch via foreachBatch: each batch
+    * contributes its local top-k (computed distributed), the tracker
+    * keeps the global top-k. Returns the tracker and the configured
+    * writer — caller starts it and reads `tracker.current` at any time.
+    *
+    * @note scale: per batch only k rows reach the driver; the heavy
+    *   ordering runs as TakeOrderedAndProject on the executors. */
+  def topNContinuous(ev: DataFrame, k: Int, valueCol: String, idCol: String)
+      : (TopNTracker, org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
+    val tracker = new TopNTracker(k)
+    val writer = ev.select(col(valueCol).as("value"), col(idCol).as("id"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val localTop = batch.orderBy(col("value").desc, col("id")).limit(k)
+          .collect().map(r => (r.getDouble(0), r.getLong(1)))
+        tracker.offer(localTop)
+        ()
+      }
+    (tracker, writer)
   }
 
   /** Count-based tumbling windows (Flink `countWindow(n)`): per key,

@@ -72,25 +72,16 @@ class MiscStreamingSpec extends SparkSpec {
 
   test("O4: continuous Top-N via foreachBatch converges to the batch Top-N") {
     val ckpt = Files.createTempDirectory("ckpt-topn").toString
-    // global top-10 events by (value desc, event_id) maintained across batches
-    val acc = new java.util.concurrent.ConcurrentSkipListSet[(Double, Long)](
-      java.util.Comparator.comparingDouble[(Double, Long)](_._1.unary_-)
-        .thenComparingLong(_._2))
-    val q = StreamOps.source(spark, sf, maxFilesPerTrigger = Some(1))
-      .select("value", "event_id").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.orderBy(col("value").desc, col("event_id")).limit(10)
-          .collect().foreach(r => acc.add((r.getDouble(0), r.getLong(1))))
-        // retract: keep only the current global top-10
-        while (acc.size() > 10) acc.remove(acc.last())
-        ()
-      }
-      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    val (tracker, writer) = StreamOps.topNContinuous(
+      StreamOps.source(spark, sf, maxFilesPerTrigger = Some(1)),
+      k = 10, valueCol = "value", idCol = "event_id")
+    val q = writer.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val expected = graft.Tables.events(spark, sf)
       .orderBy(col("value").desc, col("event_id")).limit(10)
       .collect().map(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id"))).toSet
-    import scala.jdk.CollectionConverters._
-    assert(acc.asScala.toSet == expected)
+    assert(tracker.current.toSet == expected)
+    assert(tracker.current.head._1 == tracker.current.map(_._1).max, "best first")
   }
 }
