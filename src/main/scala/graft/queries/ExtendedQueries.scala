@@ -132,6 +132,55 @@ object ExtendedQueries {
       .orderBy("purchase_id")
   }
 
+  // ------------------------------------------------------- pivot
+  /** Pivot (dynamic columns from values) with explicit pivot values so
+    * the output schema — and the oracle — is deterministic. */
+  private val aggPivot = Q(
+    "agg_pivot",
+    s"""SELECT l_returnflag,
+       |  CAST(round(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END), 4) AS DOUBLE) AS F,
+       |  CAST(round(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END), 4) AS DOUBLE) AS O
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+      .agg(Det.dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------- posexplode
+  /** Position-preserving explode (UDTF with ordinality). DuckDB 1.0
+    * lacks WITH ORDINALITY; the oracle rebuilds positions with an
+    * indexed list lambda. */
+  private val flatmapPosexplode = Q(
+    "flatmap_posexplode",
+    """SELECT p_partkey, CAST(u.z['pos'] AS INT) AS pos, u.z['tok'] AS tok
+      |FROM (SELECT p_partkey,
+      |        unnest(list_transform(string_split(p_name, ' '),
+      |               (x, i) -> {'pos': i - 1, 'tok': x})) AS z
+      |      FROM part) u
+      |ORDER BY p_partkey, pos""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
+      .orderBy("p_partkey", "pos")
+  }
+
+  // ------------------------------------------------------- nth_value
+  /** W7 extension: nth_value over an explicit full-partition frame. */
+  private val windowNth = Q(
+    "window_nth_value",
+    """SELECT o_orderkey, o_custkey,
+      |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
-    joinAsofNative)
+    joinAsofNative, aggPivot, flatmapPosexplode, windowNth)
 }
