@@ -226,6 +226,74 @@ object ScalarQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- F3b bitwise
+  private val scalarBitwise = Q(
+    "scalar_bitwise",
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS b_and, o_orderkey | 16 AS b_or,
+      |  xor(o_orderkey, 85) AS b_xor,
+      |  o_orderkey << 2 AS b_shl, o_orderkey >> 3 AS b_shr,
+      |  CAST(bit_count(o_orderkey) AS INT) AS b_cnt
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+      col("o_orderkey").bitwiseOR(lit(16L)).as("b_or"),
+      col("o_orderkey").bitwiseXOR(lit(85L)).as("b_xor"),
+      expr("shiftleft(o_orderkey, 2)").as("b_shl"),
+      expr("shiftright(o_orderkey, 3)").as("b_shr"),
+      bit_count(col("o_orderkey")).as("b_cnt"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- F3c trig
+  /** Trigonometry family — rounded to 6 like the other transcendentals
+    * (Java vs C libm last-ulp divergence). */
+  private val scalarTrig = Q(
+    "scalar_trig",
+    """SELECT o_orderkey,
+      |  round(sin(o_totalprice / 100000.0), 6) AS sn,
+      |  round(cos(o_totalprice / 100000.0), 6) AS cs,
+      |  round(atan(o_totalprice / 100000.0), 6) AS at,
+      |  round(atan2(CAST(o_orderkey % 7 AS DOUBLE), 3.0), 6) AS at2,
+      |  round(degrees(o_totalprice / 100000.0), 6) AS dg,
+      |  round(radians(CAST(o_orderkey % 360 AS DOUBLE)), 6) AS rd
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val x = col("o_totalprice") / 100000.0
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      round(sin(x), 6).as("sn"),
+      round(cos(x), 6).as("cs"),
+      round(atan(x), 6).as("at"),
+      round(atan2(pmod(col("o_orderkey"), lit(7L)).cast("double"), lit(3.0)), 6).as("at2"),
+      round(degrees(x), 6).as("dg"),
+      round(radians(pmod(col("o_orderkey"), lit(360L)).cast("double")), 6).as("rd"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- F8 cast matrix
+  private val scalarCast = Q(
+    "scalar_cast",
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+      |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+      |  CAST(o_orderdate AS DATE) AS od_date,
+      |  CAST(o_orderkey AS DOUBLE) AS key_dbl,
+      |  CAST('42' AS INT) AS s2i,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_str"),
+      col("o_orderkey").cast("string").cast("long").as("key_roundtrip"),
+      col("o_orderdate").cast("date").as("od_date"),
+      col("o_orderkey").cast("double").as("key_dbl"),
+      lit("42").cast("int").as("s2i"),
+      col("o_orderdate").cast("date").cast("string").as("date_str"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(scalarString, scalarDatetime, scalarMath,
-    scalarConditional, scalarArray, scalarJson, udfScalar, aggWeightedAvg)
+    scalarConditional, scalarArray, scalarJson, udfScalar, aggWeightedAvg,
+    scalarBitwise, scalarTrig, scalarCast)
 }
