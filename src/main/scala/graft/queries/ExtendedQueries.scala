@@ -181,6 +181,34 @@ object ExtendedQueries {
       .orderBy("o_orderkey")
   }
 
+  // ------------------------------------------------------- CDC upsert
+  /** Changelog/upsert materialization (Flink upsert stream → table,
+    * SURVEY.md §2.9 T10's batch face): treat `events` as a keyed
+    * changelog and materialize the LATEST row per key — the canonical
+    * CDC compaction every lakehouse ingestion pipeline runs.
+    * Deterministic tiebreak: (ts, event_id) descending.
+    *
+    * @note scale: one shuffle on the key; at 100 TB this is the
+    *   max-timestamp-wins merge that AQE skew-splits per key range. The
+    *   streaming twin is `dropDuplicatesWithinWatermark`-style state or
+    *   `foreachBatch` MERGE INTO against the table format. */
+  private val cdcUpsertLatest = Q(
+    "cdc_upsert_latest",
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value, epoch_us(ts) AS last_ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        unix_micros(col("ts")).as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
-    joinAsofNative, aggPivot, flatmapPosexplode, windowNth)
+    joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest)
 }

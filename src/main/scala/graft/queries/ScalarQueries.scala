@@ -293,7 +293,41 @@ object ScalarQueries {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- F6 map
+  /** Map construction + access functions (SURVEY.md §2.8 F6, previously
+    * folded into scalar_json): `map`, `map_from_arrays`, `element_at`,
+    * `map_keys`/`map_values` (insertion-ordered in Spark, so the joined
+    * key string and the fold order are deterministic), `map_filter`, and
+    * a `aggregate` fold over `map_values`. DuckDB has no ordered-map
+    * functions, so the oracle states each extracted scalar directly —
+    * the key verifies the map surface produces the right VALUES, not
+    * DuckDB's map layout. */
+  private val scalarMap = Q(
+    "scalar_map",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity AS qty, l_discount AS disc,
+      |  CAST(2 AS INT) AS nkeys, 'qty,disc' AS ks,
+      |  l_returnflag AS rf,
+      |  CAST(CASE WHEN l_quantity > 1 THEN 1 ELSE 0 END AS INT) AS nbig,
+      |  l_quantity + l_discount AS vsum
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        map(lit("qty"), col("l_quantity"), lit("disc"), col("l_discount")).as("m"),
+        map_from_arrays(array(lit("rf"), lit("ls")),
+          array(col("l_returnflag"), col("l_linestatus"))).as("sm"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("qty"),
+        element_at(col("m"), "disc").as("disc"),
+        size(col("m")).cast("int").as("nkeys"),
+        array_join(map_keys(col("m")), ",").as("ks"),
+        element_at(col("sm"), "rf").as("rf"),
+        size(map_filter(col("m"), (_, v) => v > 1)).cast("int").as("nbig"),
+        aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x).as("vsum"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val all: Seq[Q] = Seq(scalarString, scalarDatetime, scalarMath,
     scalarConditional, scalarArray, scalarJson, udfScalar, aggWeightedAvg,
-    scalarBitwise, scalarTrig, scalarCast)
+    scalarBitwise, scalarTrig, scalarCast, scalarMap)
 }

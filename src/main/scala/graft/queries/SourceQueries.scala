@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format round-trips (SURVEY.md §2.1 S1/S5): prove the
+  * engine reads and writes more than parquet by piping a table through
+  * CSV / JSON-lines on disk and aggregating the re-read copy. The DuckDB
+  * oracle aggregates the original parquet directly, so any loss in the
+  * round-trip (quoting, type inference, precision) breaks the hash.
+  *
+  * @note scale: both writers shard naturally (one file per partition);
+  *   the explicit read schema skips Spark's whole-file inference pass,
+  *   which on a 100 TB lake would be a full extra scan. CSV/JSON scans
+  *   are row-oriented and ~5-10x slower than parquet at scale — these
+  *   formats are for interchange edges, not for the hot path.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_roundtrip/$name"
+
+  private val csvRoundtrip = Q(
+    "source_csv_roundtrip",
+    """SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS sum_key,
+      |  max(n_name) AS max_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    val nat = Tables.nation(s, d)
+    val dir = tmp(s"csv_${d.replaceAll("[^0-9.]", "")}")
+    nat.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(nat.schema).option("header", "true").csv(dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), sum("n_nationkey").as("sum_key"),
+        max("n_name").as("max_name"))
+      .orderBy("n_regionkey")
+  }
+
+  private val jsonRoundtrip = Q(
+    "source_json_roundtrip",
+    s"""SELECT s_nationkey, count(*) AS n, ${Det.osum("s_acctbal")} AS bal
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d)
+    val dir = tmp(s"json_${d.replaceAll("[^0-9.]", "")}")
+    sup.write.mode("overwrite").json(dir)
+    s.read.schema(sup.schema).json(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("s_acctbal")).as("bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip)
+}

@@ -25,4 +25,16 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall too low — IVF probe routing broken")
   }
+
+  test("broadcast all-pairs kernel equals the declarative theta join exactly") {
+    import graft.operators.SimilarityOps
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val kernel = SimilarityOps.cosineNearDups(emb, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val join = SimilarityOps.cosineNearDupsJoin(emb, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(kernel.nonEmpty, "planted near-dups should surface")
+    assert(kernel == join, "kernel must reproduce the join form bit-for-bit")
+  }
 }
