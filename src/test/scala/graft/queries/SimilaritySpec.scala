@@ -37,4 +37,17 @@ class SimilaritySpec extends SparkSpec {
     assert(kernel.nonEmpty, "planted near-dups should surface")
     assert(kernel == join, "kernel must reproduce the join form bit-for-bit")
   }
+
+  test("triangular block-grid all-pairs equals the broadcast kernel") {
+    import graft.operators.SimilarityOps
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val kernel = SimilarityOps.cosineNearDups(emb, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (b <- Seq(1, 4, 7)) { // 1 = degenerate single cell; 7 ∤ id space
+      val grid = SimilarityOps.cosineNearDupsBlocked(emb, minCosine = 0.45, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(grid == kernel, s"nBlocks=$b grid diverged")
+    }
+  }
 }
