@@ -185,6 +185,45 @@ object SimilarityOps {
     val n = normed(df, idCol, vecCol)
     val cents = n.filter(isCentroid)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    knnIvfWith(n, cents, isQuery, nprobe, k)
+  }
+
+  /** [[knnIvf]] with Lloyd-refined centroids: seeds are the `nCells`
+    * lowest-id vectors (deterministic), then `refineIters` passes each
+    * assign every vector to its nearest centroid and replace centroids
+    * with the per-cell mean (one [[graft.functions.SketchAggregators.VecMean]]
+    * shuffle per pass — a fixed-width buffer per cell, no dim-explode).
+    * Refined centroids track the data distribution instead of whatever
+    * the first `nCells` vectors happened to be, so probes recall more
+    * true neighbors at the same nprobe.
+    * @note scale: each pass is one broadcast (centroids) + one shuffle
+    *   (cell sums); k-means|| seeding drops in here if the corpus is
+    *   adversarial, without changing the probe path. */
+  def knnIvfKmeans(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      nCells: Int = 16, refineIters: Int = 2, nprobe: Int = 4, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecMean = udaf(graft.functions.SketchAggregators.VecMean,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val n = normed(df, idCol, vecCol)
+    var cents = n.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 1 to refineIters) {
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      cents = n.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
+        .groupBy(col("cid")).agg(vecMean(col("v")).as("cv"))
+        .withColumn("cn", sqrt(expr("vec_dot(cv, cv)")))
+        .filter(col("cn") > 0)
+    }
+    knnIvfWith(n, cents, isQuery, nprobe, k)
+  }
+
+  /** Shared IVF probe path: assign corpus to cells, route each query to
+    * its `nprobe` nearest cells, scan those cells only. */
+  private def knnIvfWith(n: DataFrame, cents0: DataFrame,
+      isQuery: org.apache.spark.sql.Column, nprobe: Int, k: Int): DataFrame = {
+    val cents = cents0
     def cosTo(v: String, nrm: String, cv: String, cn: String) =
       expr(s"vec_dot($v, $cv)") / (col(nrm) * col(cn))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))

@@ -52,10 +52,12 @@ object SimilarityQueries {
   }
 
   /** Engine-specific pruning — rows-only driver check; recall vs the
-    * exact brute force is asserted by `SimilaritySpec`. */
+    * exact brute force is asserted by `SimilaritySpec`. Centroids are
+    * Lloyd-refined from the deterministic low-id seeds
+    * ([[SimilarityOps.knnIvfKmeans]]). */
   private val knnIvf = Q.noOracle("llm_knn_ivf") { (s, d) =>
-    SimilarityOps.knnIvf(Tables.embeddings(s, d),
-        isQuery = col("vec_id") < 5, isCentroid = col("vec_id") < 16,
+    SimilarityOps.knnIvfKmeans(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, refineIters = 2,
         nprobe = 4, k = 10)
       .orderBy("qid", "rk")
   }

@@ -1,0 +1,37 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Measures IVF ANN recall against exact brute force, for both the
+  * fixed-seed and the Lloyd-refined centroid variants. Usage:
+  * `sbt "runMain graft.tools.RecallProbe [sfDir ...]"`. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- dirs) {
+      val emb = Tables.embeddings(spark, sf)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "nbr").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(SimilarityOps.knnCosine(emb, col("vec_id") < 5, k = 10))
+      val fixed = pairs(SimilarityOps.knnIvf(
+        emb, col("vec_id") < 5, col("vec_id") < 16, nprobe = 4, k = 10))
+      val km = pairs(SimilarityOps.knnIvfKmeans(
+        emb, col("vec_id") < 5, nCells = 16, refineIters = 2, nprobe = 4, k = 10))
+      def r(s: Set[(Long, Long)]): Double = (exact & s).size.toDouble / exact.size
+      println(f"RECALL $sf fixed=${r(fixed)}%.3f kmeans=${r(km)}%.3f")
+    }
+    spark.stop()
+  }
+}
