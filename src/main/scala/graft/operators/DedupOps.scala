@@ -56,7 +56,9 @@ object DedupOps {
     *   corpora; shuffle-hash beats broadcast for the self-join. */
   def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n)
+    // cached: referenced three times below (both self-join sides + sizes)
+    // — without it the tokenize+hash pass runs three times
+    val sh = hashedShingles(df, idCol, textCol, n).persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -100,10 +102,8 @@ object DedupOps {
     * materialization. Replaces the `a.doc_id < b.doc_id` theta join
     * (BroadcastNestedLoopJoin, measured 2.3 s → ~0.6 s at sf0.1).
     *
-    * @note scale: beyond broadcast reach, band the signature into
-    *   ⌈bits/(maxHamming+1)⌉ prefix bands (pigeonhole: any pair at
-    *   hd ≤ maxHamming collides on ≥1 band) and equi-join on band
-    *   value — same candidate/verify shape as [[minhashNearDups]]. */
+    * @note scale: beyond broadcast reach, use [[simhashNearDupsBanded]]
+    *   — same output, band-bucket shuffle instead of a broadcast. */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 10, n: Int = 3): DataFrame = {
     val spark = df.sparkSession
@@ -112,6 +112,7 @@ object DedupOps {
     val sim = hashedShingles(df, idCol, textCol, n)
       .groupBy("doc_id").agg(simSig(col("h")).as("s"))
       .as[(Long, Long)]
+      .persist() // evaluated twice: the collect below + the kernel scan
     val side = sim.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast((side.map(_._1), side.map(_._2)))
     sim.mapPartitions { it =>
@@ -128,6 +129,57 @@ object DedupOps {
         out.iterator
       }
     }.toDF("ai", "bi", "hd")
+  }
+
+  /** Banded form of [[simhashNearDups]] for corpora beyond broadcast
+    * reach — same `(ai, bi, hd)` output, EXACTLY (not approximately):
+    * the signature's bit range is partitioned into `maxHamming + 1`
+    * bands, and by pigeonhole a pair at Hamming distance ≤ maxHamming
+    * leaves at least one band untouched, so every qualifying pair
+    * collides on some band's exact value. Candidates are the band-value
+    * equi-join; the popcount verify then drops the false positives.
+    *
+    * @note scale: one shuffle on (band, band-value) — ~(maxHamming+1)·N
+    *   rows of three longs — then a candidate-sized verify join; nothing
+    *   is broadcast and no partition ever sees the whole corpus. Band
+    *   selectivity grows with signature width: at 57 bits / 11 bands a
+    *   band is only ~5 bits, so small corpora bucket coarsely (this is
+    *   measurable on the test fixtures), while the wide signatures a
+    *   production corpus would use (128/256-bit, multi-word) make bands
+    *   ≥ 12 bits and buckets sparse. */
+  def simhashNearDupsBanded(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 10, n: Int = 3): DataFrame = {
+    val simSig = udaf(SketchAggregators.SimHashSig, Encoders.scalaLong)
+    val sim = hashedShingles(df, idCol, textCol, n)
+      .groupBy("doc_id").agg(simSig(col("h")).as("s"))
+      .persist() // signature build feeds both the bands and the verify
+    // Bands must PARTITION the 57 real signature bits, every band
+    // nonempty — a uniform ceil-width grid would leave the top band all
+    // zeros (a full-corpus bucket). Variable widths: `rem` bands get an
+    // extra bit.
+    val nBands = maxHamming + 1
+    val bits = 57 // signature domain (polyHash is 57-bit)
+    val base = bits / nBands
+    val rem = bits % nBands
+    require(base >= 1, s"maxHamming=$maxHamming needs more bands than $bits bits")
+    val widths = Seq.tabulate(nBands)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandExprs = offsets.zip(widths).map { case (off, w) =>
+      expr(s"shiftright(s, $off) & ${(1L << w) - 1}")
+    }
+    val bands = sim
+      .select(col("doc_id"), posexplode(array(bandExprs: _*)))
+      .toDF("doc_id", "band", "bv")
+    val cands = bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi")).distinct()
+    cands
+      .join(sim.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sim.as("sb"), col("bi") === col("sb.doc_id"))
+      .select(col("ai"), col("bi"),
+        expr("bit_count(sa.s ^ sb.s)").cast("int").as("hd"))
+      .filter(col("hd") <= maxHamming)
   }
 
   /** Declarative theta-join form of [[simhashNearDups]]'s pair stage —
@@ -153,7 +205,9 @@ object DedupOps {
       textCol: String = "text", minJaccard: Double = 0.8, n: Int = 3): DataFrame = {
     val M = 2147483647L
     val minhashSig = udaf(SketchAggregators.MinHashSig, Encoders.scalaLong)
-    val hs = hashedShingles(df, idCol, textCol, n)
+    // cached: feeds the signature build AND the exact-Jaccard verify —
+    // one tokenize+hash pass instead of two
+    val hs = hashedShingles(df, idCol, textCol, n).persist()
     val sig = hs
       .withColumn("x", col("h") % M)
       .groupBy("doc_id").agg(minhashSig(col("x")).as("sig"))
@@ -162,6 +216,7 @@ object DedupOps {
       .withColumn("bsig", expr(
         "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
       .select("doc_id", "band", "bsig")
+      .persist() // both sides of the band self-join
     val cands = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))

@@ -68,6 +68,7 @@ object SimilarityOps {
     import spark.implicits._
     val typed = normed(df, idCol, vecCol)
       .select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+      .persist() // evaluated twice: the collect below + the kernel scan
     val side = typed.collect().map { case (id, v, nr) => (id, v.toArray, nr) }
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(
@@ -177,70 +178,155 @@ object SimilarityOps {
     * coarse cells; every vector is assigned to its nearest cell and each
     * query scans its `nprobe` nearest cells: `(qid, nbr, cos, rk)`.
     * @note scale: scan per query drops from N to N·(nprobe/ncells);
-    *   cells are the partitioning key, so a probe is a pruned partition
-    *   scan, not a full shuffle. */
+    *   cell assignment is a narrow broadcast pass (centroids are tiny),
+    *   so the only shuffle is the final per-query top-k. */
   def knnIvf(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       isCentroid: org.apache.spark.sql.Column, nprobe: Int = 4, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = normed(df, idCol, vecCol)
-    val cents = n.filter(isCentroid)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    knnIvfWith(n, cents, isQuery, nprobe, k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = normedTyped(df, idCol, vecCol)
+    val cents = typed.filter(isCentroid).collect()
+      .map { case (id, v, nr) => (id, v.toArray, nr) }.sortBy(_._1)
+    probeCells(typed, cents, isQuery, nprobe, k)
   }
 
   /** [[knnIvf]] with Lloyd-refined centroids: seeds are the `nCells`
     * lowest-id vectors (deterministic), then `refineIters` passes each
     * assign every vector to its nearest centroid and replace centroids
-    * with the per-cell mean (one [[graft.functions.SketchAggregators.VecMean]]
-    * shuffle per pass — a fixed-width buffer per cell, no dim-explode).
-    * Refined centroids track the data distribution instead of whatever
-    * the first `nCells` vectors happened to be, so probes recall more
-    * true neighbors at the same nprobe.
-    * @note scale: each pass is one broadcast (centroids) + one shuffle
-    *   (cell sums); k-means|| seeding drops in here if the corpus is
-    *   adversarial, without changing the probe path. */
+    * with the per-cell mean. Refined centroids track the data
+    * distribution instead of whatever the first `nCells` vectors
+    * happened to be, so probes recall more true neighbors at the same
+    * nprobe.
+    *
+    * The centroid table is metadata-sized (nCells·dim doubles), so the
+    * Lloyd loop keeps it on the driver — the MLlib KMeans structure: per
+    * pass, one narrow `mapPartitions` job computes per-partition
+    * (cell → count, sum-vector) partials against the broadcast centroids
+    * and the driver merges ≤ partitions·nCells partial rows. No per-pass
+    * shuffle, no growing lazy plan.
+    * @note scale: each pass moves O(partitions·nCells·dim) bytes to the
+    *   driver — independent of corpus size; k-means|| seeding drops in
+    *   here if the corpus is adversarial, without changing the probe
+    *   path. */
   def knnIvfKmeans(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       nCells: Int = 16, refineIters: Int = 2, nprobe: Int = 4, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val vecMean = udaf(graft.functions.SketchAggregators.VecMean,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
-    val n = normed(df, idCol, vecCol)
-    var cents = n.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    for (_ <- 1 to refineIters) {
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      cents = n.crossJoin(broadcast(cents))
-        .withColumn("ccos", expr("vec_dot(v, cv)") / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
-        .groupBy(col("cid")).agg(vecMean(col("v")).as("cv"))
-        .withColumn("cn", sqrt(expr("vec_dot(cv, cv)")))
-        .filter(col("cn") > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = normedTyped(df, idCol, vecCol)
+    var cents = typed.orderBy("vec_id").limit(nCells).collect()
+      .map { case (id, v, nr) => (id, v.toArray, nr) }
+    for (_ <- 1 to refineIters if cents.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = typed.mapPartitions { it =>
+        val cs = bc.value
+        val sums = new Array[Array[Double]](cs.length)
+        val cnts = new Array[Long](cs.length)
+        it.foreach { case (_, vSeq, nr) =>
+          val v = vSeq.toArray
+          val best = nearestCell(cs, v, nr)
+          if (sums(best) == null) sums(best) = new Array[Double](v.length)
+          val s = sums(best)
+          var i = 0
+          val m = math.min(v.length, s.length)
+          while (i < m) { s(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        Iterator.range(0, cs.length).filter(sums(_) != null)
+          .map(ix => (cs(ix)._1, cnts(ix), sums(ix).toSeq))
+      }.collect()
+      cents = partials.groupBy(_._1).toArray.sortBy(_._1).map {
+        case (cid, rows) =>
+          val dim = rows.head._3.length
+          val s = new Array[Double](dim)
+          var c = 0L
+          rows.foreach { case (_, cnt, sv) =>
+            c += cnt
+            var i = 0
+            while (i < dim) { s(i) += sv(i); i += 1 }
+          }
+          var i = 0
+          while (i < dim) { s(i) /= c; i += 1 }
+          var d = 0.0
+          i = 0
+          while (i < dim) { d += s(i) * s(i); i += 1 }
+          (cid, s, math.sqrt(d))
+      }.filter(_._3 > 0)
     }
-    knnIvfWith(n, cents, isQuery, nprobe, k)
+    probeCells(typed, cents, isQuery, nprobe, k)
   }
 
-  /** Shared IVF probe path: assign corpus to cells, route each query to
-    * its `nprobe` nearest cells, scan those cells only. */
-  private def knnIvfWith(n: DataFrame, cents0: DataFrame,
+  /** Normalized working set as a cached typed Dataset — the IVF paths
+    * scan it once per Lloyd pass plus twice at probe time, so it earns
+    * its cache; Spark's cache manager dedupes by canonicalized plan, so
+    * repeated calls over the same input share one copy. */
+  private def normedTyped(df: DataFrame, idCol: String, vecCol: String):
+      org.apache.spark.sql.Dataset[(Long, Seq[Double], Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    normed(df, idCol, vecCol).as[(Long, Seq[Double], Double)].persist()
+  }
+
+  /** Index of the centroid with max cosine to `v`; ties keep the first
+    * (lowest cid — callers keep `cs` sorted by cid ascending), matching
+    * the declarative `ORDER BY cos DESC, cid` tie-break. */
+  private def nearestCell(cs: Array[(Long, Array[Double], Double)],
+      v: Array[Double], nr: Double): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cs.length) {
+      val cv = cs(ci)._2
+      val m = math.min(v.length, cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += v(i) * cv(i); i += 1 }
+      val c = s / (nr * cs(ci)._3)
+      if (c > bestCos) { bestCos = c; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Shared IVF probe path: assign corpus rows to cells and route each
+    * query to its `nprobe` nearest cells — both narrow passes against
+    * the broadcast centroid array — then scan only the probed cells.
+    * The one shuffle left is the per-query top-k window. */
+  private def probeCells(
+      typed: org.apache.spark.sql.Dataset[(Long, Seq[Double], Double)],
+      cents: Array[(Long, Array[Double], Double)],
       isQuery: org.apache.spark.sql.Column, nprobe: Int, k: Int): DataFrame = {
-    val cents = cents0
-    def cosTo(v: String, nrm: String, cv: String, cn: String) =
-      expr(s"vec_dot($v, $cv)") / (col(nrm) * col(cn))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val assigned = n.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosTo("v", "nrm", "cv", "cn"))
-      .withColumn("crk", row_number().over(wAssign)).filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val q = n.filter(isQuery)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("qcos", cosTo("qv", "qn", "cv", "cn"))
-      .withColumn("prk", row_number().over(wProbe)).filter(col("prk") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val spark = typed.sparkSession
+    import spark.implicits._
+    if (cents.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nbr", "cos", "rk")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = typed.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, vSeq, nr) =>
+        (id, vSeq, nr, cs(nearestCell(cs, vSeq.toArray, nr))._1)
+      }
+    }.toDF("vec_id", "v", "nrm", "cid")
+    val np = math.min(nprobe, cents.length)
+    val probes = typed.filter(isQuery).mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (qid, vSeq, qn) =>
+        val qv = vSeq.toArray
+        cs.map { case (cid, cv, cn) =>
+          val m = math.min(qv.length, cv.length)
+          var s = 0.0
+          var i = 0
+          while (i < m) { s += qv(i) * cv(i); i += 1 }
+          (cid, s / (qn * cn))
+        }.sortBy { case (cid, c) => (-c, cid) }.take(np)
+          .map { case (cid, _) => (qid, vSeq, qn, cid) }
+      }
+    }.toDF("qid", "qv", "qn", "cid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probes), "cid").filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosTo("v", "nrm", "qv", "qn"), 6))
+      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
   }

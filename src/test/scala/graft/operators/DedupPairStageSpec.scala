@@ -17,4 +17,15 @@ class DedupPairStageSpec extends SparkSpec {
     assert(kernel.nonEmpty, "planted near-dups should surface")
     assert(kernel == join)
   }
+
+  test("banded simhash equals the broadcast kernel (pigeonhole is exact)") {
+    val docs = Tables.documents(spark, sf)
+    for (hm <- Seq(3, 10)) { // different band counts / widths
+      val kernel = DedupOps.simhashNearDups(docs, maxHamming = hm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = DedupOps.simhashNearDupsBanded(docs, maxHamming = hm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == kernel, s"maxHamming=$hm banded diverged")
+    }
+  }
 }
