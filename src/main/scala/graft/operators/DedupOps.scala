@@ -195,6 +195,55 @@ object DedupOps {
       .filter(col("hd") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs — the clustering step a
+    * dedup pipeline runs after pair generation, so each group of
+    * transitively-linked near-duplicates keeps one canonical document.
+    * Returns every node with `cluster_id` = the smallest id reachable
+    * from it (singletons map to themselves).
+    *
+    * Min-label propagation to fixpoint: labels start as own id; each
+    * round every node takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds. The driver
+    * loop materializes each round (persist + count) so lineage stays
+    * flat.
+    *
+    * @note scale: each round is one shuffle of the edge list joined to
+    *   current labels. Diameter-bound rounds are fine for dedup graphs
+    *   (components are tiny cliques/chains); for adversarial graphs the
+    *   small-star/large-star alternation (Kiveris et al., "Connected
+    *   Components in MapReduce", SoCC'14) converges in O(log n) rounds
+    *   and drops in here without changing the contract. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      idCol: String = "doc_id", aCol: String = "ai", bCol: String = "bi"): DataFrame = {
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    // only nodes with an edge can ever change label — singletons rejoin
+    // at the end, so the loop runs on the (much smaller) active set
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = e.join(labels, e("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("lab").as("nlab"))
+      // carry the previous label so the convergence check is a filter on
+      // the same materialization — one job per round
+      val next = labels.as("l").join(prop, col("l.node") === prop("src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lab"), coalesce(col("nlab"), col("l.lab"))).as("lab"),
+          col("l.lab").as("prev"))
+        .persist()
+      changed = next.filter(col("lab") < col("prev")).count()
+      labels.unpersist()
+      labels = next.select("node", "lab")
+    }
+    e.unpersist()
+    nodes.select(col(idCol).as("node"))
+      .join(labels.withColumnRenamed("lab", "cluster_id"), Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+  }
+
   /** MinHash+LSH near-dup pairs at Jaccard ≥ `minJaccard`:
     * `(ai, bi, jac)`. 64 permutations, 16 bands × 4 rows; banded
     * candidates are verified with exact Jaccard, so the output is the

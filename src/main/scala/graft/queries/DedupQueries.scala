@@ -77,5 +77,30 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy)
+  /** Near-dup clustering: connected components over the Jaccard ≥ 0.5
+    * pair graph, every document labeled with the min id reachable from
+    * it. Oracle computes the same components via a recursive-CTE
+    * transitive closure (edge set is small once thresholded, so the
+    * closure is cheap on the oracle side; the Spark side stays the
+    * scalable label-propagation loop). */
+  private val dedupCluster = Q(
+    "llm_dedup_cluster",
+    s"""WITH RECURSIVE $oJaccardPairs,
+       |p AS (SELECT ai, bi FROM j WHERE jac >= 0.5),
+       |e AS (SELECT ai AS s, bi AS t FROM p UNION SELECT bi, ai FROM p),
+       |reach(s, t) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+       |cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT d.doc_id AS doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.jaccardPairs(docs).filter(col("jac") >= 0.5)
+    DedupOps.connectedComponents(pairs, docs).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy,
+    dedupCluster)
 }
