@@ -18,7 +18,8 @@ object SparkEntry {
       _root_.graft.queries.SimilarityQueries.all ++
       _root_.graft.queries.ScaleQueries.all ++
       _root_.graft.queries.ExtendedQueries.all ++
-      _root_.graft.queries.SourceQueries.all
+      _root_.graft.queries.SourceQueries.all ++
+      _root_.graft.queries.SampleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

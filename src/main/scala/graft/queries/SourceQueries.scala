@@ -48,5 +48,18 @@ object SourceQueries {
       .orderBy("s_nationkey")
   }
 
-  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip)
+  private val orcRoundtrip = Q(
+    "source_orc_roundtrip",
+    s"""SELECT c_mktsegment, count(*) AS n, ${Det.osum("c_acctbal")} AS bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val dir = tmp(s"orc_${d.replaceAll("[^0-9.]", "")}")
+    cust.write.mode("overwrite").orc(dir)
+    s.read.schema(cust.schema).orc(dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip)
 }
