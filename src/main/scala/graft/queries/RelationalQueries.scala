@@ -206,6 +206,38 @@ object RelationalQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** TRUE range join — no equi key at all: lineitems shipped inside a
+    * 7-day window after each big order's date, any order × any
+    * lineitem. Runs through [[graft.operators.RangeJoinOps]]'s bucket
+    * grid (week buckets ≈ interval length), which turns the
+    * would-be-BNLJ into a hash join on the bucket; the BNLJ twin is the
+    * spec cross-check, the DuckDB oracle states the plain range
+    * predicate.
+    * @note scale: shuffle is |points| + 2·|intervals| rows, no
+    *   broadcast — survives both sides growing where the BNLJ needs one
+    *   side to stay driver-small. */
+  private val joinRangeBucketed = Q(
+    "join_range_bucketed",
+    s"""SELECT o.o_orderkey AS o_orderkey, count(*) AS n,
+       |  ${Det.osum("l.l_quantity")} AS sum_qty
+       |FROM orders o JOIN lineitem l
+       |  ON l.l_shipdate >= o.o_orderdate
+       |  AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+       |WHERE o.o_totalprice > 480000
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val week = 7L * 86400
+    val secs = (c: org.apache.spark.sql.Column) => unix_seconds(c.cast("timestamp"))
+    val ints = Tables.orders(s, d).filter(col("o_totalprice") > 480000)
+      .select(col("o_orderkey"), secs(col("o_orderdate")).as("lo"),
+        (secs(col("o_orderdate")) + week).as("hi"))
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_quantity"), secs(col("l_shipdate")).as("pt"))
+    graft.operators.RangeJoinOps.pointInInterval(pts, ints, "pt", "lo", "hi", week)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (Flink temporal join / FOR SYSTEM_TIME AS OF): for each
     * purchase, the latest click at-or-before it for the same user. Spark
     * has no native ASOF; emulate with join + row_number. The oracle uses
@@ -570,7 +602,7 @@ object RelationalQueries {
     projCompute, filterCompound, flatmapExplode, splitRoute,
     joinInner, joinOuterLeft, joinOuterFull, joinSemi, joinAnti,
     joinBroadcastDim, joinInterval, joinAsof, joinWindowed,
-    joinCrossSmall, joinTheta,
+    joinCrossSmall, joinTheta, joinRangeBucketed,
     aggPricingSummary, aggGlobal, aggCountDistinct, aggRollup,
     aggCollect, aggReduceMinmax, aggPercentileExact,
     windowTopnPergroup, windowLagDelta, windowRunningSum,

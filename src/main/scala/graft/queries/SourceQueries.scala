@@ -61,5 +61,27 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip)
+  /** Hive-style partitioned write + partition-pruned read (S5 at lake
+    * scale): orders written out partitioned by priority, re-read with a
+    * partition predicate. On a 100 TB lake this is the difference
+    * between scanning one directory and scanning them all — the spec
+    * side (`PlanShapeSpec`) asserts the pruning actually reaches the
+    * scan node, this key asserts the values survive the layout. */
+  private val partitionedPrune = Q(
+    "sink_partitioned_prune",
+    s"""SELECT o_orderpriority, count(*) AS n, ${Det.osum("o_totalprice")} AS tot
+       |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val dir = tmp(s"part_${d.replaceAll("[^0-9.]", "")}")
+    ord.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("tot"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
+    partitionedPrune)
 }
