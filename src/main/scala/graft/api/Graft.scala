@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
 import graft.plans.AsOfJoinOps
 import graft.streaming.StreamOps
 
@@ -29,10 +29,12 @@ import graft.streaming.StreamOps
   * }}}
   */
 object Graft {
-  /** Exact / n-gram / SimHash / MinHash+LSH document dedup. */
+  /** Exact / n-gram / SimHash / MinHash+LSH dedup + component clustering. */
   val dedup: DedupOps.type = DedupOps
-  /** Brute-force + IVF kNN, embedding near-dup. */
+  /** Brute-force + IVF kNN (fixed or k-means cells), embedding near-dup. */
   val similarity: SimilarityOps.type = SimilarityOps
+  /** Deterministic corpus sampling: fixed-rate + stratified mixture. */
+  val sample: SampleOps.type = SampleOps
   /** Wordcount, token stats, fingerprint, language ID, quality, tf-idf. */
   val text: TextOps.type = TextOps
   /** Binary payload plumbing + batched feature extraction. */
@@ -49,5 +51,13 @@ object Graft {
         probeTime: org.apache.spark.sql.Column, buildTime: org.apache.spark.sql.Column,
         buildTie: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
       AsOfJoinOps.asofJoin(probe, build, probeKey, buildKey, probeTime, buildTime, buildTie)
+
+    /** Keyless range join via the bucket grid — points matched to the
+      * `[lo, hi)` intervals containing them, hash-joinable at any size. */
+    def pointInInterval(points: org.apache.spark.sql.DataFrame,
+        intervals: org.apache.spark.sql.DataFrame,
+        ptCol: String, loCol: String, hiCol: String,
+        bucketWidth: Long): org.apache.spark.sql.DataFrame =
+      RangeJoinOps.pointInInterval(points, intervals, ptCol, loCol, hiCol, bucketWidth)
   }
 }

@@ -38,7 +38,10 @@ object RangeJoinOps {
         floor(col(hiCol) / bucketWidth).cast("long"))))
     val pts = points
       .withColumn("__bucket", floor(col(ptCol) / bucketWidth).cast("long"))
-    pts.join(ints, Seq("__bucket"))
+    // shuffle-hash, intervals as build side: the bucket key is
+    // low-cardinality with huge equal-key runs, where sort-merge pays a
+    // full sort of the point side and then buffers each run anyway
+    pts.join(ints.hint("shuffle_hash"), Seq("__bucket"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bucket")
   }

@@ -81,6 +81,68 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("sc"), lit(0L)).as("score"))
   }
 
+  /** Train/eval decontamination — the pre-training hygiene step that
+    * drops training documents overlapping a held-out benchmark. For
+    * every training doc: the maximum number of shingles it shares with
+    * any single eval doc, and a contaminated flag at `minShared`.
+    * Returns `(doc_id, max_shared, contaminated)` for ALL training docs
+    * (no-overlap docs report 0 / false).
+    *
+    * @note scale: the only join is on the shingle hash — eval-side
+    *   shingles are benchmark-sized (thousands of docs), so the join is
+    *   a broadcast against an arbitrarily large training corpus; cap
+    *   ubiquitous shingles (df > threshold) if a benchmark contains
+    *   boilerplate. */
+  def decontaminate(train: DataFrame, eval: DataFrame, minShared: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val ts = DedupOps.hashedShingles(train, idCol, textCol, n)
+      .select(col("doc_id"), col("h"))
+    val es = DedupOps.hashedShingles(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val worst = ts.join(broadcast(es), "h")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("shared"))
+      .groupBy("doc_id").agg(max("shared").as("max_shared"))
+    normalized(train, idCol, textCol).select(col("doc_id"))
+      .join(worst, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("max_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** Bigram language-model quality score with add-one smoothing: each
+    * doc's mean log-probability of its bigrams under the corpus LM,
+    * `(doc_id, n_bigrams, lm_score)` — the perplexity-style signal used
+    * to filter incoherent text. Per-bigram log-probs are rounded to 6
+    * decimals and summed as decimals, so the per-doc mean is
+    * order-independent (float addition isn't associative; decimal is).
+    *
+    * @note scale: counts are two hash aggs; the conditional-count and
+    *   vocabulary tables are vocabulary-sized — broadcast here; for a
+    *   web-scale vocabulary switch the c2 join to shuffle-hash and keep
+    *   everything else. */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docs = normalized(df, idCol, textCol)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .persist() // feeds both count tables and the scoring join
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    big.join(broadcast(c2), Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", round(log((col("c2") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          / count(lit(1)), 4).cast("double").as("lm_score"))
+  }
+
   /** Top-k tf-idf terms per doc: `(doc_id, tok, tfidf, rk)`. df(tok) is
     * derived from the tf aggregate (no second corpus pass); the
     * vocabulary-sized df table is broadcast. */

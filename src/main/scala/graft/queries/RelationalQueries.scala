@@ -222,17 +222,17 @@ object RelationalQueries {
        |  ${Det.osum("l.l_quantity")} AS sum_qty
        |FROM orders o JOIN lineitem l
        |  ON l.l_shipdate >= o.o_orderdate
-       |  AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+       |  AND l.l_shipdate < o.o_orderdate + INTERVAL 2 DAY
        |WHERE o.o_totalprice > 480000
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val week = 7L * 86400
+    val win = 2L * 86400
     val secs = (c: org.apache.spark.sql.Column) => unix_seconds(c.cast("timestamp"))
     val ints = Tables.orders(s, d).filter(col("o_totalprice") > 480000)
       .select(col("o_orderkey"), secs(col("o_orderdate")).as("lo"),
-        (secs(col("o_orderdate")) + week).as("hi"))
+        (secs(col("o_orderdate")) + win).as("hi"))
     val pts = Tables.lineitem(s, d)
       .select(col("l_quantity"), secs(col("l_shipdate")).as("pt"))
-    graft.operators.RangeJoinOps.pointInInterval(pts, ints, "pt", "lo", "hi", week)
+    graft.operators.RangeJoinOps.pointInInterval(pts, ints, "pt", "lo", "hi", win)
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("o_orderkey")

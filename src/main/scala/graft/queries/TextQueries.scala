@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Hashes
 import graft.operators.TextOps
+import org.apache.spark.sql.functions.col
 
 /** Fixture-bound oracle keys for text analysis (SURVEY.md §2.10 L4/L6 +
   * the training-data-pipeline set). Algorithms live in the parameterized
@@ -100,6 +101,49 @@ object TextQueries {
     TextOps.tfidfTop(Tables.documents(s, d), k = 5).orderBy("doc_id", "rk")
   }
 
+  /** Decontamination: docs with `doc_id % 50 == 0` play the held-out
+    * benchmark; every remaining (training) doc reports its worst
+    * single-eval-doc shingle overlap. The planted near-dup pairs make
+    * several training docs genuinely contaminated. */
+  private val decontaminate = Q(
+    "llm_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
+      |         i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS sh FROM toks),
+      |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
+      |ov AS (SELECT tr.doc_id, ev.eval_id, count(*) AS c
+      |       FROM tr JOIN ev USING (sh) GROUP BY 1, 2),
+      |mx AS (SELECT doc_id, max(c) AS max_shared FROM ov GROUP BY 1)
+      |SELECT d.doc_id AS doc_id, coalesce(mx.max_shared, 0) AS max_shared,
+      |       coalesce(mx.max_shared, 0) >= 5 AS contaminated
+      |FROM documents d LEFT JOIN mx USING (doc_id)
+      |WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextOps.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), minShared = 5)
+      .orderBy("doc_id")
+  }
+
+  private val lmScore = Q(
+    "llm_lm_score",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |big AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+      |        FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |lp AS (SELECT b.doc_id,
+      |         round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lp
+      |       FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(round(sum(CAST(lp AS DECIMAL(18,6))) / count(*), 4) AS DOUBLE) AS lm_score
+      |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.lmScore(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
-    keywordScore, tfidfTop)
+    keywordScore, tfidfTop, decontaminate, lmScore)
 }
