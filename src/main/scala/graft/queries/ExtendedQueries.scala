@@ -209,6 +209,43 @@ object ExtendedQueries {
       .orderBy("user_id")
   }
 
+  /** Secondary sort ([[graft.operators.KeyedOps.mapSortedGroups]]):
+    * longest run of consecutive same-type events per user, computed by
+    * an O(1)-state fold over each user's (ts, event_id)-ordered stream
+    * — the order comes from the shuffle's own external sort, no
+    * per-group buffering. The oracle states the same result with the
+    * gaps-and-islands row_number trick, so the hash check pins the
+    * ordered-iteration contract exactly. */
+  private val stateMaxStreak = Q(
+    "state_max_streak",
+    """WITH o AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+      |  FROM events),
+      |s AS (SELECT user_id, event_type, rn - rnt AS grp, count(*) AS streak
+      |      FROM o GROUP BY 1, 2, 3)
+      |SELECT user_id, max(streak) AS max_streak FROM s GROUP BY 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    graft.operators.KeyedOps.mapSortedGroups(ev, parts = 32)(
+      key = _._1, order = e => (e._2, e._3)) { (uid, it) =>
+      var prev: String = null
+      var cur = 0L
+      var best = 0L
+      it.foreach { e =>
+        cur = if (e._4 == prev) cur + 1 else 1
+        prev = e._4
+        if (cur > best) best = cur
+      }
+      if (best > 0) Iterator.single((uid, best)) else Iterator.empty
+    }.toDF("user_id", "max_streak").orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
-    joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest)
+    joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
+    stateMaxStreak)
 }
