@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{DedupOps, MultimodalOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, EnrichOps, KeyedOps, MultimodalOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
 import graft.plans.AsOfJoinOps
 import graft.streaming.StreamOps
 
@@ -35,6 +35,10 @@ object Graft {
   val similarity: SimilarityOps.type = SimilarityOps
   /** Deterministic corpus sampling: fixed-rate + stratified mixture. */
   val sample: SampleOps.type = SampleOps
+  /** Bounded-concurrency ordered async enrichment (Flink AsyncFunction). */
+  val enrich: EnrichOps.type = EnrichOps
+  /** Secondary sort: per-key ordered folds off the shuffle's own sort. */
+  val keyed: KeyedOps.type = KeyedOps
   /** Wordcount, token stats, fingerprint, language ID, quality, tf-idf. */
   val text: TextOps.type = TextOps
   /** Binary payload plumbing + batched feature extraction. */

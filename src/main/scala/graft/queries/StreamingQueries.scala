@@ -166,5 +166,44 @@ object StreamingQueries {
       .orderBy("user_id", "a_id", "b_id")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill, cepSequence)
+  /** T8 extended — three-step CEP funnel (click → error → purchase,
+    * each step within 6 h of the previous, same user): the multi-stage
+    * Flink CEP pattern as two chained interval joins. Streaming form:
+    * the same joins with watermarks on all sides (each join's state
+    * evicts as event time advances); batch twin carries the oracle.
+    * @note scale: each step is one equi-join on user plus a time-bound
+    *   residual — state and shuffle bounded per step, so a k-step
+    *   funnel costs k-1 joins, never a per-user history scan. */
+  private val cepFunnel = Q(
+    "cep_funnel3",
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id, c.event_id AS c_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS total_us
+      |FROM events a
+      |JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_type = 'click' AND b.event_type = 'error'
+      |  AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |JOIN events c ON c.user_id = a.user_id
+      |  AND c.event_type = 'purchase'
+      |  AND CAST(c.ts AS TIMESTAMP) > CAST(b.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |ORDER BY a.user_id, a_id, b_id, c_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val a = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("b_uid"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+    val c = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    a.join(b, col("user_id") === col("b_uid") && col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 360 MINUTES"))
+      .join(c, col("user_id") === col("c_uid") && col("c_ts") > col("b_ts") &&
+        col("c_ts") <= col("b_ts") + expr("INTERVAL 360 MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("c_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("a_ts"))).as("total_us"))
+      .orderBy("user_id", "a_id", "b_id", "c_id")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
+    cepSequence, cepFunnel)
 }
