@@ -91,6 +91,59 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** SpaceSaving heavy hitters (Metwally et al., "Efficient computation
+    * of frequent and top-k elements in data streams"): bounded-capacity
+    * counter summary — when a new term arrives at a full summary it
+    * evicts the minimum counter and inherits its count as error bound.
+    * Partials merge by union-sum then trim (the mergeable-summaries
+    * treatment, Agarwal et al.), so map-side combine applies and the
+    * shuffle carries one ≤`capacity` map per partition.
+    *
+    * Guarantees: true count ∈ [cnt − err, cnt]; any term with frequency
+    * > N/capacity is present. With capacity ≥ distinct terms the sketch
+    * degenerates to EXACT counting (err = 0) — the fixture key runs in
+    * that regime so the DuckDB oracle can check it; the spec exercises
+    * the approximate regime on skewed data.
+    *
+    * @note scale: counter maps are capacity-bounded regardless of
+    *   corpus size — the whole point vs an exact wordcount whose
+    *   keyspace is the vocabulary. */
+  class SpaceSavingTopK(capacity: Int)
+      extends Aggregator[String, Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
+    require(capacity >= 1)
+
+    override def zero: Map[String, (Long, Long)] = Map.empty
+
+    override def reduce(b: Map[String, (Long, Long)], term: String): Map[String, (Long, Long)] =
+      b.get(term) match {
+        case Some((c, e)) => b.updated(term, (c + 1, e))
+        case None if b.size < capacity => b.updated(term, (1L, 0L))
+        case None =>
+          val (mt, (mc, _)) = b.minBy { case (t, (c, _)) => (c, t) }
+          (b - mt).updated(term, (mc + 1, mc))
+      }
+
+    override def merge(a: Map[String, (Long, Long)],
+        b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      val u = (a.keySet ++ b.keySet).map { t =>
+        val (ac, ae) = a.getOrElse(t, (0L, 0L))
+        val (bc, be) = b.getOrElse(t, (0L, 0L))
+        t -> (ac + bc, ae + be)
+      }.toMap
+      if (u.size <= capacity) u
+      else u.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity).toMap
+    }
+
+    override def finish(r: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
+      r.toSeq.map { case (t, (c, e)) => (t, c, e) }
+        .sortBy { case (t, c, _) => (-c, t) }
+
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder[Seq[(String, Long, Long)]]()
+  }
+
   /** Elementwise vector mean — one fixed-width buffer per group, so a
     * centroid update is a single map-side-combined shuffle of
     * (count, sum-vector) pairs instead of a dim-fold explode.

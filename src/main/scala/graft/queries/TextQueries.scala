@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Hashes
 import graft.operators.TextOps
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, split}
 
 /** Fixture-bound oracle keys for text analysis (SURVEY.md §2.10 L4/L6 +
   * the training-data-pipeline set). Algorithms live in the parameterized
@@ -144,6 +144,28 @@ object TextQueries {
     TextOps.lmScore(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** SpaceSaving heavy hitters over the token stream. Capacity 64
+    * exceeds this corpus's 31-token vocabulary, so the sketch runs in
+    * its provably-exact regime (err = 0) and the DuckDB oracle can
+    * hash-check it; `SketchAccuracySpec` exercises the approximate
+    * regime (capacity < distinct) on skewed data. */
+  private val heavyHitters = Q(
+    "llm_topk_heavy",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+      |SELECT term, cnt, CAST(0 AS BIGINT) AS err FROM c
+      |ORDER BY cnt DESC, term LIMIT 5""".stripMargin) { (s, d) =>
+    val ss = org.apache.spark.sql.functions.udaf(
+      new graft.functions.SketchAggregators.SpaceSavingTopK(64),
+      org.apache.spark.sql.Encoders.STRING)
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(ss(col("term")).as("tops"))
+      .select(explode(col("tops")).as("x"))
+      .select(col("x._1").as("term"), col("x._2").as("cnt"), col("x._3").as("err"))
+      .orderBy(col("cnt").desc, col("term")).limit(5)
+  }
+
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
-    keywordScore, tfidfTop, decontaminate, lmScore)
+    keywordScore, tfidfTop, decontaminate, lmScore, heavyHitters)
 }

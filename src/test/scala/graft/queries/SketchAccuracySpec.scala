@@ -23,4 +23,30 @@ class SketchAccuracySpec extends SparkSpec {
     assert(math.abs(row.getLong(2) - exact) / exact <= 0.02,
       s"rsd=0.01: ${row.getLong(2)} vs $exact")
   }
+
+  test("SpaceSaving under capacity pressure: heavy hitters survive, bounds hold") {
+    import spark.implicits._
+    // Skew over 12 terms, freq(i) = (13-i)^3: the SpaceSaving presence
+    // guarantee needs freq > N/capacity, which holds for the top terms
+    // here (term-01: 1728 of N≈6000, N/8≈750); capacity 8 < 12 still
+    // forces evictions in the tail.
+    val data = scala.util.Random.shuffle(
+      (for (i <- 1 to 12; _ <- 1 to (13 - i) * (13 - i) * (13 - i))
+        yield f"term-$i%02d").toList)
+    val ds = data.toDS().repartition(8)
+    val ss = udaf(new graft.functions.SketchAggregators.SpaceSavingTopK(8),
+      org.apache.spark.sql.Encoders.STRING)
+    val got = ds.agg(ss(col("value")).as("t")).select(explode(col("t")).as("x"))
+      .select(col("x._1"), col("x._2"), col("x._3"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // top-3 true heavy hitters must be present and correctly ordered
+    val top3 = got.take(3).map(_._1).toSeq
+    assert(top3 == Seq("term-01", "term-02", "term-03"), s"got $top3")
+    // count bounds: true ∈ [cnt − err, cnt] for every reported term
+    got.foreach { case (t, c, e) =>
+      val truth = exact(t)
+      assert(truth <= c && truth >= c - e, s"$t: true=$truth est=$c err=$e")
+    }
+  }
 }
