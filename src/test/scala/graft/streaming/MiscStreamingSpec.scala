@@ -27,6 +27,20 @@ class MiscStreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("deterministic hash sampling on a stream equals the batch sample") {
+    import graft.operators.SampleOps
+    val streamed = replay(
+      SampleOps.hashSample(StreamOps.source(spark, sf), rate = 0.3, idCol = "event_id")
+        .select("event_id"), "append", "t_sample_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = SampleOps.hashSample(graft.Tables.events(spark, sf),
+        rate = 0.3, idCol = "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "membership is a pure function of the id, so " +
+      "streaming and batch must select the identical sample")
+    assert(batch.nonEmpty)
+  }
+
   test("U1-stream: union of two filtered streams equals one filtered stream") {
     val src = StreamOps.source(spark, sf)
     val u = src.filter(col("event_type") === "click")
