@@ -204,6 +204,37 @@ object StreamingQueries {
       .orderBy("user_id", "a_id", "b_id", "c_id")
   }
 
+  /** T4 extended — DYNAMIC session gap (Flink
+    * `SessionWindowTimeGapExtractor`): each event extends the session
+    * by its own gap (purchases hold it open 60 min, everything else
+    * 30), sessions merging while windows overlap. The oracle needs the
+    * running-max-of-ends formulation — with a per-event gap the lag()
+    * trick of the fixed-gap oracle is wrong, because a long-gap event
+    * can bridge past its immediate successor. */
+  private val sessionDynamic = Q(
+    "stream_session_dynamic",
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       |      CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+       |           ELSE INTERVAL 30 MINUTE END AS gap FROM events),
+       |x AS (SELECT *, max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+       |s AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM x)
+       |SELECT user_id, epoch_us(min(ts)) AS ss_us, count(*) AS n,
+       |  ${Det.osum("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid ORDER BY user_id, ss_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("60 minutes"))
+            .otherwise(lit("30 minutes"))).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+        col("n"), col("sum_value"))
+      .orderBy("user_id", "ss_us")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel)
+    cepSequence, cepFunnel, sessionDynamic)
 }
