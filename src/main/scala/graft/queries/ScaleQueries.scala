@@ -56,5 +56,25 @@ object ScaleQueries {
     s.sql(sqlQ3)
   }
 
-  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry)
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * top-2 lineitems of each big order. Exercises Catalyst's lateral
+    * decorrelation (the subquery can't run row-at-a-time at scale; the
+    * optimizer rewrites it to a joined window rank). Same string runs
+    * on DuckDB, which plans it natively. */
+  private val sqlLateral: String =
+    """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem l
+      |         WHERE l.l_orderkey = o.o_orderkey
+      |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+      |WHERE o.o_totalprice > 450000
+      |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin
+
+  private val sqlLateralTopn = Q("sql_lateral_topn", sqlLateral) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlLateral)
+  }
+
+  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn)
 }
