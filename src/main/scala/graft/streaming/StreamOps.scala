@@ -98,6 +98,20 @@ object StreamOps {
       .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
         col("n"), col("sum_value"))
 
+  /** T4 dynamic gap (Flink `SessionWindowTimeGapExtractor`): purchases
+    * hold the session open 60 minutes, everything else 30 — the gap is
+    * a per-event expression, evaluated inside the same session-window
+    * state machinery. */
+  def sessionByUserDynamic(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("60 minutes"))
+            .otherwise(lit("30 minutes"))).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("ss_us"),
+        col("n"), col("sum_value"))
+
   /** T6: streaming dedup — first event per user.
     *
     * `dropDuplicatesWithinWatermark` so per-key state is EVICTED once

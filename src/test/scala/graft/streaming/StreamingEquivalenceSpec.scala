@@ -44,6 +44,11 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rows(s) == rows(SparkEntry.queries("stream_session")(spark, sf)))
   }
 
+  test("T4 dynamic-gap session replay equals batch twin") {
+    val s = replay(StreamOps.sessionByUserDynamic, "complete", "t_session_dyn")
+    assert(rows(s) == rows(SparkEntry.queries("stream_session_dynamic")(spark, sf)))
+  }
+
   test("T6 dedup-first replay: one event per user, all rows genuine") {
     // arrival order inside a multi-partition micro-batch is not pinned
     // (documented in StreamOps.dedupFirst), so assert the set contract:
