@@ -219,9 +219,13 @@ object DedupOps {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     // only nodes with an edge can ever change label — singletons rejoin
-    // at the end, so the loop runs on the (much smaller) active set
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).persist()
+    // at the end, so the loop runs on the (much smaller) active set.
+    // Seed with min(self, direct neighbors): identical to one
+    // propagation round over own-id labels, so pair/clique components
+    // (the common dedup shape) converge a full round earlier.
+    var labels = e.groupBy(col("src")).agg(min(col("dst")).as("nb"))
+      .select(col("src").as("node"), least(col("src"), col("nb")).as("lab"))
+      .persist()
     var changed = 1L
     while (changed > 0) {
       val prop = e.join(labels, e("dst") === labels("node"))

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling utilities — the "look before you train" pass a
+  * pipeline runs over a new source: value histograms and per-column
+  * summary statistics. Pure aggregates, so they scale as any hash agg
+  * (partial+final, one shuffle) and DuckDB states them directly.
+  */
+object ProfileQueries {
+
+  /** Fixed-width value histogram of l_extendedprice (11 bins, last one
+    * open-ended) with count and mass per bin. */
+  private val histogram = Q(
+    "agg_histogram",
+    s"""SELECT CAST(least(floor(l_extendedprice / 10000), 10) AS BIGINT) AS bin,
+       |  count(*) AS n, ${Det.osum("l_extendedprice")} AS mass
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(least(floor(col("l_extendedprice") / 10000), lit(10))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("mass"))
+      .orderBy("bin")
+  }
+
+  /** Stacked per-column profile (rows: one per column): counts, nulls,
+    * distincts, min/max. The stacked shape is what a profiling job
+    * emits for arbitrarily many columns without widening the schema. */
+  private val profile = Q(
+    "profile_columns",
+    (Seq("l_quantity", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  round(min($c), 6) AS mn, round(max($c), 6) AS mx
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name")) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    Seq("l_quantity", "l_discount", "l_tax").map { c =>
+      li.agg(count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+          count_distinct(col(c)).as("n_distinct"),
+          round(min(col(c)), 6).as("mn"), round(max(col(c)), 6).as("mx"))
+        .withColumn("col_name", lit(c))
+        .select("col_name", "n", "n_null", "n_distinct", "mn", "mx")
+    }.reduce(_ unionByName _).orderBy("col_name")
+  }
+
+  val all: Seq[Q] = Seq(histogram, profile)
+}
