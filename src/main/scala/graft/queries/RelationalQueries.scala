@@ -117,6 +117,22 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Right outer — the J2 variant the left form doesn't exercise:
+    * orders RIGHT JOIN customer keeps order-less customers. */
+  private val joinOuterRight = Q(
+    "join_outer_right",
+    s"""SELECT c_custkey, count(o_orderkey) AS order_cnt,
+       |  coalesce(${osum("o_totalprice")}, 0.0) AS total_spent
+       |FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
   private val joinOuterFull = Q(
     "join_outer_full",
     """SELECT coalesce(c.k, s.k) AS nationkey,
@@ -600,7 +616,7 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     projCompute, filterCompound, flatmapExplode, splitRoute,
-    joinInner, joinOuterLeft, joinOuterFull, joinSemi, joinAnti,
+    joinInner, joinOuterLeft, joinOuterRight, joinOuterFull, joinSemi, joinAnti,
     joinBroadcastDim, joinInterval, joinAsof, joinWindowed,
     joinCrossSmall, joinTheta, joinRangeBucketed,
     aggPricingSummary, aggGlobal, aggCountDistinct, aggRollup,
