@@ -66,6 +66,10 @@ object Bench {
     // BASELINE.md's shapes — and dump the full per-query map to
     // BENCH_FULL.json for BASELINE.md bookkeeping and the judge.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    // A crashed key must WORSEN the total, never improve it: each -1
+    // charges a 60 s penalty (≈10x the heaviest healthy key) and the
+    // failure count is reported in both outputs.
+    val nFail = results.values.count(_ < 0)
     val headline = Seq(
       "agg_pricing_summary", "join_inner", "window_topn_pergroup",
       "stream_tumbling_hour", "join_semi", "agg_count_distinct",
@@ -74,14 +78,20 @@ object Bench {
       "stream_session", "scalar_math", "join_skew_salted", "sql_entry_q3")
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val total = math.round(results.values.filter(_ >= 0).sum * 100) / 100.0
+    val total = math.round(
+      (results.values.filter(_ >= 0).sum + nFail * 60.0) * 100) / 100.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val qs = jmap(headline.flatMap(k => results.get(k).map(k -> _)))
-    java.nio.file.Files.writeString(
+    // print the driver-parsed line FIRST — a failed bookkeeping write
+    // must not discard the whole multi-minute run
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"sf":$sfNum}""")
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"total":$total,"sf":$sfNum,"n_queries":${results.size},"steal_jiffies":$stealD,"queries":${jmap(results)}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+      s"""{"total":$total,"sf":$sfNum,"n_queries":${results.size},"failed":$nFail,"steal_jiffies":$stealD,"queries":${jmap(results)}}""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -125,9 +125,16 @@ object SketchAggregators {
 
     override def merge(a: Map[String, (Long, Long)],
         b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      // A term absent from a FULL summary may have been evicted there
+      // with a count up to that summary's minimum counter — credit it
+      // with that minimum (as both count and error), per the mergeable-
+      // summaries treatment; crediting 0 would break the truth ≤ cnt
+      // upper bound. A non-full summary genuinely never saw the term.
+      val minA = if (a.size < capacity) 0L else a.valuesIterator.map(_._1).min
+      val minB = if (b.size < capacity) 0L else b.valuesIterator.map(_._1).min
       val u = (a.keySet ++ b.keySet).map { t =>
-        val (ac, ae) = a.getOrElse(t, (0L, 0L))
-        val (bc, be) = b.getOrElse(t, (0L, 0L))
+        val (ac, ae) = a.getOrElse(t, (minA, minA))
+        val (bc, be) = b.getOrElse(t, (minB, minB))
         t -> (ac + bc, ae + be)
       }.toMap
       if (u.size <= capacity) u
@@ -144,37 +151,4 @@ object SketchAggregators {
       ExpressionEncoder[Seq[(String, Long, Long)]]()
   }
 
-  /** Elementwise vector mean — one fixed-width buffer per group, so a
-    * centroid update is a single map-side-combined shuffle of
-    * (count, sum-vector) pairs instead of a dim-fold explode.
-    * Used by the IVF k-means refinement ([[graft.operators.SimilarityOps]]).
-    * @note scale: buffer is dim·8+8 bytes regardless of group size. */
-  object VecMean extends Aggregator[Seq[Double], (Long, Array[Double]), Seq[Double]] {
-    override def zero: (Long, Array[Double]) = (0L, Array.emptyDoubleArray)
-
-    override def reduce(b: (Long, Array[Double]), v: Seq[Double]): (Long, Array[Double]) = {
-      val s = if (b._2.isEmpty) new Array[Double](v.length) else b._2
-      var i = 0
-      while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
-      (b._1 + 1, s)
-    }
-
-    override def merge(a: (Long, Array[Double]), b: (Long, Array[Double])): (Long, Array[Double]) = {
-      if (a._2.isEmpty) b
-      else if (b._2.isEmpty) a
-      else {
-        var i = 0
-        val s = a._2
-        while (i < s.length && i < b._2.length) { s(i) += b._2(i); i += 1 }
-        (a._1 + b._1, s)
-      }
-    }
-
-    override def finish(r: (Long, Array[Double])): Seq[Double] =
-      if (r._1 == 0) Seq.empty else r._2.map(_ / r._1).toSeq
-
-    override def bufferEncoder: Encoder[(Long, Array[Double])] =
-      ExpressionEncoder[(Long, Array[Double])]()
-    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
-  }
 }

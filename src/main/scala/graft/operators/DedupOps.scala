@@ -105,7 +105,8 @@ object DedupOps {
     * @note scale: beyond broadcast reach, use [[simhashNearDupsBanded]]
     *   — same output, band-bucket shuffle instead of a broadcast. */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 10, n: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 10, n: Int = 3,
+      maxBroadcastRows: Long = 100L * 1000 * 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val simSig = udaf(SketchAggregators.SimHashSig, Encoders.scalaLong)
@@ -113,6 +114,12 @@ object DedupOps {
       .groupBy("doc_id").agg(simSig(col("h")).as("s"))
       .as[(Long, Long)]
       .persist() // evaluated twice: the collect below + the kernel scan
+    // fail BEFORE the driver-side collect, not with a driver OOM —
+    // beyond broadcast reach the caller routes through the banded form
+    val nDocs = sim.count()
+    require(nDocs <= maxBroadcastRows,
+      s"corpus has $nDocs docs — beyond the broadcast kernel's reach " +
+        s"($maxBroadcastRows); use simhashNearDupsBanded")
     val side = sim.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast((side.map(_._1), side.map(_._2)))
     sim.mapPartitions { it =>

@@ -26,7 +26,13 @@ object EnrichOps {
     require(concurrency >= 1, "concurrency must be >= 1")
     ds.mapPartitions { it =>
       import scala.concurrent.{Await, ExecutionContext, Future}
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      // daemon threads + a task-completion hook: a downstream limit()
+      // that stops consuming mid-partition, or a fetch failure, must
+      // not leak live non-daemon threads across task retries
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency,
+        (r: Runnable) => { val t = new Thread(r, "graft-async-enrich"); t.setDaemon(true); t })
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       val ec = ExecutionContext.fromExecutorService(pool)
       val inflight = scala.collection.mutable.Queue.empty[Future[U]]
       new Iterator[U] {

@@ -63,12 +63,19 @@ object SimilarityOps {
     *   through [[knnIvf]]-style cells / LSH banding; the per-partition
     *   loop itself is embarrassingly parallel and shuffle-free). */
   def cosineNearDups(df: DataFrame, minCosine: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed = normed(df, idCol, vecCol)
       .select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
       .persist() // evaluated twice: the collect below + the kernel scan
+    // fail BEFORE the driver-side collect, not with a driver OOM —
+    // beyond broadcast reach the caller routes through the blocked grid
+    val n = typed.count()
+    require(n <= maxBroadcastRows,
+      s"corpus has $n vectors — beyond the broadcast kernel's reach " +
+        s"($maxBroadcastRows); use cosineNearDupsBlocked (grid form)")
     val side = typed.collect().map { case (id, v, nr) => (id, v.toArray, nr) }
       .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(
