@@ -48,5 +48,20 @@ class SketchAccuracySpec extends SparkSpec {
       val truth = exact(t)
       assert(truth <= c && truth >= c - e, s"$t: true=$truth est=$c err=$e")
     }
+
+    // ADVERSARIAL layout: range-partition the sorted stream so entire
+    // terms are confined to single partitions — merges then combine
+    // full summaries that have never seen each other's terms, the case
+    // where crediting an absent term with 0 broke the upper bound.
+    val sortedDs = data.sorted.toDS().repartitionByRange(8, col("value"))
+    val got2 = sortedDs.agg(ss(col("value")).as("t")).select(explode(col("t")).as("x"))
+      .select(col("x._1"), col("x._2"), col("x._3"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got2.take(3).map(_._1).toSeq == Seq("term-01", "term-02", "term-03"))
+    got2.foreach { case (t, c, e) =>
+      val truth = exact(t)
+      assert(truth <= c && truth >= c - e,
+        s"adversarial: $t true=$truth est=$c err=$e")
+    }
   }
 }
