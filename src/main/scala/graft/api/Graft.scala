@@ -37,6 +37,8 @@ object Graft {
   val sample: SampleOps.type = SampleOps
   /** Bounded-concurrency ordered async enrichment (Flink AsyncFunction). */
   val enrich: EnrichOps.type = EnrichOps
+  /** Data profiling: value histograms, per-column summary stats. */
+  val profile: graft.operators.ProfileOps.type = graft.operators.ProfileOps
   /** Secondary sort: per-key ordered folds off the shuffle's own sort. */
   val keyed: KeyedOps.type = KeyedOps
   /** Wordcount, token stats, fingerprint, language ID, quality, tf-idf. */

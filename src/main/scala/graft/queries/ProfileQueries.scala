@@ -17,11 +17,8 @@ object ProfileQueries {
     s"""SELECT CAST(least(floor(l_extendedprice / 10000), 10) AS BIGINT) AS bin,
        |  count(*) AS n, ${Det.osum("l_extendedprice")} AS mass
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy(least(floor(col("l_extendedprice") / 10000), lit(10))
-        .cast("long").as("bin"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("mass"))
-      .orderBy("bin")
+    graft.operators.ProfileOps.histogram(Tables.lineitem(s, d),
+      col("l_extendedprice"), width = 10000, maxBin = 10)
   }
 
   /** Stacked per-column profile (rows: one per column): counts, nulls,
@@ -36,15 +33,8 @@ object ProfileQueries {
          |  round(min($c), 6) AS mn, round(max($c), 6) AS mx
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name")) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    Seq("l_quantity", "l_discount", "l_tax").map { c =>
-      li.agg(count(lit(1)).as("n"),
-          sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
-          count_distinct(col(c)).as("n_distinct"),
-          round(min(col(c)), 6).as("mn"), round(max(col(c)), 6).as("mx"))
-        .withColumn("col_name", lit(c))
-        .select("col_name", "n", "n_null", "n_distinct", "mn", "mx")
-    }.reduce(_ unionByName _).orderBy("col_name")
+    graft.operators.ProfileOps.columns(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_discount", "l_tax"))
   }
 
   val all: Seq[Q] = Seq(histogram, profile)
