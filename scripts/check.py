@@ -36,6 +36,27 @@ def main(sf_dir, out_dir):
             print(f"FAIL {key}: exec error: {str(e).splitlines()[0][:200]}"); n_fail += 1; continue
         if spark_cols != ocols:
             print(f"FAIL {key}: columns {spark_cols} vs oracle {ocols}"); n_fail += 1; continue
+        # Driver hashing is type-FAMILY-sensitive (r2 lesson: a DuckDB
+        # HUGEINT sum converts to pandas float64 — "75.0" vs Spark's
+        # BIGINT "75" hash-mismatched, while INTEGER vs BIGINT passed
+        # because every int width stringifies identically). Flag drift
+        # across families, not across widths within one family.
+        def fam(t):
+            t = str(t).upper()
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t  # HUGEINT, DECIMAL(..), VARCHAR, TIMESTAMP, ... exact
+        sp_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        o_types = dict(zip(oracle_rel.columns, map(str, oracle_rel.types)))
+        tbad = [(c, sp_types[c], o_types[c]) for c in spark_cols
+                if fam(sp_types[c]) != fam(o_types[c])]
+        if tbad:
+            c, st, ot = tbad[0]
+            print(f"FAIL {key}: type drift col {c}: spark={st} oracle={ot}")
+            n_fail += 1; continue
         if len(spark_rows) != len(orows):
             print(f"FAIL {key}: rows {len(spark_rows)} vs oracle {len(orows)}"); n_fail += 1; continue
         bad = None

@@ -28,7 +28,7 @@ object ProfileQueries {
     "profile_columns",
     (Seq("l_quantity", "l_discount", "l_tax").map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  count(DISTINCT $c) AS n_distinct,
          |  round(min($c), 6) AS mn, round(max($c), 6) AS mx
          |FROM lineitem""".stripMargin

@@ -22,7 +22,8 @@ object SourceQueries {
 
   private val csvRoundtrip = Q(
     "source_csv_roundtrip",
-    """SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS sum_key,
+    """SELECT n_regionkey, count(*) AS n,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
       |  max(n_name) AS max_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
     val nat = Tables.nation(s, d)
