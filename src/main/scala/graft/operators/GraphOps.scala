@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation on plain DataFrames — the capability a
+  * pipeline needs for link-style analyses (influence ranking over a
+  * citation / co-occurrence / hyperlink graph) without pulling in a
+  * graph framework. Each iteration is ONE shuffle join + hash agg, so
+  * the cost model is identical to any keyed agg and survives scale-up:
+  * a 100 TB edge list partitions on `src`, and every iteration reuses
+  * that partitioning (no driver-side state beyond the node count).
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank in integer micro-units.
+    *
+    * All arithmetic is 64-bit integer (rank scaled by `scale`, damping
+    * as an integer percentage, division via SQL `div`), so the result
+    * is EXACTLY reproducible across engines and partitionings — no
+    * float summation order, no rounding-tie rules. The deterministic
+    * price: truncation instead of rounding at each division, i.e. total
+    * mass decays by < `nodes + edges` units per iteration (at
+    * scale=1e12 that is relative error < 1e-6 for graphs under ~1M
+    * nodes per unit of rank — negligible for ranking purposes).
+    *
+    * Dangling nodes (no out-edges) leak their mass — the standard
+    * simplification; renormalize afterwards if absolute values matter.
+    *
+    * @param edges distinct directed edges `(src, dst)`
+    * @return `(node, r)` with r in micro-units of `scale`
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count() // one scalar action; the only driver-side state
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val base = scale * (100L - dampPct) / 100L / n
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr(s"((r div outdeg) * $dampPct) div 100").as("c"))
+        .groupBy("node").agg(sum("c").as("in_r"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_r"), lit(0L))).as("r"))
+        .persist() // cut lineage growth across iterations
+    }
+    ranks
+  }
+}

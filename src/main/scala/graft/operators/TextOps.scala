@@ -120,14 +120,20 @@ object TextOps {
     *   vocabulary tables are vocabulary-sized — broadcast here; for a
     *   web-scale vocabulary switch the c2 join to shuffle-hash and keep
     *   everything else. */
-  def lmScore(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val docs = normalized(df, idCol, textCol)
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val big = toks.filter(size(col("t")) >= 2)
+  /** Per-doc `(doc_id, w1, w2)` consecutive-token bigrams of a
+    * `(doc_id, text)` frame — shared by the LM scorers and the token
+    * co-occurrence graph. */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docs = normalized(df, idCol, textCol)
+    val big = bigrams(docs)
       .persist() // feeds both count tables and the scoring join
     val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -142,6 +148,78 @@ object TextOps {
         round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           / count(lit(1)), 4).cast("double").as("lm_score"))
   }
+
+  /** Held-out bigram LM scoring — the honest variant of [[lmScore]]:
+    * the LM's counts come from `train` only, and only `test` docs are
+    * scored, so a test doc's own text never inflates its score (the
+    * same leakage real perplexity filters avoid by scoring with a model
+    * trained elsewhere). Unseen bigrams fall back to add-one smoothing
+    * over the train vocabulary: `ln((c2+1)/(c1+V))` with missing counts
+    * as 0. Returns `(doc_id, n_bigrams, lm_score)` for test docs.
+    *
+    * @note scale: identical shape to [[lmScore]] — the count tables are
+    *   train-vocabulary-sized and broadcast; the scored side streams.
+    *   Train 100 TB, score any number of shards independently. */
+  def lmScoreHeldOut(train: DataFrame, test: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trDocs = normalized(train, idCol, textCol)
+    val trBig = bigrams(trDocs)
+      .persist() // feeds both count tables
+    val c2 = trBig.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = trBig.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = trDocs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bigrams(normalized(test, idCol, textCol))
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp", round(log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          / count(lit(1)), 4).cast("double").as("lm_score"))
+  }
+
+  /** Character-distribution entropy — a language-agnostic quality
+    * signal (binary junk and repeated-char spam score near 0; natural
+    * text sits around 4-4.5 bits ≈ 2.8-3.1 nats). Emits
+    * `(doc_id, n, n_distinct_chars, entropy_u)` with entropy in
+    * tie-proof micro-nats: `floor(1e6·(ln n − Σ nc·ln nc / n))`.
+    * Per-char terms are rounded once and summed as decimals so the
+    * result is independent of partitioning (float addition isn't
+    * associative; decimal is).
+    *
+    * @note scale: explode-by-char multiplies row count by ~doc length —
+    *   at 100 TB do the char histogram inside one codegen'd
+    *   `aggregate()` HOF per row instead; this explode form is the
+    *   oracle-matchable twin with the same output contract. */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val docs = normalized(df, idCol, textCol)
+    val cc = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // Java split(-1) keeps a trailing ""
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("nc"))
+    cc.groupBy("doc_id")
+      .agg(sum("nc").as("n"), count(lit(1)).as("n_distinct_chars"),
+        sum(round(col("nc").cast("double") * log(col("nc").cast("double")), 8)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 8))).as("t"))
+      .select(col("doc_id"), col("n"), col("n_distinct_chars"),
+        floor(lit(1000000) * (log(col("n").cast("double"))
+          - col("t").cast("double") / col("n").cast("double")))
+          .cast("long").as("entropy_u"))
+  }
+
+  /** Pattern redaction — the PII-scrub pass (mask phone digits, emails,
+    * ids) a corpus runs before training. Pure per-row projection:
+    * `(id, redacted, n_hits)`; codegen'd, no shuffle, any scale. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+      pattern: String, replacement: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(col(textCol), pattern, replacement).as("redacted"),
+      regexp_count(col(textCol), lit(pattern)).cast("int").as("n_hits"))
 
   /** Top-k tf-idf terms per doc: `(doc_id, tok, tfidf, rk)`. df(tok) is
     * derived from the tf aggregate (no second corpus pass); the

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{GraphOps, TextOps}
+import org.apache.spark.sql.functions.col
+
+/** Iterative graph analytics keys. The fixture graph is the distinct
+  * token co-occurrence (consecutive-bigram) digraph of `documents` —
+  * small vocabulary, but the plan shape (join + agg per iteration) is
+  * the same one a web-scale hyperlink graph runs.
+  *
+  * The oracle unrolls the same integer-arithmetic power iteration as
+  * chained CTEs; because [[GraphOps.pagerank]] is all 64-bit integer
+  * math, the match is exact (no float summation order anywhere).
+  */
+object GraphQueries {
+
+  private val iters = 3
+
+  /** One oracle-side iteration: rank flows along `big` edges, damped
+    * 85%, with the teleport base added back. Mirrors the Spark loop
+    * body in [[GraphOps.pagerank]] token for token. */
+  private def iterCte(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"i${k - 1}"
+    s"""i$k AS (
+       |  SELECT nd.node, (150000000000 // nn.n) + coalesce(c.in_r, 0) AS r
+       |  FROM nodes nd CROSS JOIN nn
+       |  LEFT JOIN (SELECT b.dst AS node,
+       |               CAST(sum(((p.r // o.outdeg) * 85) // 100) AS BIGINT) AS in_r
+       |             FROM big b JOIN $prev p ON p.node = b.src
+       |                        JOIN outdeg o ON o.src = b.src
+       |             GROUP BY 1) c USING (node))""".stripMargin
+  }
+
+  private val pagerank = Q(
+    "graph_pagerank",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |big AS (SELECT DISTINCT t[i+1] AS src, t[i+2] AS dst
+       |        FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+       |nodes AS (SELECT src AS node FROM big UNION SELECT dst FROM big),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM big GROUP BY 1),
+       |r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+       |${(1 to iters).map(iterCte).mkString(",\n")}
+       |SELECT node, r FROM i$iters ORDER BY node""".stripMargin) { (s, d) =>
+    val edges = TextOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    GraphOps.pagerank(edges, iters).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank)
+}

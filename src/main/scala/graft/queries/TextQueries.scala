@@ -144,6 +144,65 @@ object TextQueries {
     TextOps.lmScore(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Held-out LM scoring: counts trained on `doc_id % 5 <> 0`, scores
+    * for the held-out 20% — no self-inflation (see
+    * [[TextOps.lmScoreHeldOut]]). */
+  private val lmHeldout = Q(
+    "llm_lm_heldout",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |big AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+      |        FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+      |trb AS (SELECT * FROM big WHERE doc_id % 5 <> 0),
+      |teb AS (SELECT * FROM big WHERE doc_id % 5 = 0),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM trb GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS tok
+      |         FROM documents WHERE doc_id % 5 <> 0)),
+      |lp AS (SELECT b.doc_id,
+      |         round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+      |                  / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)), 6) AS lp
+      |       FROM teb b LEFT JOIN c2 USING (w1, w2)
+      |                  LEFT JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(round(sum(CAST(lp AS DECIMAL(18,6))) / count(*), 4) AS DOUBLE) AS lm_score
+      |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextOps.lmScoreHeldOut(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+      .orderBy("doc_id")
+  }
+
+  /** Character-entropy quality signal; see [[TextOps.charEntropy]] for
+    * the micro-nat encoding. Empty-string filter keeps Spark's
+    * `split(text, '')` (Java split, trailing "") and DuckDB's
+    * `string_split(text, '')` (no trailing element) aligned. */
+  private val charEntropy = Q(
+    "llm_char_entropy",
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*) AS nc FROM ch WHERE ch <> '' GROUP BY 1, 2),
+      |ag AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, count(*) AS n_distinct_chars,
+      |         sum(CAST(round(nc * ln(CAST(nc AS DOUBLE)), 8) AS DECIMAL(28,8))) AS t
+      |       FROM cc GROUP BY 1)
+      |SELECT doc_id, n, n_distinct_chars,
+      |  CAST(floor(1000000 * (ln(CAST(n AS DOUBLE)) - CAST(t AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS entropy_u
+      |FROM ag ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.charEntropy(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  /** PII scrub: mask every digit of the identifying column (`c_name`
+    * carries the numeric customer id in this fixture), count what was
+    * masked. */
+  private val piiRedact = Q(
+    "llm_pii_redact",
+    """SELECT c_custkey, regexp_replace(c_name, '[0-9]', '#', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_hits
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    TextOps.redact(Tables.customer(s, d), "c_custkey", "c_name", "[0-9]", "#")
+      .orderBy("c_custkey")
+  }
+
   /** SpaceSaving heavy hitters over the token stream. Capacity 64
     * exceeds this corpus's 31-token vocabulary, so the sketch runs in
     * its provably-exact regime (err = 0) and the DuckDB oracle can
@@ -167,5 +226,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
-    keywordScore, tfidfTop, decontaminate, lmScore, heavyHitters)
+    keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
+    piiRedact, heavyHitters)
 }

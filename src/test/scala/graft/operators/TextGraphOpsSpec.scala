@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Closed-form checks for the r3 text/graph additions: integer
+  * PageRank, char entropy, redaction, held-out LM scoring. */
+class TextGraphOpsSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions.col
+
+  test("pagerank on a 3-cycle is the exact integer fixed point") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = GraphOps.pagerank(edges, iters = 3).orderBy("node")
+      .as[(String, Long)].collect().toSeq
+    // r0 = 1e12/3; each iteration returns the same value:
+    // 150000000000/3 + ((r/1)*85)/100 = 50000000000 + 283333333333
+    assert(got == Seq(("a", 333333333333L), ("b", 333333333333L),
+      ("c", 333333333333L)))
+  }
+
+  test("pagerank concentrates rank on the sink-hub of a star") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a"), ("b", "c"))
+      .toDF("src", "dst")
+    val r = GraphOps.pagerank(edges, iters = 5).orderBy("node")
+      .as[(String, Long)].collect().toMap
+    assert(r("b") > r("a") && r("a") == r("c"))
+  }
+
+  test("charEntropy: uniform text scores ln(k), constant text scores 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // "aaaa": ln4 - 4·ln4/4 = 0;  "ab": ln2 = 0.6931471... → 693147
+    assert(got == Seq((1L, 4L, 1L, 0L), (2L, 2L, 2L, 693147L)))
+  }
+
+  test("redact masks every match and counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "a1b22"), (2L, "none")).toDF("id", "s")
+    val got = TextOps.redact(df, "id", "s", "[0-9]", "#").orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((1L, "a#b##", 3), (2L, "none", 0)))
+  }
+
+  test("lmScoreHeldOut scores unseen bigrams by smoothing, seen by train counts") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val test = Seq((10L, "a b"), (11L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.lmScoreHeldOut(train, test).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // train bigrams: (a,b)x2, (b,a)x1 → c2(a,b)=2, c1(a)=2, V=2
+    // doc 10: ln((2+1)/(2+2)) = ln 0.75 → round(-0.287682, 6/4)
+    // doc 11: ln((0+1)/(0+2)) = ln 0.5  → -0.693147 → -0.6931
+    assert(got == Seq((10L, 1L, -0.2877), (11L, 1L, -0.6931)))
+  }
+}
