@@ -75,6 +75,18 @@ object StreamOps {
     r2.parquet(sfDir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Deterministic hash-sample of a stream (same membership function as
+    * the batch [[graft.operators.SampleOps.hashSample]]): a pure narrow
+    * filter on the row id, so it needs no state store, no watermark, and
+    * commutes with replay — sampling then streaming equals streaming
+    * then sampling, which is what makes a sampled stream reproducible
+    * and joinable with its batch-sampled twin.
+    *
+    * @param idCol integral id column deciding membership */
+  def hashSample(ev: DataFrame, rate: Double,
+      idCol: String = "event_id", salt: Long = 0L): DataFrame =
+    graft.operators.SampleOps.hashSample(ev, rate, idCol, salt)
+
   /** T2: 1-hour tumbling event-time window per event_type. */
   def tumblingHour(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes")
