@@ -33,14 +33,17 @@ object GraphOps {
   def pagerank(edges: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    // Persist everything the loop reuses: without this each iteration
+    // re-derives the edge list from source (iters+1 source scans).
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count() // one scalar action; the only driver-side state
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val base = scale * (100L - dampPct) / 100L / n
     var ranks = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
-      val contribs = edges
+      val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst").as("node"),
