@@ -212,6 +212,40 @@ object TextOps {
           .cast("long").as("entropy_u"))
   }
 
+  /** Repetition / shape rules (Gopher-style corpus hygiene): duplicate
+    * bigram fraction, non-text symbol ratio, and token-count bounds,
+    * folded into one `keep` verdict. Emits
+    * `(doc_id, n_tok, dup_bigram_u, symbol_u, keep)` with ratios in
+    * tie-proof micro-units (`floor(1e6·x)`).
+    *
+    * Unlike the explode-based stats, everything here is per-row
+    * higher-order-function arithmetic — no shuffle at all, one
+    * codegen'd projection, so the filter runs at scan speed on any
+    * corpus size.
+    */
+  def repetitionFilter(df: DataFrame, maxDupBigramU: Long = 200000L,
+      maxSymbolU: Long = 100000L, minTok: Int = 5, maxTok: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docs = normalized(df, idCol, textCol)
+    val t = split(col("text"), " ")
+    val nb = (size(t) - 1).cast("double")
+    val bigrams = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2)," +
+        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))")
+    val dupU = when(size(t) < 2, lit(0L)).otherwise(
+      floor(lit(1000000) * (lit(1.0) - size(array_distinct(bigrams)).cast("double") / nb))
+        .cast("long"))
+    val symU = floor(lit(1000000) *
+      length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+      length(col("text")).cast("double")).cast("long")
+    docs.select(col("doc_id"), size(t).as("n_tok"),
+        dupU.as("dup_bigram_u"), symU.as("symbol_u"))
+      .withColumn("keep",
+        col("dup_bigram_u") <= maxDupBigramU &&
+          col("symbol_u") <= maxSymbolU &&
+          col("n_tok").between(minTok, maxTok))
+  }
+
   /** Pattern redaction — the PII-scrub pass (mask phone digits, emails,
     * ids) a corpus runs before training. Pure per-row projection:
     * `(id, redacted, n_hits)`; codegen'd, no shuffle, any scale. */

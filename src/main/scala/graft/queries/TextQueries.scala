@@ -203,6 +203,29 @@ object TextQueries {
       .orderBy("c_custkey")
   }
 
+  /** Gopher-style repetition/shape rules; the fixture's planted
+    * near-dup docs have elevated duplicate-bigram fractions, so both
+    * verdicts occur. */
+  private val repFilter = Q(
+    "llm_rep_filter",
+    """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |m AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+      |        CASE WHEN len(t) < 2 THEN 0
+      |             ELSE CAST(floor(1000000 * (1.0 -
+      |               CAST(len(list_distinct(list_transform(range(len(t) - 1),
+      |                 i -> t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+      |               / CAST(len(t) - 1 AS DOUBLE))) AS BIGINT) END AS dup_bigram_u,
+      |        CAST(floor(1000000 *
+      |          CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+      |          / CAST(length(text) AS DOUBLE)) AS BIGINT) AS symbol_u
+      |      FROM b)
+      |SELECT doc_id, n_tok, dup_bigram_u, symbol_u,
+      |  (dup_bigram_u <= 200000 AND symbol_u <= 100000
+      |   AND n_tok BETWEEN 5 AND 100000) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.repetitionFilter(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   /** SpaceSaving heavy hitters over the token stream. Capacity 64
     * exceeds this corpus's 31-token vocabulary, so the sketch runs in
     * its provably-exact regime (err = 0) and the DuckDB oracle can
@@ -227,5 +250,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
     keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
-    piiRedact, heavyHitters)
+    piiRedact, repFilter, heavyHitters)
 }
