@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{DedupOps, EnrichOps, KeyedOps, MultimodalOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, EnrichOps, GraphOps, KeyedOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
 import graft.plans.AsOfJoinOps
 import graft.streaming.StreamOps
 
@@ -47,6 +47,10 @@ object Graft {
   val multimodal: MultimodalOps.type = MultimodalOps
   /** Windowed aggs, dedup, forward-fill, CEP — streaming or batch. */
   val streams: StreamOps.type = StreamOps
+  /** Context-window chunking + token-budget sequence packing. */
+  val pack: PackOps.type = PackOps
+  /** Iterative graph analytics (integer-exact PageRank). */
+  val graph: GraphOps.type = GraphOps
 
   object joins {
     /** Native as-of join (custom Catalyst operator): latest `build` row

@@ -76,5 +76,37 @@ object ScaleQueries {
     s.sql(sqlLateral)
   }
 
-  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn)
+  /** TPC-H Q5 shape (local supplier volume): the 6-way snowflake join
+    * with the extra `c_nationkey = s_nationkey` co-location condition,
+    * a year filter, and one revenue agg per nation. The widest
+    * join-reorder / broadcast-pick test in the suite — region and
+    * nation must end up broadcast, the orders⋈lineitem backbone
+    * shuffle-joined on orderkey. `year()` instead of a timestamp
+    * literal keeps one string valid in both dialects (the fixture's
+    * dates are TIMESTAMP_NTZ on Spark, §8.2). */
+  private val sqlQ5: String =
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name IN ('ASIA', 'EUROPE') AND year(o.o_orderdate) BETWEEN 1995 AND 1997
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  private val sqlTpchQ5 = Q("sql_tpch_q5", sqlQ5) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(sqlQ5)
+  }
+
+  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5)
 }
