@@ -62,6 +62,31 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** IVF with nprobe = nCells: probing every cell makes the candidate
+    * set the whole corpus (each vector lives in exactly one cell), so
+    * the IVF machinery must reproduce the brute-force top-k EXACTLY —
+    * same rounding, same tie-break. That puts the whole IVF path
+    * (assignment, probe routing, per-cell scan, top-k window) under the
+    * DuckDB hash oracle; only the recall-for-speed trade of nprobe <
+    * nCells stays rows-only (`llm_knn_ivf`, recall gated by
+    * `SimilaritySpec`). */
+  private val knnIvfProbeAll = Q(
+    "llm_knn_ivf_probeall",
+    s"""WITH $oNormed,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |x AS (SELECT q.qid, n.vec_id AS nbr,
+       |        round(list_sum(list_transform(list_zip(n.v, q.qv), p -> p[1]*p[2]))
+       |              / (n.nrm * q.qn), 6) AS cos
+       |      FROM n CROSS JOIN q WHERE n.vec_id != q.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM x)
+       |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    SimilarityOps.knnIvfKmeans(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, refineIters = 2,
+        nprobe = 16, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   private val multimodalJoin = Q(
     "llm_multimodal_join",
     """SELECT d.doc_id, e.vec_id, d.lang,
@@ -98,5 +123,6 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, multimodalJoin, multimodalFeatures)
+  val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll,
+    multimodalJoin, multimodalFeatures)
 }
