@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{DedupOps, EnrichOps, GraphOps, KeyedOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, DiffOps, EnrichOps, GraphOps, KeyedOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
 import graft.plans.AsOfJoinOps
 import graft.streaming.StreamOps
 
@@ -51,6 +51,8 @@ object Graft {
   val pack: PackOps.type = PackOps
   /** Iterative graph analytics (integer-exact PageRank). */
   val graph: GraphOps.type = GraphOps
+  /** Snapshot differencing — derive a changelog from two snapshots. */
+  val diff: DiffOps.type = DiffOps
 
   object joins {
     /** Native as-of join (custom Catalyst operator): latest `build` row

@@ -209,6 +209,39 @@ object ExtendedQueries {
       .orderBy("user_id")
   }
 
+  /** Snapshot differencing ([[graft.operators.DiffOps.snapshotDiff]]):
+    * the other CDC face — derive the changelog from two snapshots. The
+    * two snapshots are carved deterministically from `orders`:
+    * old = keys not divisible by 7, new = keys not divisible by 5 with
+    * prices bumped by 1.0 on keys divisible by 3 — so all three change
+    * classes occur and the oracle can state the same diff. */
+  private val cdcSnapshotDiff = Q(
+    "cdc_snapshot_diff",
+    """WITH old_s AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+      |new_s AS (SELECT o_orderkey,
+      |            o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+      |          FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+      |       WHEN n.o_orderkey IS NULL THEN 'delete'
+      |       WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+      |       END AS change
+      |FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey
+      |WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val oldS = ord.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newS = ord.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + when(col("o_orderkey") % 3 === 0, lit(1.0))
+          .otherwise(lit(0.0))).as("o_totalprice"))
+    graft.operators.DiffOps.snapshotDiff(oldS, newS,
+        keyCols = Seq("o_orderkey"), cmpCols = Seq("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Secondary sort ([[graft.operators.KeyedOps.mapSortedGroups]]):
     * longest run of consecutive same-type events per user, computed by
     * an O(1)-state fold over each user's (ts, event_id)-ordered stream
@@ -247,5 +280,5 @@ object ExtendedQueries {
 
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
-    stateMaxStreak)
+    cdcSnapshotDiff, stateMaxStreak)
 }

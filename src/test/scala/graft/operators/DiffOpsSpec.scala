@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Snapshot-diff classification incl. the NULL-value edge cases the
+  * presence markers exist for. */
+class DiffOpsSpec extends SparkSpec {
+
+  test("snapshotDiff classifies insert/delete/update and drops unchanged") {
+    import spark.implicits._
+    val oldS = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+      (4L, None: Option[Double])).toDF("k", "v")
+    val newS = Seq((2L, Some(21.0)), (3L, Some(30.0)), (4L, None: Option[Double]),
+      (5L, Some(50.0))).toDF("k", "v")
+    val got = DiffOps.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    // 1: gone → delete; 2: value changed → update; 3: same → dropped;
+    // 4: NULL == NULL → same (null-safe), dropped; 5: new → insert
+    assert(got == Seq((1L, "delete"), (2L, "update"), (5L, "insert")))
+  }
+
+  test("snapshotDiff: NULL-to-value and value-to-NULL are updates") {
+    import spark.implicits._
+    val oldS = Seq((1L, None: Option[Double]), (2L, Some(2.0))).toDF("k", "v")
+    val newS = Seq((1L, Some(1.0)), (2L, None: Option[Double])).toDF("k", "v")
+    val got = DiffOps.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "update"), (2L, "update")))
+  }
+}
