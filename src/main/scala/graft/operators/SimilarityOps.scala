@@ -269,6 +269,168 @@ object SimilarityOps {
     probeCells(typed, cents, isQuery, nprobe, k)
   }
 
+  /** Product-quantization kNN with ADC scoring — the memory-compression
+    * scale path for similarity search: each normalized vector is stored
+    * as `m` small code indices (one byte each at kCodes ≤ 256) instead
+    * of `dim` doubles, an 8·dim/m× compression that lets a 100 TB
+    * embedding corpus fit a cluster's memory for scanning. Codebooks
+    * (per-subspace k-means, driver-held Lloyd exactly like
+    * [[knnIvfKmeans]]) are metadata-sized: m·kCodes·(dim/m) doubles.
+    *
+    * Scoring is asymmetric distance computation: per query ONE
+    * m×kCodes table of exact subspace dot products, then each corpus
+    * vector's approximate cosine is m table lookups — no float multiply
+    * per candidate. Returns `(qid, nbr, score, rk)`; `score` is the
+    * quantized cosine, so this is approximate by design (rows-only key;
+    * recall gated in `SimilaritySpec`). Combine with [[knnIvf]] cells
+    * (IVF-PQ) when even the compressed scan is too wide.
+    *
+    * @note scale: training = `refineIters` narrow passes (partials →
+    *   driver, corpus-size-independent); encoding = one narrow pass;
+    *   scoring = one narrow pass against broadcast query tables + the
+    *   per-query top-k window. Queries are broadcast-sized by contract,
+    *   as everywhere in this module. */
+  /** @param rerank 0 = pure ADC ranking; n > 0 = exact-rescore the top
+    *   n ADC candidates per query (the standard PQ-then-rerank
+    *   deployment: the compressed scan prunes the corpus to n rows, the
+    *   exact pass touches only those). Output score column is then the
+    *   exact cosine rounded to 6, directly comparable to [[knnCosine]]. */
+  def knnPq(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      m: Int = 8, kCodes: Int = 16, refineIters: Int = 2, k: Int = 10,
+      rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(m >= 1 && kCodes >= 1 && kCodes <= 256)
+    val typed = normedTyped(df, idCol, vecCol)
+    // PQ approximates points on the unit sphere: dot == cosine
+    val unit = typed.map { case (id, v, nr) => (id, v.map(_ / nr)) }
+      .toDF("vec_id", "v").as[(Long, Seq[Double])].persist()
+    val dim = unit.head()._2.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    // Seeds: subvectors of the kCodes lowest-id vectors (deterministic,
+    // same policy as the IVF cells).
+    val seeds = unit.orderBy("vec_id").limit(kCodes).collect().map(_._2.toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to refineIters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = unit.mapPartitions { it =>
+        val bks = bc.value
+        val mm = bks.length
+        val kc = bks(0).length
+        val sd = bks(0)(0).length
+        val sums = Array.ofDim[Double](mm, kc, sd)
+        val cnts = Array.ofDim[Long](mm, kc)
+        it.foreach { case (_, vSeq) =>
+          val v = vSeq.toArray
+          var j = 0
+          while (j < mm) {
+            val c = nearestCode(bks(j), v, j * sd)
+            val s = sums(j)(c)
+            var i = 0
+            while (i < sd) { s(i) += v(j * sd + i); i += 1 }
+            cnts(j)(c) += 1
+            j += 1
+          }
+        }
+        Iterator.range(0, mm).flatMap(j => Iterator.range(0, kc)
+          .filter(c => cnts(j)(c) > 0)
+          .map(c => ((j, c), (cnts(j)(c), sums(j)(c).toSeq))))
+      }.collect()
+      val merged = partials.groupBy(_._1).map { case ((j, c), rows) =>
+        val s = new Array[Double](sub)
+        var n = 0L
+        rows.foreach { case (_, (cnt, sv)) =>
+          n += cnt
+          var i = 0
+          while (i < sub) { s(i) += sv(i); i += 1 }
+        }
+        var i = 0
+        while (i < sub) { s(i) /= n; i += 1 }
+        (j, c, s)
+      }
+      // empty clusters keep their previous centroid (stable codebook)
+      val next = books.map(_.clone())
+      merged.foreach { case (j, c, s) => next(j)(c) = s }
+      books = next
+    }
+    val bcB = spark.sparkContext.broadcast(books)
+    val encoded = unit.mapPartitions { it =>
+      val bks = bcB.value
+      val mm = bks.length
+      val sd = bks(0)(0).length
+      it.map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        (id, Array.tabulate(mm)(j => nearestCode(bks(j), v, j * sd)).toSeq)
+      }
+    }.toDF("vec_id", "codes").as[(Long, Seq[Int])]
+    // per-query exact subspace dot-product tables (ADC)
+    val qtabs = unit.filter(isQuery).collect().map { case (qid, qv) =>
+      val tab = Array.tabulate(m, kCodes) { (j, c) =>
+        val cv = books(j)(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) { s += cv(i) * qv(j * sub + i); i += 1 }
+        s
+      }
+      (qid, tab)
+    }
+    val bcQ = spark.sparkContext.broadcast(qtabs)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nbr"))
+    val adc = encoded.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (id, codes) =>
+        val cs = codes.toArray
+        qs.iterator.filter(_._1 != id).map { case (qid, tab) =>
+          var s = 0.0
+          var j = 0
+          while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
+          (qid, id, math.rint(s * 1e6) / 1e6)
+        }
+      }
+    }.toDF("qid", "nbr", "score")
+    if (rerank <= 0)
+      adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("qid"), col("nbr"), col("score"), col("rk").cast("int").as("rk"))
+    else {
+      // exact rescoring of the ADC shortlist: nq·rerank rows join back
+      // to the corpus on the id — a broadcast-sized probe side
+      val short = adc
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= rerank)
+        .select(col("qid"), col("nbr"))
+      val qvecs = broadcast(unit.filter(isQuery)
+        .toDF("qid", "qv").select(col("qid"), col("qv")))
+      short.join(unit.toDF("nbr", "nv"), "nbr").join(qvecs, "qid")
+        .withColumn("score", round(expr("vec_dot(nv, qv)"), 6))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("qid"), col("nbr"), col("score"), col("rk").cast("int").as("rk"))
+    }
+  }
+
+  /** Index of the code with minimum L2 distance to the subvector of
+    * `v` starting at `off`; ties keep the lowest code index. */
+  private def nearestCode(codes: Array[Array[Double]], v: Array[Double],
+      off: Int): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < codes.length) {
+      val cv = codes(c)
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val x = v(off + i) - cv(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Normalized working set as a cached typed Dataset — the IVF paths
     * scan it once per Lloyd pass plus twice at probe time, so it earns
     * its cache; Spark's cache manager dedupes by canonicalized plan, so

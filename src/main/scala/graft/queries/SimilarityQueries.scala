@@ -87,6 +87,15 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Product-quantization ANN — engine-specific compression, rows-only
+    * check; recall vs brute force gated by `SimilaritySpec`. */
+  private val knnPq = Q.noOracle("llm_knn_pq") { (s, d) =>
+    SimilarityOps.knnPq(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, m = 8, kCodes = 16,
+        refineIters = 2, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   private val multimodalJoin = Q(
     "llm_multimodal_join",
     """SELECT d.doc_id, e.vec_id, d.lang,
@@ -123,6 +132,6 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll,
+  val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
     multimodalJoin, multimodalFeatures)
 }

@@ -29,8 +29,14 @@ object RecallProbe {
         emb, col("vec_id") < 5, col("vec_id") < 16, nprobe = 4, k = 10))
       val km = pairs(SimilarityOps.knnIvfKmeans(
         emb, col("vec_id") < 5, nCells = 16, refineIters = 2, nprobe = 4, k = 10))
+      val pq = pairs(SimilarityOps.knnPq(
+        emb, col("vec_id") < 5, m = 8, kCodes = 16, refineIters = 2, k = 10))
+      val pqr = pairs(SimilarityOps.knnPq(
+        emb, col("vec_id") < 5, m = 8, kCodes = 16, refineIters = 2, k = 10,
+        rerank = 100))
       def r(s: Set[(Long, Long)]): Double = (exact & s).size.toDouble / exact.size
-      println(f"RECALL $sf fixed=${r(fixed)}%.3f kmeans=${r(km)}%.3f")
+      println(f"RECALL $sf fixed=${r(fixed)}%.3f kmeans=${r(km)}%.3f " +
+        f"pq=${r(pq)}%.3f pq_rerank100=${r(pqr)}%.3f")
     }
     spark.stop()
   }

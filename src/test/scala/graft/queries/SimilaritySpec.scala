@@ -26,6 +26,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low — IVF probe routing broken")
   }
 
+  test("PQ ANN returns 10 neighbors per query with recall vs brute force") {
+    val exact = pairs("llm_knn_cosine")
+    val approx = pairs("llm_knn_pq")
+    assert(approx.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low — PQ codebooks/ADC broken")
+  }
+
+  test("PQ shortlist + exact rerank recovers most of the recall ADC loses") {
+    import graft.operators.SimilarityOps
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val exact = pairs("llm_knn_cosine")
+    val adc = SimilarityOps.knnPq(emb, col("vec_id") < 5)
+    val rr = SimilarityOps.knnPq(emb, col("vec_id") < 5, rerank = 100)
+    def p(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rAdc = (exact & p(adc)).size.toDouble / exact.size
+    val rRr = (exact & p(rr)).size.toDouble / exact.size
+    assert(rRr >= rAdc, s"rerank must not lose recall ($rRr < $rAdc)")
+    assert(rRr >= 0.6, s"reranked recall $rRr too low (measured 0.92 at sf0.01)")
+  }
+
   test("broadcast all-pairs kernel equals the declarative theta join exactly") {
     import graft.operators.SimilarityOps
     import graft.Tables
