@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Hashes
 import graft.operators.TextOps
-import org.apache.spark.sql.functions.{col, explode, split}
+import org.apache.spark.sql.functions._
 
 /** Fixture-bound oracle keys for text analysis (SURVEY.md §2.10 L4/L6 +
   * the training-data-pipeline set). Algorithms live in the parameterized
@@ -226,6 +226,40 @@ object TextQueries {
     TextOps.repetitionFilter(Tables.documents(s, d)).orderBy("doc_id")
   }
 
+  /** Per-source corpus report — the rollup a pipeline publishes after a
+    * hygiene pass: volume, token mass, mean doc length, and the share
+    * of docs the repetition rules keep, per source stratum. Composes
+    * [[TextOps.repetitionFilter]] with a grouped aggregate; one extra
+    * shuffle on the (tiny) stratum key. */
+  private val corpusReport = Q(
+    "llm_corpus_report",
+    """WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |m AS (SELECT doc_id, source, CAST(len(t) AS INT) AS n_tok,
+      |        CASE WHEN len(t) < 2 THEN 0
+      |             ELSE CAST(floor(1000000 * (1.0 -
+      |               CAST(len(list_distinct(list_transform(range(len(t) - 1),
+      |                 i -> t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+      |               / CAST(len(t) - 1 AS DOUBLE))) AS BIGINT) END AS dup_u
+      |      FROM b)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
+      |  CAST(floor(1000000 * CAST(sum(n_tok) AS DOUBLE) / count(*)) AS BIGINT) AS mean_tok_u,
+      |  CAST(sum(CASE WHEN dup_u <= 200000 AND n_tok BETWEEN 5 AND 100000
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val metrics = TextOps.repetitionFilter(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    metrics.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("total_tok"),
+        floor(lit(1000000) * sum(col("n_tok").cast("long")).cast("double")
+          / count(lit(1))).cast("long").as("mean_tok_u"),
+        sum(when(col("dup_bigram_u") <= 200000 &&
+          col("n_tok").between(5, 100000), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("source")
+  }
+
   /** SpaceSaving heavy hitters over the token stream. Capacity 64
     * exceeds this corpus's 31-token vocabulary, so the sketch runs in
     * its provably-exact regime (err = 0) and the DuckDB oracle can
@@ -250,5 +284,5 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
     keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
-    piiRedact, repFilter, heavyHitters)
+    piiRedact, repFilter, corpusReport, heavyHitters)
 }
