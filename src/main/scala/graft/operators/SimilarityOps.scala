@@ -219,9 +219,17 @@ object SimilarityOps {
   def knnIvfKmeans(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       nCells: Int = 16, refineIters: Int = 2, nprobe: Int = 4, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val typed = normedTyped(df, idCol, vecCol)
+    probeCells(typed, trainCells(typed, nCells, refineIters), isQuery, nprobe, k)
+  }
+
+  /** Lloyd-refined coarse cells over the normalized working set —
+    * shared by [[knnIvfKmeans]] and [[knnIvfPq]]. */
+  private def trainCells(
+      typed: org.apache.spark.sql.Dataset[(Long, Seq[Double], Double)],
+      nCells: Int, refineIters: Int): Array[(Long, Array[Double], Double)] = {
+    val spark = typed.sparkSession
+    import spark.implicits._
     // Seeds: the nCells lowest ids. An id-hash SPREAD was tried and
     // measured strictly worse on both fixtures (RecallProbe: 0.46/0.68
     // vs 0.84/1.00) — Lloyd refinement recovers distribution shape from
@@ -266,7 +274,7 @@ object SimilarityOps {
           (cid, s, math.sqrt(d))
       }.filter(_._3 > 0)
     }
-    probeCells(typed, cents, isQuery, nprobe, k)
+    cents
   }
 
   /** Product-quantization kNN with ADC scoring — the memory-compression
@@ -301,16 +309,117 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(m >= 1 && kCodes >= 1 && kCodes <= 256)
+    val unit = toUnit(normedTyped(df, idCol, vecCol))
+    val books = trainBooks(unit, m, kCodes, refineIters)
+    val sub = books(0)(0).length
+    val bcB = spark.sparkContext.broadcast(books)
+    val encoded = unit.mapPartitions { it =>
+      val bks = bcB.value
+      val sd = bks(0)(0).length
+      it.map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        (id, Array.tabulate(bks.length)(j => nearestCode(bks(j), v, j * sd)).toSeq)
+      }
+    }.toDF("vec_id", "codes").as[(Long, Seq[Int])]
+    val qtabs = unit.filter(isQuery).collect().map { case (qid, qv) =>
+      (qid, adcTable(books, qv.toArray, sub))
+    }
+    val bcQ = spark.sparkContext.broadcast(qtabs)
+    val adc = encoded.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (id, codes) =>
+        val cs = codes.toArray
+        qs.iterator.filter(_._1 != id).map { case (qid, tab) =>
+          (qid, id, adcScore(tab, cs))
+        }
+      }
+    }.toDF("qid", "nbr", "score")
+    rankShortlist(adc, unit, isQuery, k, rerank)
+  }
+
+  /** IVF-PQ: coarse cells prune the scan to nprobe/nCells of the
+    * corpus, PQ codes compress what remains to m bytes per vector, ADC
+    * scores the survivors, and (optionally) an exact pass re-ranks the
+    * shortlist — the full production ANN stack, each stage independently
+    * verified (cells: [[knnIvfKmeans]] + the probe-all oracle key;
+    * codes: [[knnPq]] recall gates).
+    *
+    * @note scale: training and encoding are the same narrow
+    *   driver-held-metadata passes as the component ops; scoring
+    *   touches nprobe/nCells of the compressed corpus. Memory per
+    *   scanned vector: m bytes + cell id. */
+  def knnIvfPq(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      nCells: Int = 16, cellIters: Int = 2, nprobe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, pqIters: Int = 2, k: Int = 10,
+      rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val typed = normedTyped(df, idCol, vecCol)
-    // PQ approximates points on the unit sphere: dot == cosine
-    val unit = typed.map { case (id, v, nr) => (id, v.map(_ / nr)) }
+    val cells = trainCells(typed, nCells, cellIters)
+    val unit = toUnit(typed)
+    val books = trainBooks(unit, m, kCodes, pqIters)
+    val sub = books(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cells)
+    val bcB = spark.sparkContext.broadcast(books)
+    // one narrow pass: cell assignment + PQ encoding (unit norm = 1)
+    val encoded = unit.mapPartitions { it =>
+      val cs = bcC.value
+      val bks = bcB.value
+      val sd = bks(0)(0).length
+      it.map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        (id, cs(nearestCell(cs, v, 1.0))._1,
+          Array.tabulate(bks.length)(j => nearestCode(bks(j), v, j * sd)).toSeq)
+      }
+    }.toDF("vec_id", "cid", "codes").as[(Long, Long, Seq[Int])]
+    val np = math.min(nprobe, cells.length)
+    val qinfo = unit.filter(isQuery).collect().map { case (qid, qvSeq) =>
+      val qv = qvSeq.toArray
+      val probed = cells.map { case (cid, cv, cn) =>
+        val mm = math.min(qv.length, cv.length)
+        var s = 0.0
+        var i = 0
+        while (i < mm) { s += qv(i) * cv(i); i += 1 }
+        (cid, s / cn)
+      }.sortBy { case (cid, c) => (-c, cid) }.take(np).map(_._1).toSet
+      (qid, probed, adcTable(books, qv, sub))
+    }
+    val bcQ = spark.sparkContext.broadcast(qinfo)
+    val adc = encoded.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (id, cid, codes) =>
+        val cs = codes.toArray
+        qs.iterator
+          .filter { case (qid, probed, _) => qid != id && probed.contains(cid) }
+          .map { case (qid, _, tab) => (qid, id, adcScore(tab, cs)) }
+      }
+    }.toDF("qid", "nbr", "score")
+    rankShortlist(adc, unit, isQuery, k, rerank)
+  }
+
+  /** Normalized vectors on the unit sphere (dot == cosine), cached. */
+  private def toUnit(
+      typed: org.apache.spark.sql.Dataset[(Long, Seq[Double], Double)]):
+      org.apache.spark.sql.Dataset[(Long, Seq[Double])] = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    typed.map { case (id, v, nr) => (id, v.map(_ / nr)) }
       .toDF("vec_id", "v").as[(Long, Seq[Double])].persist()
+  }
+
+  /** Per-subspace k-means codebooks over the unit working set —
+    * driver-held Lloyd with the same structure and seeding policy as
+    * [[trainCells]]; empty clusters keep their previous centroid. */
+  private def trainBooks(
+      unit: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      m: Int, kCodes: Int, refineIters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && kCodes >= 1 && kCodes <= 256)
+    val spark = unit.sparkSession
+    import spark.implicits._
     val dim = unit.head()._2.length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    // Seeds: subvectors of the kCodes lowest-id vectors (deterministic,
-    // same policy as the IVF cells).
     val seeds = unit.orderBy("vec_id").limit(kCodes).collect().map(_._2.toArray)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       seeds.map(_.slice(j * sub, (j + 1) * sub)))
@@ -351,46 +460,38 @@ object SimilarityOps {
         while (i < sub) { s(i) /= n; i += 1 }
         (j, c, s)
       }
-      // empty clusters keep their previous centroid (stable codebook)
       val next = books.map(_.clone())
       merged.foreach { case (j, c, s) => next(j)(c) = s }
       books = next
     }
-    val bcB = spark.sparkContext.broadcast(books)
-    val encoded = unit.mapPartitions { it =>
-      val bks = bcB.value
-      val mm = bks.length
-      val sd = bks(0)(0).length
-      it.map { case (id, vSeq) =>
-        val v = vSeq.toArray
-        (id, Array.tabulate(mm)(j => nearestCode(bks(j), v, j * sd)).toSeq)
-      }
-    }.toDF("vec_id", "codes").as[(Long, Seq[Int])]
-    // per-query exact subspace dot-product tables (ADC)
-    val qtabs = unit.filter(isQuery).collect().map { case (qid, qv) =>
-      val tab = Array.tabulate(m, kCodes) { (j, c) =>
-        val cv = books(j)(c)
-        var s = 0.0
-        var i = 0
-        while (i < sub) { s += cv(i) * qv(j * sub + i); i += 1 }
-        s
-      }
-      (qid, tab)
+    books
+  }
+
+  /** Exact subspace dot products of a query against every code. */
+  private def adcTable(books: Array[Array[Array[Double]]], qv: Array[Double],
+      sub: Int): Array[Array[Double]] =
+    Array.tabulate(books.length, books(0).length) { (j, c) =>
+      val cv = books(j)(c)
+      var s = 0.0
+      var i = 0
+      while (i < sub) { s += cv(i) * qv(j * sub + i); i += 1 }
+      s
     }
-    val bcQ = spark.sparkContext.broadcast(qtabs)
+
+  /** Quantized cosine: m table lookups, rounded to 6. */
+  private def adcScore(tab: Array[Array[Double]], codes: Array[Int]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < codes.length) { s += tab(j)(codes(j)); j += 1 }
+    math.rint(s * 1e6) / 1e6
+  }
+
+  /** Top-k of an approximate score table, optionally exact-rescoring
+    * the top `rerank` candidates per query first. */
+  private def rankShortlist(adc: DataFrame,
+      unit: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      isQuery: org.apache.spark.sql.Column, k: Int, rerank: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nbr"))
-    val adc = encoded.mapPartitions { it =>
-      val qs = bcQ.value
-      it.flatMap { case (id, codes) =>
-        val cs = codes.toArray
-        qs.iterator.filter(_._1 != id).map { case (qid, tab) =>
-          var s = 0.0
-          var j = 0
-          while (j < cs.length) { s += tab(j)(cs(j)); j += 1 }
-          (qid, id, math.rint(s * 1e6) / 1e6)
-        }
-      }
-    }.toDF("qid", "nbr", "score")
     if (rerank <= 0)
       adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(col("qid"), col("nbr"), col("score"), col("rk").cast("int").as("rk"))

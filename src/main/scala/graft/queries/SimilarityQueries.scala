@@ -96,6 +96,17 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** The full production ANN stack: coarse cells prune, PQ codes
+    * compress, exact pass re-ranks. Rows-only; recall gated by
+    * `SimilaritySpec` (measured 0.84 at both fixture scales with
+    * nprobe=4/16 cells). */
+  private val knnIvfPq = Q.noOracle("llm_knn_ivfpq") { (s, d) =>
+    SimilarityOps.knnIvfPq(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, cellIters = 2,
+        nprobe = 4, m = 8, kCodes = 16, pqIters = 2, k = 10, rerank = 100)
+      .orderBy("qid", "rk")
+  }
+
   private val multimodalJoin = Q(
     "llm_multimodal_join",
     """SELECT d.doc_id, e.vec_id, d.lang,
@@ -133,5 +144,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
-    multimodalJoin, multimodalFeatures)
+    knnIvfPq, multimodalJoin, multimodalFeatures)
 }

@@ -34,9 +34,12 @@ object RecallProbe {
       val pqr = pairs(SimilarityOps.knnPq(
         emb, col("vec_id") < 5, m = 8, kCodes = 16, refineIters = 2, k = 10,
         rerank = 100))
+      val ivfpq = pairs(SimilarityOps.knnIvfPq(
+        emb, col("vec_id") < 5, nCells = 16, cellIters = 2, nprobe = 4,
+        m = 8, kCodes = 16, pqIters = 2, k = 10, rerank = 100))
       def r(s: Set[(Long, Long)]): Double = (exact & s).size.toDouble / exact.size
       println(f"RECALL $sf fixed=${r(fixed)}%.3f kmeans=${r(km)}%.3f " +
-        f"pq=${r(pq)}%.3f pq_rerank100=${r(pqr)}%.3f")
+        f"pq=${r(pq)}%.3f pq_rerank100=${r(pqr)}%.3f ivfpq_rerank100=${r(ivfpq)}%.3f")
     }
     spark.stop()
   }

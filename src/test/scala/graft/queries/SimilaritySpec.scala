@@ -50,6 +50,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rRr >= 0.6, s"reranked recall $rRr too low (measured 0.92 at sf0.01)")
   }
 
+  test("IVF-PQ (prune + compress + rerank) clears the recall gate") {
+    val exact = pairs("llm_knn_cosine")
+    val approx = pairs("llm_knn_ivfpq")
+    assert(approx.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (measured 0.84 at sf0.01)")
+  }
+
   test("broadcast all-pairs kernel equals the declarative theta join exactly") {
     import graft.operators.SimilarityOps
     import graft.Tables
