@@ -398,6 +398,33 @@ object SimilarityOps {
     rankShortlist(adc, unit, isQuery, k, rerank)
   }
 
+  /** Per-stratum per-dimension mean embedding — the corpus centroid
+    * table used for domain-mixture analysis and drift monitoring:
+    * `(stratum, pos, mean)`.
+    *
+    * Determinism: float addition isn't associative, so a naive grouped
+    * SUM depends on partitioning. Decimal casts are unsafe here — raw
+    * float32 elements have short mantissas, so rounding them at any
+    * fixed decimal scale hits exact-tie cases where engines' tie rules
+    * differ. Instead each group gathers its values ORDERED BY the id
+    * and folds left-to-right — bit-identical on any partitioning and
+    * any engine with an ordered list fold.
+    *
+    * @note scale: the ordered gather holds one stratum×dimension group
+    *   in memory (#docs-per-stratum doubles) — fine for centroid
+    *   tables; for web-scale strata switch to the decimal-sum path and
+    *   document the quantization instead. */
+  def meanEmbedding(df: DataFrame, strataCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        posexplode(transform(col(vecCol), x => x.cast("double"))))
+      .groupBy(col("stratum"), col("pos"))
+      .agg(sort_array(collect_list(struct(col("id"), col("col")))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("stratum"), col("pos"),
+        round(expr("aggregate(xs, 0D, (a, s) -> a + s.col)") / col("n"), 6)
+          .as("mean"))
+
   /** Normalized vectors on the unit sphere (dot == cosine), cached. */
   private def toUnit(
       typed: org.apache.spark.sql.Dataset[(Long, Seq[Double], Double)]):

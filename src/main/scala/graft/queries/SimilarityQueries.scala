@@ -107,6 +107,28 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Per-source corpus centroids ([[SimilarityOps.meanEmbedding]]):
+    * grouped float reduction made deterministic by an ordered gather +
+    * left fold on BOTH engines (see the op's scaladoc for why decimal
+    * casts are unsafe on raw float32 elements). */
+  private val embedCentroid = Q(
+    "llm_embed_centroid",
+    """WITH t AS (SELECT d.source AS stratum, CAST(i AS INT) AS pos,
+      |             e.vec_id AS id, CAST(e.embedding[i+1] AS DOUBLE) AS x
+      |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id,
+      |                unnest(range(len(e.embedding))) AS u(i)),
+      |g AS (SELECT stratum, pos, list_sum(list(x ORDER BY id)) AS s,
+      |        count(*) AS n
+      |      FROM t GROUP BY 1, 2)
+      |SELECT stratum, pos, round(s / n, 6) AS mean
+      |FROM g ORDER BY stratum, pos""".stripMargin) { (s, d) =>
+    val joined = Tables.embeddings(s, d).join(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      col("vec_id") === col("doc_id"))
+    SimilarityOps.meanEmbedding(joined, strataCol = "source")
+      .orderBy("stratum", "pos")
+  }
+
   private val multimodalJoin = Q(
     "llm_multimodal_join",
     """SELECT d.doc_id, e.vec_id, d.lang,
@@ -144,5 +166,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
-    knnIvfPq, multimodalJoin, multimodalFeatures)
+    knnIvfPq, embedCentroid, multimodalJoin, multimodalFeatures)
 }
