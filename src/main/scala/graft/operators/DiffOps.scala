@@ -44,4 +44,36 @@ object DiffOps {
       .filter(col("change").isNotNull)
       .select(keyCols.map(col) :+ col("change"): _*)
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) build from a keyed
+    * changelog: collapse consecutive duplicates of the tracked
+    * attribute, then stamp each surviving state with its validity
+    * interval `[valid_from, valid_to)` (`valid_to` NULL on the current
+    * row), a per-key version number, and an `is_current` flag — the
+    * standard historized-dimension materialization.
+    *
+    * `orderCols` must be a deterministic total order within each key
+    * (e.g. event time + a unique id as tiebreak); `valid_from` /
+    * `valid_to` are taken from `tsCol` in that order.
+    *
+    * @note scale: both windows partition on the same key, so Catalyst
+    *   plans ONE exchange + one sort and runs the change-collapse and
+    *   the versioning in consecutive Window operators on the already
+    *   partitioned/sorted stream. State per key is O(1). */
+  def scd2(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      attrCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val changes = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(attrCol)))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ Seq(col("version"), col(attrCol),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

@@ -47,4 +47,21 @@ object SampleOps {
       .filter(idHash(col(idCol), salt) <
         floor(col("rate") * lit(M.toDouble)).cast("long"))
       .drop("rate")
+
+  /** Exactly-n-per-stratum sample: rank rows inside each stratum by the
+    * deterministic id hash (id as tiebreak) and keep the first `n` —
+    * the "give me 10k docs from every source" primitive, reproducible
+    * across reruns, reshards, and engines like the rate-based ops.
+    *
+    * @note scale: one shuffle on the stratum key. A web-scale stratum
+    *   makes that a skewed window; the two-phase fix is a rate-based
+    *   [[hashSample]] pre-filter sized to ~3n expected survivors per
+    *   stratum, then this exact rank on the survivors — same result,
+    *   bounded partition size. */
+  def stratifiedSample(df: DataFrame, n: Int, stratumCol: String = "source",
+      idCol: String = "doc_id", salt: Long = 0L): DataFrame =
+    df.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+          .orderBy(idHash(col(idCol), salt), col(idCol))))
+      .filter(col("__rk") <= n).drop("__rk")
 }

@@ -101,6 +101,48 @@ object DedupQueries {
     DedupOps.connectedComponents(pairs, docs).orderBy("doc_id")
   }
 
+  /** Cluster-and-keep-best: the step a real dedup pipeline runs AFTER
+    * clustering — from every near-dup cluster keep one representative
+    * (longest doc, id as tiebreak) and report how many members it
+    * absorbed. Composes [[DedupOps.connectedComponents]] with a
+    * per-cluster argmax window; the oracle restates the components via
+    * the recursive closure and the same argmax. */
+  private val dedupKeepBest = Q(
+    "llm_dedup_keepbest",
+    s"""WITH RECURSIVE $oJaccardPairs,
+       |p AS (SELECT ai, bi FROM j WHERE jac >= 0.5),
+       |e AS (SELECT ai AS s, bi AS t FROM p UNION SELECT bi, ai FROM p),
+       |reach(s, t) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+       |cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY 1),
+       |lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |               d.n_chars
+       |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT cluster_id, doc_id AS kept, n_chars AS kept_chars,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY n_chars DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |      FROM lab)
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.jaccardPairs(docs).filter(col("jac") >= 0.5)
+    val labeled = DedupOps.connectedComponents(pairs, docs)
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+    labeled
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept"),
+        col("n_chars").as("kept_chars"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy,
-    dedupCluster)
+    dedupCluster, dedupKeepBest)
 }

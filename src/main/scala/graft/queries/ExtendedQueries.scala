@@ -278,7 +278,109 @@ object ExtendedQueries {
     }.toDF("user_id", "max_streak").orderBy("user_id")
   }
 
+  /** SCD2 historization ([[graft.operators.DiffOps.scd2]]): each
+    * user's `event_type` changelog collapsed to change points, stamped
+    * with `[valid_from, valid_to)` validity (µs integers for the hash
+    * oracle), version numbers, and an is_current flag. */
+  private val cdcScd2 = Q(
+    "cdc_scd2",
+    """WITH o AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, event_id, ts_us FROM o
+      |      WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+      |  event_type AS state, ts_us AS valid_from_us,
+      |  lead(ts_us) OVER w AS valid_to_us,
+      |  (lead(ts_us) OVER w IS NULL) AS is_current
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    graft.operators.DiffOps.scd2(ev, keyCols = Seq("user_id"),
+        orderCols = Seq("ts_us", "event_id"),
+        attrCol = "event_type", tsCol = "ts_us")
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Interval merging ([[graft.operators.IntervalOps.mergeIntervals]]):
+    * each event opens a 30-minute activity lease; overlapping leases
+    * per user merge into coverage islands — the explicit-interval
+    * generalization of session windows, stated in the oracle with the
+    * same running-max-end gaps-and-islands construction. */
+  private val stateMergeIntervals = Q(
+    "state_merge_intervals",
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+      |              epoch_us(ts) + 1800000000 AS e_us FROM events),
+      |m AS (SELECT user_id, s_us, e_us,
+      |        max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM iv),
+      |f AS (SELECT user_id, s_us, e_us,
+      |        sum(CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |      FROM m)
+      |SELECT user_id, min(s_us) AS ivl_start, max(e_us) AS ivl_end,
+      |  count(*) AS n_merged
+      |FROM f GROUP BY user_id, island
+      |ORDER BY user_id, ivl_start""".stripMargin) { (s, d) =>
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(1800000000L))
+    graft.operators.IntervalOps.mergeIntervals(iv,
+        keyCols = Seq("user_id"), startCol = "s_us", endCol = "e_us")
+      .orderBy("user_id", "ivl_start")
+  }
+
+  /** percent_rank / cume_dist: rank-derived RATIO analytics. Safe for
+    * the hash oracle without rounding — both engines compute the same
+    * IEEE division of the same two small integers, so the doubles are
+    * bit-identical. */
+  private val windowPercentRank = Q(
+    "window_percent_rank",
+    """SELECT o_orderkey, o_custkey,
+      |  percent_rank() OVER w AS prk, cume_dist() OVER w AS cd
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        percent_rank().over(w).as("prk"), cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** UNPIVOT/melt (wide→long): the four lineitem measures of small
+    * orders as (metric, val) pairs — Spark's `unpivot` against DuckDB's
+    * UNPIVOT clause. */
+  private val aggUnpivot = Q(
+    "agg_unpivot",
+    """SELECT l_orderkey, l_linenumber, metric, val
+      |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+      |                 l_extendedprice, l_discount, l_tax
+      |               FROM lineitem WHERE l_orderkey < 100)
+      |      ON l_quantity, l_extendedprice, l_discount, l_tax
+      |      INTO NAME metric VALUE val)
+      |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
-    cdcSnapshotDiff, stateMaxStreak)
+    cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
+    windowPercentRank, aggUnpivot)
 }

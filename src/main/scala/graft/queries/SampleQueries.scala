@@ -36,5 +36,19 @@ object SampleQueries {
       .select("doc_id", "source").orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(sampleHash, sampleMixture)
+  /** Exactly-40-per-source sample ([[SampleOps.stratifiedSample]]):
+    * rank inside each stratum by the id hash, keep the first 40 — the
+    * fixed-budget variant of mixture sampling. */
+  private val sampleStratified = Q(
+    "llm_sample_stratified",
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+       |    ORDER BY ${SampleOps.oIdHash("doc_id")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 40 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    SampleOps.stratifiedSample(Tables.documents(s, d), n = 40)
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(sampleHash, sampleMixture, sampleStratified)
 }

@@ -327,7 +327,35 @@ object ScalarQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Edit-distance similarity: levenshtein between each doc's 40-char
+    * prefix and its successor doc's — the string-metric primitive under
+    * fuzzy matching / near-dup triage. Integer output, so the hash
+    * oracle is exact; the self-join on `doc_id + 1` keeps the pairing
+    * deterministic without a window.
+    *
+    * @note scale: levenshtein is O(len²) per pair — bound the compared
+    *   prefix (as here) or pre-block pairs (LSH/simhash) before running
+    *   it corpus-wide; never as a theta-join predicate. */
+  private val scalarStrsim = Q(
+    "scalar_strsim",
+    """SELECT a.doc_id,
+      |  CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS INT) AS lev,
+      |  CAST(levenshtein(a.source, b.source) AS INT) AS lev_src
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id"), col("text"), col("source"))
+    val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+      col("source").as("b_source"))
+    a.join(b, col("b_id") === col("doc_id") + 1)
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40),
+          substring(col("b_text"), 1, 40)).as("lev"),
+        levenshtein(col("source"), col("b_source")).as("lev_src"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(scalarString, scalarDatetime, scalarMath,
     scalarConditional, scalarArray, scalarJson, udfScalar, aggWeightedAvg,
-    scalarBitwise, scalarTrig, scalarCast, scalarMap)
+    scalarBitwise, scalarTrig, scalarCast, scalarMap, scalarStrsim)
 }

@@ -108,5 +108,57 @@ object ScaleQueries {
     s.sql(sqlQ5)
   }
 
-  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5)
+  /** Recursive CTE (Spark 4's UnionLoop): hierarchical rollup over the
+    * implicit part taxonomy `parent(k) = floor(k/10)` — every part
+    * contributes its price (integer cents, so the additive agg is
+    * exact) to all its ancestors, then one grouped agg per node. The
+    *  SAME string runs on DuckDB; `floor(x/10.0)` instead of integer
+    * `/` keeps one string valid in both dialects (DuckDB's int `/`
+    * yields DOUBLE).
+    *
+    * @note scale: recursion depth is O(log10 maxkey) — each UnionLoop
+    *   iteration is a NARROW map over the previous frontier (no
+    *   shuffle), and only the final GROUP BY exchanges; 100× more parts
+    *   adds two iterations, not two shuffles. The closure's row count
+    *   is nodes × depth, linear-ish in the input. */
+  private val sqlRecursive: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS pk, p_partkey AS node,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part
+      |  UNION ALL
+      |  SELECT pk, CAST(floor(node / 10.0) AS BIGINT) AS node, cents
+      |  FROM anc WHERE node >= 1
+      |)
+      |SELECT node, count(*) AS n_desc, CAST(sum(cents) AS BIGINT) AS subtree_cents
+      |FROM anc GROUP BY node ORDER BY node""".stripMargin
+
+  private val sqlRecursiveBom = Q("sql_recursive_bom", sqlRecursive) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(sqlRecursive)
+  }
+
+  /** Bloom-prefiltered semi-join ([[graft.operators.JoinOps
+    * .bloomSemiJoin]]): lineitems of high-value orders. The bloom pass
+    * discards non-matching fact rows before the exchange; the exact
+    * semi-join scrubs false positives, so the result — and the oracle —
+    * is the plain semi-join. */
+  private val joinBloomPrefilter = Q(
+    "join_bloom_prefilter",
+    s"""SELECT l_returnflag, count(*) AS n, ${Det.osum("l_extendedprice")} AS rev
+       |FROM lineitem WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    graft.operators.JoinOps.bloomSemiJoin(
+        Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey",
+        expectedItems = 200000L, fpp = 0.01)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("rev"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
+    sqlRecursiveBom, joinBloomPrefilter)
 }
