@@ -56,4 +56,35 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Global triangle count (plus node/edge counts) of the undirected
+    * simple graph underlying `edges`: self-loops dropped, each edge
+    * canonicalized to `(min, max)` and deduped, then the classic
+    * two-join closure counts each triangle exactly once via the
+    * `a < b < c` orientation.
+    *
+    * @note scale: on a skewed web graph the e1⋈e2 fan-out is bounded by
+    *   Σ d(v)² on the JOIN KEY side; production triangle counting
+    *   orients edges from the lower-degree endpoint first (node
+    *   iterator), bounding work by Σ d(v)^{3/2}. Degree orientation is
+    *   one extra join against a degree table — same plan shape, so the
+    *   canonical-orientation form here is the right fixture-scale
+    *   stand-in. Both closure joins shuffle on a single key column and
+    *   AQE skew-splits hot vertices. */
+  def triangleStats(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct().persist()
+    val nn = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    val e2 = und.select(col("a").as("b"), col("b").as("c"))
+    val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+    val nt = und.join(e2, "b")
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(ne).crossJoin(nt)
+  }
 }

@@ -379,8 +379,107 @@ object ExtendedQueries {
       .orderBy("l_orderkey", "l_linenumber", "metric", "val")
   }
 
+  /** Forward as-of through the SAME native merge operator: the first
+    * click AT OR AFTER each purchase. Negating the µs time (and the
+    * tiebreak id) turns the backward latest-≤ merge into forward
+    * earliest-≥ — one operator serves both directions, the standard
+    * trick instead of a second code path. */
+  private val joinAsofForward = Q(
+    "join_asof_forward",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |        row_number() OVER (PARTITION BY p.event_id
+      |          ORDER BY epoch_us(c.ts) ASC, c.event_id ASC) AS rn
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |        AND epoch_us(c.ts) >= epoch_us(p.ts))
+      |SELECT purchase_id, click_id FROM j WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        (-unix_micros(col("ts"))).as("npts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        (-unix_micros(col("ts"))).as("ncts"), (-col("event_id")).as("ntie"))
+    graft.plans.AsOfJoinOps.asofJoin(p, c, p("pu"), c("cu"),
+        p("npts"), c("ncts"), c("ntie"))
+      .select("purchase_id", "click_id")
+      .orderBy("purchase_id")
+  }
+
+  /** Cohort retention: users bucketed by first-seen week, activity
+    * counted per (cohort week, active week) — the canonical product
+    * retention matrix. Weeks are integer `µs div 604800000000`, so the
+    * whole key is integer-exact.
+    *
+    * @note scale: two shuffles (per-user min, then the matrix agg);
+    *   the per-user distinct-week set is tiny, and the matrix is
+    *   O(weeks²) rows regardless of input size. */
+  private val aggCohortRetention = Q(
+    "agg_cohort_retention",
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |              epoch_us(ts) // 604800000000 AS wk FROM events),
+      |co AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+      |SELECT co.cohort_wk, uw.wk, count(*) AS n_users
+      |FROM uw JOIN co USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val co = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    uw.join(co, "user_id")
+      .groupBy("cohort_wk", "wk")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "wk")
+  }
+
+  /** Rolling z-score anomaly flag WITHOUT floats: each event compared
+    * against the mean/variance of its user's previous 5 values. The
+    * test `(x−μ)² > 4σ²` is algebraically rescaled by n² to
+    * `(n·x−S)² > 4·(n·SS−S²)` over integer micro-unit sums, computed
+    * in DECIMAL(38,0) where squares exceed 64 bits — bit-exact on any
+    * partitioning and engine, which a float σ never is. */
+  private val windowZscore = Q(
+    "window_zscore_anomaly",
+    """WITH v AS (SELECT user_id, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v_u,
+      |    epoch_us(ts) AS ts_us FROM events),
+      |w AS (SELECT user_id, event_id, v_u,
+      |    count(*) OVER win AS n,
+      |    sum(v_u) OVER win AS s,
+      |    sum(v_u * v_u) OVER win AS ss
+      |  FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, v_u,
+      |  (CAST(5 * v_u - s AS DECIMAL(38,0)) * CAST(5 * v_u - s AS DECIMAL(38,0))
+      |   > CAST(4 AS DECIMAL(38,0)) * (CAST(5 AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))
+      |       - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))) AS is_anomaly
+      |FROM w WHERE n = 5 ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val D0 = DecimalType(38, 0)
+    val win = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id")).rowsBetween(-5, -1)
+    val v = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 1000000).cast("long").as("v_u"),
+        unix_micros(col("ts")).as("ts_us"))
+    val base = v
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s", sum(col("v_u")).over(win))
+      .withColumn("ss", sum(col("v_u") * col("v_u")).over(win))
+      .filter(col("n") === 5)
+    val dvt = (lit(5) * col("v_u") - col("s")).cast(D0)
+    val rhs = lit(4).cast(D0) *
+      (lit(5).cast(D0) * col("ss").cast(D0) - col("s").cast(D0) * col("s").cast(D0))
+    base.select(col("user_id"), col("event_id"), col("v_u"),
+        (dvt * dvt > rhs).as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
-    windowPercentRank, aggUnpivot)
+    windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
+    windowZscore)
 }

@@ -49,5 +49,29 @@ object GraphQueries {
     GraphOps.pagerank(edges, iters).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(pagerank)
+  /** Triangle census ([[GraphOps.triangleStats]]) of the undirected
+    * co-occurrence graph — the clustering-structure probe next to
+    * PageRank's centrality. Counts are integers, so the oracle match
+    * is exact. */
+  private val triangles = Q(
+    "graph_triangles",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |big AS (SELECT DISTINCT t[i+1] AS src, t[i+2] AS dst
+      |        FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM big WHERE src <> dst),
+      |nn AS (SELECT count(*) AS n_nodes
+      |       FROM (SELECT a AS n FROM und UNION SELECT b FROM und)),
+      |ne AS (SELECT count(*) AS n_edges FROM und),
+      |nt AS (SELECT count(*) AS n_triangles
+      |       FROM und e1 JOIN und e2 ON e2.a = e1.b
+      |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin) { (s, d) =>
+    val edges = TextOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    GraphOps.triangleStats(edges)
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles)
 }

@@ -235,6 +235,30 @@ object StreamingQueries {
       .orderBy("user_id", "ss_us")
   }
 
+  // ------------------------------------------------- T9 stream-stream join
+  /** True interval stream-stream join (Flink intervalJoin, beyond the
+    * bucket-equality `join_windowed`): each click matched to the same
+    * user's views in the preceding 30 minutes. The streaming form
+    * ([[graft.streaming.StreamOps.intervalJoin]]) carries watermarks on
+    * both sides + the range predicate, which is exactly what lets the
+    * join state expire; this batch face carries the oracle.
+    *
+    * @note scale: shuffles both sides on `user_id` once; per-key state
+    *   in streaming is bounded by the 30-minute band + watermark delay.
+    *   In batch, Catalyst plans the equi-key part as the join key and
+    *   the range as a post-filter — same state bound. */
+  private val intervalJoin = Q(
+    "stream_interval_join",
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON v.user_id = c.user_id
+      | AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 1800000000 AND epoch_us(c.ts)
+      |ORDER BY c.user_id, click_id, view_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.intervalJoin(Tables.events(s, d))
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel, sessionDynamic)
+    cepSequence, cepFunnel, sessionDynamic, intervalJoin)
 }

@@ -140,6 +140,31 @@ object StreamOps {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
 
+  /** T9: interval stream-stream join (Flink `intervalJoin`): each click
+    * paired with the same user's views in the 30 minutes up to the
+    * click. Both sides carry watermarks and the join condition bounds
+    * `v_ts` relative to `c_ts`, so Spark derives a state eviction
+    * horizon for BOTH join buffers — without the band the state would
+    * grow forever. Batch twin/oracle: `stream_interval_join`.
+    *
+    * @note scale: state per user is (events in 30 min + watermark
+    *   delay) on each side; the shuffle is on `user_id` only, the time
+    *   band is evaluated inside the joined state store. */
+  def intervalJoin(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    c.join(v, col("user_id") === col("v_uid") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
   /** T7: keyed stateful forward-fill (`flatMapGroupsWithState`): per user,
     * emit one row per hour carrying the latest observed value into hours
     * with no events. An hour is emitted when the first event of a later

@@ -82,4 +82,9 @@ class StreamingEquivalenceSpec extends SparkSpec {
     val s = replay(StreamOps.cepSequence, "append", "t_cep")
     assert(rows(s) == rows(SparkEntry.queries("cep_sequence")(spark, sf)))
   }
+
+  test("T9 interval stream-stream join replay equals batch twin") {
+    val s = replay(StreamOps.intervalJoin, "append", "t_ivjoin")
+    assert(rows(s) == rows(SparkEntry.queries("stream_interval_join")(spark, sf)))
+  }
 }
