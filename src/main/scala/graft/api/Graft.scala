@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{DedupOps, DiffOps, EnrichOps, GraphOps, KeyedOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, DiffOps, EnrichOps, GraphOps, IntervalOps, JoinOps, KeyedOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
 import graft.plans.AsOfJoinOps
 import graft.streaming.StreamOps
 
@@ -49,10 +49,12 @@ object Graft {
   val streams: StreamOps.type = StreamOps
   /** Context-window chunking + token-budget sequence packing. */
   val pack: PackOps.type = PackOps
-  /** Iterative graph analytics (integer-exact PageRank). */
+  /** Iterative graph analytics (integer-exact PageRank, triangles). */
   val graph: GraphOps.type = GraphOps
-  /** Snapshot differencing — derive a changelog from two snapshots. */
+  /** Snapshot differencing + SCD2 historization from a changelog. */
   val diff: DiffOps.type = DiffOps
+  /** Interval algebra: per-key overlapping-interval merging. */
+  val intervals: IntervalOps.type = IntervalOps
 
   object joins {
     /** Native as-of join (custom Catalyst operator): latest `build` row
@@ -71,5 +73,14 @@ object Graft {
         ptCol: String, loCol: String, hiCol: String,
         bucketWidth: Long): org.apache.spark.sql.DataFrame =
       RangeJoinOps.pointInInterval(points, intervals, ptCol, loCol, hiCol, bucketWidth)
+
+    /** Semi-join with a broadcast bloom-filter pre-filter: drops
+      * non-matching fact rows before the shuffle; exact result at any
+      * fpp (false positives are scrubbed by the closing semi-join). */
+    def bloomSemi(fact: org.apache.spark.sql.DataFrame,
+        dim: org.apache.spark.sql.DataFrame,
+        factKey: String, dimKey: String,
+        expectedItems: Long = 1000000L, fpp: Double = 0.01): org.apache.spark.sql.DataFrame =
+      JoinOps.bloomSemiJoin(fact, dim, factKey, dimKey, expectedItems, fpp)
   }
 }
