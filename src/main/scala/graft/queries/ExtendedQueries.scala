@@ -477,9 +477,70 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Mode (most frequent value) with an EXPLICIT tiebreak — built-in
+    * `mode()` leaves ties unspecified in both engines, so the key
+    * states the deterministic form every production dedup-to-one query
+    * actually needs: max count, smallest value wins. */
+  private val aggMode = Q(
+    "agg_mode",
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt
+      |FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt,
+      |        row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY count(*) DESC, l_quantity) AS rn
+      |      FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact covariance via integer micro-units — `covar_pop` is float
+    * order-dependent, so the key computes the algebraically equivalent
+    * `(n·Σxy − Σx·Σy) / n²` from EXACT decimal sums and divides once at
+    * the end (identical decimal→double conversion on both engines).
+    * Scaled back to natural units by the fixed-point factor 10⁴. */
+  private val aggCovar = Q(
+    "agg_covar_exact",
+    """WITH u AS (SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |        CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |        CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+      |      FROM u GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+      |    / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+      |    / 10000.0 AS covar_pop
+      |FROM g ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val D0 = DecimalType(38, 0)
+    val u = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    u.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D0)).cast(D0).as("sx"),
+        sum(col("y").cast(D0)).cast(D0).as("sy"),
+        sum(col("x").cast(D0) * col("y").cast(D0)).cast(D0).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n").cast(D0) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n").cast(D0) * col("n").cast(D0)).cast("double")
+          / lit(10000.0)).as("covar_pop"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore)
+    windowZscore, aggMode, aggCovar)
 }

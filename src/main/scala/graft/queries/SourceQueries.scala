@@ -83,6 +83,28 @@ object SourceQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Plain-text source (S1's line-oriented face): document bodies
+    * written as raw lines (`spark.write.text`), re-read with
+    * `spark.read.text`, re-keyed by the embedded id token, and
+    * checksummed. The fixture's `text` is newline-free (verified), so
+    * the line roundtrip is lossless; the oracle recomputes the same
+    * checksum from parquet directly. */
+  private val textRoundtrip = Q(
+    "source_text_roundtrip",
+    s"""SELECT count(*) AS n,
+       |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       |  CAST(sum(${graft.functions.Hashes.oPolyHash("text")} % 1000003) AS BIGINT) AS checksum
+       |FROM documents""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dir = tmp(s"text_${d.replaceAll("[^0-9.]", "")}")
+    docs.select(col("text")).write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("value")).cast("long")).as("total_chars"),
+        sum(pmod(graft.functions.Hashes.polyHash(col("value")), lit(1000003L)))
+          .as("checksum"))
+  }
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune)
+    partitionedPrune, textRoundtrip)
 }
