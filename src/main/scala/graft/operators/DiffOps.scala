@@ -45,6 +45,24 @@ object DiffOps {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** Apply a changelog to a snapshot — the inverse of [[snapshotDiff]]:
+    * deletes remove their key, updates replace the row, inserts add it.
+    * `changes` carries the key columns, the payload columns (ignored on
+    * delete), and `opCol ∈ ('insert','update','delete')`.
+    * `applyChangelog(old, diff(old,new) ⋈ new-payload) == new` — the
+    * round-trip property [[graft.operators]] specs pin.
+    *
+    * @note scale: one anti-join on the key (changes side is the small
+    *   delta — broadcast when it fits) plus a union; this is the MERGE
+    *   INTO execution shape without a table format underneath. */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "change"): DataFrame = {
+    val touchedKeys = changes.select(keyCols.map(col): _*).distinct()
+    val survivors = base.join(touchedKeys, keyCols, "left_anti")
+    val upserts = changes.filter(col(opCol) =!= "delete").drop(opCol)
+    survivors.unionByName(upserts)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) build from a keyed
     * changelog: collapse consecutive duplicates of the tracked
     * attribute, then stamp each surviving state with its validity

@@ -46,4 +46,25 @@ object IntervalOps {
         count(lit(1)).as("n_merged"))
       .drop("__island")
   }
+
+  /** Per-event session-id assignment — the PROJECTION face of gap
+    * sessionization (the aggregated face is the session-window ops):
+    * every row keeps its columns and gains `session_id`, numbering its
+    * key's sessions 1..k in time order; a session breaks when the gap
+    * from the previous event exceeds `gapUs`. This is what downstream
+    * per-session joins/groupBys key on.
+    *
+    * @note scale: one shuffle on the key; both windows (lag + running
+    *   sum) ride the same sort. O(1) state per row. */
+  def sessionIds(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("session_id",
+        sum(when(col("__prev").isNull ||
+            col(tsCol) - col("__prev") > gapUs, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .drop("__prev")
+  }
 }

@@ -538,9 +538,60 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** MERGE-shaped changelog application ([[graft.operators.DiffOps
+    * .applyChangelog]]): derive the old→new changelog with
+    * [[graft.operators.DiffOps.snapshotDiff]], attach the new payload,
+    * apply it to the old snapshot — and the oracle is simply the NEW
+    * snapshot's defining expression, so the hash check pins the
+    * diff→apply round trip end to end. */
+  private val cdcApplyChangelog = Q(
+    "cdc_apply_changelog",
+    """SELECT o_orderkey,
+      |  o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 5 <> 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val oldS = ord.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newS = ord.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + when(col("o_orderkey") % 3 === 0, lit(1.0))
+          .otherwise(lit(0.0))).as("o_totalprice"))
+    val changes = graft.operators.DiffOps.snapshotDiff(oldS, newS,
+        keyCols = Seq("o_orderkey"), cmpCols = Seq("o_totalprice"))
+      .join(newS, Seq("o_orderkey"), "left")
+    graft.operators.DiffOps.applyChangelog(oldS, changes,
+        keyCols = Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Per-event session-id projection ([[graft.operators.IntervalOps
+    * .sessionIds]]): every event labeled with its user's 30-minute-gap
+    * session ordinal — the row-level complement of the session-window
+    * aggregations. */
+  private val stateSessionIds = Q(
+    "state_session_ids",
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      |FROM o ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.operators.IntervalOps.sessionIds(ev, keyCols = Seq("user_id"),
+        tsCol = "ts_us", tieCol = "event_id", gapUs = 1800000000L)
+      .select("user_id", "event_id", "session_id")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore, aggMode, aggCovar)
+    windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds)
 }

@@ -27,4 +27,23 @@ class DiffOpsSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "update"), (2L, "update")))
   }
+
+  test("applyChangelog inverts snapshotDiff: apply(old, diff+payload) == new") {
+    import spark.implicits._
+    // pseudo-random keyed frames with nulls, overlapping and disjoint keys
+    def frame(seed: Long) = (0L until 200L)
+      .filter(k => (k * 2654435761L + seed) % 3 != 0)
+      .map { k =>
+        val h = (k * 40503L + seed) % 97
+        (k, if (h % 11 == 0) None else Some(h.toDouble))
+      }.toDF("k", "v")
+    val oldS = frame(1)
+    val newS = frame(2)
+    val changes = DiffOps.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .join(newS, Seq("k"), "left")
+    val applied = DiffOps.applyChangelog(oldS, changes, Seq("k"))
+      .orderBy("k").as[(Long, Option[Double])].collect().toSeq
+    val want = newS.orderBy("k").as[(Long, Option[Double])].collect().toSeq
+    assert(applied == want)
+  }
 }

@@ -51,4 +51,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("agg_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("SCD2 and interval ops shuffle their key ONCE (windows share the exchange)") {
+    for (k <- Seq("cdc_scd2", "state_merge_intervals", "state_session_ids")) {
+      val n = "Exchange hashpartitioning".r.findAllIn(plan(k)).size
+      assert(n == 1, s"$k: expected 1 hash exchange, got $n")
+    }
+  }
+
+  test("recursive CTE plans Spark 4's UnionLoop, not a blowup") {
+    assert(plan("sql_recursive_bom").contains("UnionLoop"))
+  }
+
+  test("bloom prefilter pushes the dim predicate to its scan") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"), p)
+  }
 }
