@@ -589,9 +589,55 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Ordered string aggregation (LISTAGG WITHIN GROUP ↔ DuckDB
+    * string_agg ORDER BY): deterministic because the intra-group order
+    * is total. */
+  private val aggStringConcat = Q(
+    "agg_string_concat",
+    """SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_regionkey")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+        .as("names"))
+      .orderBy("r_regionkey")
+  }
+
+  /** Trailing TIME-range window frame (RANGE over µs, not ROWS): each
+    * event's count/sum over its user's previous hour — the "rolling 1h
+    * metric per event" shape. ROWS frames can't express this (event
+    * density varies); the µs-integer RANGE frame is exact and identical
+    * in both engines. */
+  private val windowTimeRange = Q(
+    "window_time_range",
+    """SELECT user_id, event_id, n_1h,
+      |  CAST(round(sum_1h_d, 4) AS DOUBLE) AS sum_1h
+       |FROM (SELECT user_id, event_id,
+       |        count(*) OVER w AS n_1h,
+       |        sum(CAST(value AS DECIMAL(18,6))) OVER w AS sum_1h_d
+       |      FROM events
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast(DecimalType(18, 6))).over(w), 4)
+          .cast("double").as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds)
+    windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds,
+    aggStringConcat, windowTimeRange)
 }
