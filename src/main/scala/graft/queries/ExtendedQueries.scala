@@ -408,6 +408,38 @@ object ExtendedQueries {
       .orderBy("purchase_id")
   }
 
+  /** As-of with a max-staleness tolerance: the latest click at most 2 h
+    * before each purchase. Latest-≤ then null-if-stale is equivalent to
+    * latest-within-[t−tol, t] (if the latest match is stale, no match
+    * is inside the band), so the native merge needs no third code path
+    * — tolerance is a post-projection on its output. */
+  private val joinAsofTolerance = Q(
+    "join_asof_tolerance",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |        row_number() OVER (PARTITION BY p.event_id
+      |          ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) AS rn
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |        AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |        AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000)
+      |SELECT purchase_id, click_id FROM j WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cts"))
+    graft.plans.AsOfJoinOps.asofJoin(p, c, p("pu"), c("cu"),
+        p("pts"), c("cts"), c("click_id"))
+      .select(col("purchase_id"),
+        when(col("pts") - col("cts") <= 7200000000L, col("click_id"))
+          .as("click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Cohort retention: users bucketed by first-seen week, activity
     * counted per (cohort week, active week) — the canonical product
     * retention matrix. Weeks are integer `µs div 604800000000`, so the
@@ -639,5 +671,5 @@ object ExtendedQueries {
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds,
-    aggStringConcat, windowTimeRange)
+    aggStringConcat, windowTimeRange, joinAsofTolerance)
 }

@@ -159,6 +159,42 @@ object ScaleQueries {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    * scalar AVG subquery per part. Row-at-a-time evaluation is
+    * impossible at scale — Catalyst must decorrelate to an aggregated
+    * self-join; DuckDB plans it natively the same way. One portable
+    * string, exact decimal arithmetic. */
+  private val sqlQ17: String =
+    """SELECT count(*) AS n_small,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+      |WHERE p.p_size <= 10
+      |  AND l1.l_quantity < (SELECT 0.4 * avg(CAST(l2.l_quantity AS DECIMAL(28,6)))
+      |                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  private val sqlTpchQ17 = Q("sql_tpch_q17", sqlQ17) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(sqlQ17)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS in one query — the decorrelation
+    * shape behind semi/anti joins when written as predicates: customers
+    * WITH an urgent order but WITHOUT any 'F'-status order. */
+  private val sqlExists: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  private val sqlExistsDecorrelate = Q("sql_exists_decorrelate", sqlExists) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlExists)
+  }
+
   val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
-    sqlRecursiveBom, joinBloomPrefilter)
+    sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate)
 }
