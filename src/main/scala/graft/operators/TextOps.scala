@@ -257,6 +257,35 @@ object TextOps {
       regexp_replace(col(textCol), pattern, replacement).as("redacted"),
       regexp_count(col(textCol), lit(pattern)).cast("int").as("n_hits"))
 
+  /** Apply a TRAINED byte-pair-encoding merge list to every token —
+    * the real production tokenizer pattern: merges are learned offline
+    * on a sample (driver/offline job), then applied at corpus scale as
+    * pure per-row string work. Each token is exploded to a
+    * space-separated symbol sequence and the merges are applied in
+    * rank order as plain (non-regex) replaces — the exact BPE apply
+    * semantics, deterministic in any engine.
+    *
+    * Returns `(idCol, tok, units)` — one row per token with its final
+    * subword count.
+    *
+    * @note scale: zero shuffle — explode + a fixed chain of codegen'd
+    *   string replaces. A 100× corpus scales linearly; the merge table
+    *   is compile-time constant (for 30k+ merges, switch to a
+    *   mapPartitions trie tokenizer — same narrow shape). */
+  def bpeApply(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docs = normalized(df, idCol, textCol)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val sym0 = array_join(filter(split(col("tok"), ""), c => c =!= ""), " ")
+    val symFinal = merges.foldLeft(sym0) { case (c, (from, to)) =>
+      // non-regex replace; merge pair symbols are trusted literals
+      call_function("replace", c, lit(from), lit(to))
+    }
+    toks.select(col("doc_id"), col("tok"),
+      size(split(symFinal, " ")).cast("int").as("units"))
+  }
+
   /** Top-k tf-idf terms per doc: `(doc_id, tok, tfidf, rk)`. df(tok) is
     * derived from the tf aggregate (no second corpus pass); the
     * vocabulary-sized df table is broadcast. */

@@ -282,7 +282,34 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term")).limit(5)
   }
 
+  /** The trained merge list for [[bpeApply]] — rank-ordered pairs as a
+    * real BPE trainer would emit for this vocabulary. Shared verbatim
+    * by the Spark op and the generated oracle replace chain. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "e r" -> "er", "o r" -> "or", "t h" -> "th", "th e" -> "the",
+    "a t" -> "at", "s t" -> "st", "a n" -> "an", "i n" -> "in",
+    "r o" -> "ro", "or d" -> "ord", "ord er" -> "order", "k e y" -> "key")
+
+  /** BPE tokenizer application ([[TextOps.bpeApply]]): per-doc token
+    * and subword-unit totals under the fixed trained merge list. */
+  private val bpeApply = Q(
+    "llm_bpe_apply", {
+      val chain = bpeMerges.foldLeft("array_to_string(string_split(w, ''), ' ')") {
+        case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+      }
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |s AS (SELECT doc_id, len(string_split($chain, ' ')) AS units FROM t)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(units) AS BIGINT) AS n_units
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    TextOps.bpeApply(Tables.documents(s, d), bpeMerges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("units").as("n_units"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
     keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
-    piiRedact, repFilter, corpusReport, heavyHitters)
+    piiRedact, repFilter, corpusReport, heavyHitters, bpeApply)
 }

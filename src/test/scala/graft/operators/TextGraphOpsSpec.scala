@@ -56,4 +56,27 @@ class TextGraphOpsSpec extends SparkSpec {
     // doc 11: ln((0+1)/(0+2)) = ln 0.5  → -0.693147 → -0.6931
     assert(got == Seq((10L, 1L, -0.2877), (11L, 1L, -0.6931)))
   }
+
+  test("bpeApply merges in rank order: full-word merges collapse to one unit") {
+    import spark.implicits._
+    val merges = Seq("e r" -> "er", "o r" -> "or", "t h" -> "th",
+      "th e" -> "the", "s t" -> "st", "o r d" -> "_", // never matches post-merge
+      "or d" -> "ord", "ord er" -> "order", "k e y" -> "key")
+    val docs = Seq((1L, "the order key stream x")).toDF("doc_id", "text")
+    val got = TextOps.bpeApply(docs, merges)
+      .as[(Long, String, Int)].collect().map(t => t._2 -> t._3).toMap
+    // the: t h→th, th e→the → 1 unit; order: e r→er, o r→or, or d→ord,
+    // ord er→order → 1; key: k e y→key → 1; stream: 6 symbols, only
+    // s t fires → 5; x: single symbol → 1
+    assert(got == Map("the" -> 1, "order" -> 1, "key" -> 1,
+      "stream" -> 5, "x" -> 1))
+  }
+
+  test("triangleStats counts K4 as 4 triangles and ignores self-loops/dups") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "a")).toDF("src", "dst")
+    val r = GraphOps.triangleStats(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 4L)))
+  }
 }
