@@ -44,6 +44,37 @@ class IntervalScd2BloomSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals equals a brute-force scanline on random inputs") {
+    import spark.implicits._
+    // seeded pseudo-random cases: heavy duplicates, zero-length-ish and
+    // wide intervals, many keys
+    for (seed <- Seq(7L, 101L, 9999L)) {
+      val rows = (0 until 400).map { i =>
+        val k = (i * 2654435761L + seed) % 5
+        val s = (i * 40503L + seed * 31) % 300
+        val len = 1 + (i * 69069L + seed) % 40
+        (k, s, s + len)
+      }
+      val got = IntervalOps.mergeIntervals(rows.toDF("k", "s", "e"),
+          Seq("k"), "s", "e")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // reference: per-key sort + linear scanline fold
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val sorted = g.map(t => (t._2, t._3)).sortBy(identity)
+        val islands = sorted.tail.foldLeft(
+          List((sorted.head._1, sorted.head._2, 1L))) {
+          case ((s0, e0, n) :: rest, (s, e)) =>
+            if (s <= e0) (s0, math.max(e0, e), n + 1) :: rest
+            else (s, e, 1L) :: (s0, e0, n) :: rest
+          case (Nil, _) => Nil
+        }.reverse
+        islands.map { case (s, e, n) => (k, s, e, n) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("scd2: collapses runs, chains validity, flags only the last row") {
     import spark.implicits._
     val ev = Seq(
