@@ -425,6 +425,60 @@ object SimilarityOps {
         round(expr("aggregate(xs, 0D, (a, s) -> a + s.col)") / col("n"), 6)
           .as("mean"))
 
+  /** Random-hyperplane-LSH near-duplicate pairs — the beyond-broadcast
+    * scale path for [[cosineNearDups]]: vectors bucket by a
+    * `nPlanes`-bit signature (sign of the projection onto fixed
+    * pseudo-random ±1 hyperplanes), BANDED like MinHash-LSH: the bits
+    * split into `nPlanes/bandBits` bands and a pair becomes a candidate
+    * if it matches on ANY band — a pair at angle θ matches one band
+    * with probability (1−θ/π)^bandBits, so banding turns "all bits
+    * agree" (vanishing recall at moderate cosine) into a high-recall
+    * OR. Candidates are verified with the exact cosine, so precision is
+    * exact; recall is the tunable.
+    *
+    * Determinism by construction: projections are computed on
+    * micro-unit QUANTIZED components (round(x·1e6) as int64) with ±1
+    * integer weights derived from (plane, dim) by fixed arithmetic —
+    * integer sums are order-independent, so the signature (and hence
+    * the bucketing and the output) is identical on any partitioning and
+    * any engine. No float enters until the exact-cosine verify, which
+    * reuses the fold both engines share.
+    *
+    * @note scale: two shuffles (signature agg, bucket self-join); the
+    *   all-pairs work is confined to one bucket, and a hot bucket
+    *   AQE-skew-splits. Recall on planted near-dups is spec-gated
+    *   against the exact kernel. */
+  def rhpNearDups(df: DataFrame, minCosine: Double, nPlanes: Int = 16,
+      bandBits: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol).persist()
+    val proj = n
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+      .withColumn("x_u", round(col("x") * 1000000).cast("long"))
+      .withColumn("p", explode(sequence(lit(0), lit(nPlanes - 1))))
+      .withColumn("w",
+        when(pmod((col("p") * 1009 + col("d")) * lit(2654435761L), lit(97)) < 48,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy("vec_id", "p").agg(sum(col("w") * col("x_u")).as("s"))
+    val bands = proj
+      .withColumn("band", (col("p") / bandBits).cast("int"))
+      .groupBy("vec_id", "band")
+      .agg(sum(when(col("s") >= 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $bandBits AS INT))"))
+        .otherwise(lit(0L))).as("bsig"))
+      .persist() // both sides of the band self-join
+    val cands = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bsig") === col("b.bsig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi")).distinct()
+    val a = n.select(col("vec_id").as("ai"), col("v").as("av"), col("nrm").as("an"))
+    val b = n.select(col("vec_id").as("bi"), col("v").as("bv"), col("nrm").as("bn"))
+    cands.join(a, "ai").join(b, "bi")
+      .withColumn("cos", round(expr("vec_dot(av, bv)") / (col("an") * col("bn")), 6))
+      .filter(col("cos") > minCosine)
+      .select("ai", "bi", "cos")
+  }
+
   /** Normalized vectors on the unit sphere (dot == cosine), cached. */
   private def toUnit(
       typed: org.apache.spark.sql.Dataset[(Long, Seq[Double], Double)]):

@@ -129,6 +129,38 @@ object SimilarityQueries {
       .orderBy("stratum", "pos")
   }
 
+  /** RHP-LSH near-dup pairs ([[SimilarityOps.rhpNearDups]]): the oracle
+    * restates the SAME quantized-integer signature computation and
+    * bucket join, so the hash check pins the whole LSH path (weights,
+    * projections, bucketing, exact verify) — recall against the exact
+    * kernel is gated separately in `SimilaritySpec`. */
+  private val embLsh = Q(
+    "llm_dedup_emblsh",
+    s"""WITH $oNormed,
+       |e AS (SELECT vec_id, CAST(i AS BIGINT) AS d,
+       |        CAST(round(v[i+1] * 1000000) AS BIGINT) AS x_u
+       |      FROM n, unnest(range(len(v))) AS u(i)),
+       |pr AS (SELECT vec_id, p, sum(CASE WHEN ((p*1009 + d) * 2654435761) % 97 < 48
+       |                                  THEN x_u ELSE -x_u END) AS s
+       |       FROM e, (SELECT unnest(range(16)) AS p) GROUP BY 1, 2),
+       |bd AS (SELECT vec_id, CAST(p // 4 AS INT) AS band,
+       |         CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT))
+       |                       ELSE 0 END) AS BIGINT) AS bsig
+       |       FROM pr GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+       |         FROM bd a JOIN bd b ON a.band = b.band AND a.bsig = b.bsig
+       |           AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT ai, bi,
+       |            round(list_sum(list_transform(list_zip(na.v, nb.v), x -> x[1]*x[2]))
+       |                  / (na.nrm * nb.nrm), 6) AS cos
+       |          FROM cand
+       |          JOIN n na ON na.vec_id = ai
+       |          JOIN n nb ON nb.vec_id = bi)
+       |SELECT ai, bi, cos FROM pairs WHERE cos > 0.45 ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    SimilarityOps.rhpNearDups(Tables.embeddings(s, d), minCosine = 0.45)
+      .orderBy("ai", "bi")
+  }
+
   private val multimodalJoin = Q(
     "llm_multimodal_join",
     """SELECT d.doc_id, e.vec_id, d.lang,
@@ -166,5 +198,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
-    knnIvfPq, embedCentroid, multimodalJoin, multimodalFeatures)
+    knnIvfPq, embedCentroid, embLsh, multimodalJoin, multimodalFeatures)
 }

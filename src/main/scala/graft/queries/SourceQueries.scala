@@ -105,6 +105,29 @@ object SourceQueries {
           .as("checksum"))
   }
 
+  /** Z-order clustered rewrite + 2-D box read
+    * ([[graft.operators.LayoutOps.zOrderBy]]): lineitem rewritten on
+    * the Morton key of (partkey, suppkey), then a box predicate on both
+    * dimensions — after the rewrite each row group spans a small z
+    * range, so BOTH box bounds prune via parquet min/max stats (a
+    * single-column sort prunes only its lead column). Values are
+    * layout-invariant, so the oracle is the plain box aggregate over
+    * the original table. */
+  private val zorderBox = Q(
+    "sink_zorder_box",
+    s"""SELECT count(*) AS n, ${Det.osum("l_extendedprice")} AS rev
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val dir = tmp(s"zorder_${d.replaceAll("[^0-9.]", "")}")
+    graft.operators.LayoutOps.zOrderBy(li, "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(10, 40))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("rev"))
+  }
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune, textRoundtrip)
+    partitionedPrune, textRoundtrip, zorderBox)
 }

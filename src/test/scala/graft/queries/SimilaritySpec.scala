@@ -82,4 +82,37 @@ class SimilaritySpec extends SparkSpec {
       assert(grid == kernel, s"nBlocks=$b grid diverged")
     }
   }
+
+  test("RHP-LSH: exact precision vs the kernel; recall 1.0 on strong near-dups") {
+    import graft.operators.SimilarityOps
+    import graft.Tables
+    import spark.implicits._
+    // (a) on the fixture every emitted pair is a true pair (the exact
+    // verify makes precision structural, not probabilistic)
+    val emb = Tables.embeddings(spark, sf)
+    val exact = SimilarityOps.cosineNearDups(emb, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.rhpNearDups(emb, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact kernel rejects")
+    // (b) production regime: cosine ≥ ~0.99 dups (tiny perturbation of a
+    // seeded base vector) must ALL be found — the angle is small enough
+    // that each pair matches some 4-bit band essentially surely
+    val dim = 32
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(d => (((seed * 31 + d) * 2654435761L % 1997L)
+        - 998L).toFloat / 998f)
+    val rows = (0L until 50L).flatMap { i =>
+      val base = vec(i)
+      val dup = base.zipWithIndex.map { case (x, d) =>
+        x + (if (d % 7 == 0) 0.01f else 0f) }
+      Seq((i * 2, base), (i * 2 + 1, dup.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = SimilarityOps.rhpNearDups(df, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 50L).map(i => (i * 2, i * 2 + 1)).toSet
+    assert(planted.subsetOf(found),
+      s"missed ${(planted -- found).size} of 50 planted strong dups")
+  }
 }
