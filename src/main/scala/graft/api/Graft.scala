@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{DedupOps, DiffOps, EnrichOps, GraphOps, IntervalOps, JoinOps, KeyedOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, DiffOps, EnrichOps, GraphOps, IntervalOps, JoinOps, KeyedOps, LayoutOps, MultimodalOps, PackOps, RangeJoinOps, SampleOps, SimilarityOps, TextOps}
 import graft.plans.AsOfJoinOps
 import graft.streaming.StreamOps
 
@@ -53,8 +53,10 @@ object Graft {
   val graph: GraphOps.type = GraphOps
   /** Snapshot differencing + SCD2 historization from a changelog. */
   val diff: DiffOps.type = DiffOps
-  /** Interval algebra: per-key overlapping-interval merging. */
+  /** Interval algebra: per-key interval merging, session-id labeling. */
   val intervals: IntervalOps.type = IntervalOps
+  /** Data layout: z-order clustering for multi-dimensional scan pruning. */
+  val layout: LayoutOps.type = LayoutOps
 
   object joins {
     /** Native as-of join (custom Catalyst operator): latest `build` row
