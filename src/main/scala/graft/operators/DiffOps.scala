@@ -63,6 +63,38 @@ object DiffOps {
     survivors.unionByName(upserts)
   }
 
+  /** Conditional upsert — MERGE WHEN MATCHED AND newer THEN UPDATE,
+    * WHEN NOT MATCHED THEN INSERT: incoming rows replace the base row
+    * of their key only when strictly newer by `versionCols`
+    * (lexicographic), and insert when the key is absent. This is the
+    * idempotent merge a CDC consumer applies per batch — replaying an
+    * old batch cannot regress the table.
+    *
+    * Both inputs must carry one row per key (compact first when not).
+    *
+    * @note scale: ONE full-outer join on the key; with both sides
+    *   bucketed on the key the exchange disappears — the natural layout
+    *   for a continuously merged table. */
+  def mergeNewer(base: DataFrame, incoming: DataFrame,
+      keyCols: Seq[String], versionCols: Seq[String]): DataFrame = {
+    val dataCols = base.columns.filterNot(keyCols.contains).toSeq
+    require(incoming.columns.sorted.sameElements(base.columns.sorted),
+      "base and incoming must share a schema")
+    val b = base.select(keyCols.map(col) ++
+      dataCols.map(c => col(c).as("b_" + c)): _*)
+    val i = incoming.select(keyCols.map(col) ++
+      dataCols.map(c => col(c).as("i_" + c)): _*)
+    val newer = versionCols.foldRight(lit(false)) { (vc, tieRest) =>
+      col("i_" + vc) > col("b_" + vc) ||
+        (col("i_" + vc) === col("b_" + vc) && tieRest)
+    }
+    val takeIncoming = col("b_" + versionCols.head).isNull || newer
+    b.join(i, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ dataCols.map(c =>
+        when(takeIncoming && col("i_" + versionCols.head).isNotNull,
+          col("i_" + c)).otherwise(col("b_" + c)).as(c)): _*)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) build from a keyed
     * changelog: collapse consecutive duplicates of the tracked
     * attribute, then stamp each surviving state with its validity

@@ -621,6 +621,39 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Conditional MERGE ([[graft.operators.DiffOps.mergeNewer]]): the
+    * events changelog split by event-id parity into two compacted
+    * halves, then merged update-if-newer — for every key the merge must
+    * pick whichever half holds the overall-latest row, so the result
+    * equals compacting the WHOLE changelog and the oracle is verbatim
+    * `cdc_upsert_latest`'s. Parity (not time) splitting makes the
+    * condition do real work: neither side is uniformly newer. */
+  private val cdcMergeNewer = Q(
+    "cdc_merge_newer",
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value, epoch_us(ts) AS last_ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    def compact(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+    }
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_id").as("last_event_id"), col("event_type").as("last_type"),
+      col("value").as("last_value"), unix_micros(col("ts")).as("last_ts_us"))
+    val base = compact(ev.filter(col("last_event_id") % 2 === 0))
+    val incoming = compact(ev.filter(col("last_event_id") % 2 === 1))
+    graft.operators.DiffOps.mergeNewer(base, incoming,
+        keyCols = Seq("user_id"),
+        versionCols = Seq("last_ts_us", "last_event_id"))
+      .select("user_id", "last_event_id", "last_type", "last_value",
+        "last_ts_us")
+      .orderBy("user_id")
+  }
+
   /** Ordered string aggregation (LISTAGG WITHIN GROUP ↔ DuckDB
     * string_agg ORDER BY): deterministic because the intra-group order
     * is total. */
@@ -671,5 +704,5 @@ object ExtendedQueries {
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds,
-    aggStringConcat, windowTimeRange, joinAsofTolerance)
+    aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer)
 }

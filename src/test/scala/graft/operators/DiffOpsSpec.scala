@@ -28,6 +28,27 @@ class DiffOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "update"), (2L, "update")))
   }
 
+  test("mergeNewer: updates only strictly-newer, inserts absent, replay cannot regress") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, "old"), (2L, 20L, "keep"), (3L, 30L, "tie"))
+      .toDF("k", "ver", "v")
+    val incoming = Seq((1L, 11L, "newer"), (3L, 30L, "tie-incoming"),
+      (4L, 5L, "insert")).toDF("k", "ver", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").as[(Long, Long, String)].collect().toSeq
+    val merged = DiffOps.mergeNewer(base, incoming, Seq("k"), Seq("ver"))
+    // 1 updated (11 > 10), 2 untouched, 3 kept (tie is NOT newer), 4 inserted
+    assert(rows(merged) == Seq((1L, 11L, "newer"), (2L, 20L, "keep"),
+      (3L, 30L, "tie"), (4L, 5L, "insert")))
+    // idempotent: applying the same batch again changes nothing
+    assert(rows(DiffOps.mergeNewer(merged, incoming, Seq("k"), Seq("ver")))
+      == rows(merged))
+    // replaying an OLDER batch cannot regress the table
+    val older = Seq((1L, 2L, "stale"), (4L, 1L, "stale")).toDF("k", "ver", "v")
+    assert(rows(DiffOps.mergeNewer(merged, older, Seq("k"), Seq("ver")))
+      == rows(merged))
+  }
+
   test("applyChangelog inverts snapshotDiff: apply(old, diff+payload) == new") {
     import spark.implicits._
     // pseudo-random keyed frames with nulls, overlapping and disjoint keys
