@@ -699,10 +699,38 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** A4 approximate sketches as first-class keys. Sketch outputs are
+    * engine-specific (HLL++ / KLL internals), so these take the
+    * driver's rows-only check; their accuracy against the exact
+    * aggregates is gated by `SketchAccuracySpec` (±5% / ±1 rank).
+    *
+    * @note scale: THIS is the 100 TB path for distinct counts and
+    *   quantiles — fixed-size sketch state, partial-merge friendly,
+    *   one-pass; the exact twins (`agg_count_distinct`,
+    *   `agg_percentile_exact`) are the correctness anchors. */
+  private val aggApproxDistinct = Q.noOracle("agg_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  private val aggApproxQuantile = Q.noOracle("agg_approx_quantile") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds,
-    aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer)
+    aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
+    aggApproxDistinct, aggApproxQuantile)
 }

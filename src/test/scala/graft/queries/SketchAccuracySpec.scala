@@ -24,6 +24,17 @@ class SketchAccuracySpec extends SparkSpec {
       s"rsd=0.01: ${row.getLong(2)} vs $exact")
   }
 
+  test("A4 approx_percentile within 1% of the exact quantile") {
+    val li = Tables.lineitem(spark, sf)
+    val row = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx")).head()
+    val exact = row.getDouble(0)
+    assert(math.abs(row.getDouble(1) - exact) / exact <= 0.01,
+      s"approx p50 ${row.getDouble(1)} vs exact $exact")
+  }
+
   test("SpaceSaving under capacity pressure: heavy hitters survive, bounds hold") {
     import spark.implicits._
     // Skew over 12 terms, freq(i) = (13-i)^3: the SpaceSaving presence
