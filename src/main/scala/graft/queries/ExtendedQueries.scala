@@ -726,11 +726,54 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Boolean aggregates (ALL/ANY predicates per group). */
+  private val aggBool = Q(
+    "agg_bool",
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity < 50) AS all_small,
+      |  bool_or(l_discount > 0.09) AS any_deep_discount,
+      |  bool_and(l_extendedprice > 0) AS all_positive
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(bool_and(col("l_quantity") < 50).as("all_small"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        bool_and(col("l_extendedprice") > 0).as("all_positive"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Last-observation-carried-forward via IGNORE NULLS window: every
+    * event carries its user's most recent purchase value (NULL until
+    * the first purchase) — the per-event LOCF shape, complementing the
+    * hourly-scaffold `state_forward_fill`. */
+  private val windowLocf = Q(
+    "window_locf_fill",
+    """SELECT user_id, event_id,
+      |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_type = 'purchase' THEN value END AS pv
+      |      FROM events)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .select(col("user_id"), col("event_id"),
+        last(col("pv"), ignoreNulls = true).over(w)
+          .as("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
-    aggApproxDistinct, aggApproxQuantile)
+    aggApproxDistinct, aggApproxQuantile, aggBool, windowLocf)
 }

@@ -355,7 +355,34 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
+  /** URL parsing: Spark's native `parse_url` against a regex oracle
+    * (DuckDB has no URL parser) — every constructed URL carries a query
+    * string, so parse_url's NULL-on-absent and regexp_extract's
+    * ''-on-absent never diverge. */
+  private val scalarUrl = Q(
+    "scalar_url",
+    """WITH u AS (SELECT doc_id,
+      |    'https://' || source || '.example.com/docs/' || doc_id
+      |      || '?lang=' || lang || '&v=2' AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, '://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]lang=([^&]+)', 1) AS lang_param
+      |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("?lang="), col("lang"), lit("&v=2")).as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(scalarString, scalarDatetime, scalarMath,
     scalarConditional, scalarArray, scalarJson, udfScalar, aggWeightedAvg,
-    scalarBitwise, scalarTrig, scalarCast, scalarMap, scalarStrsim)
+    scalarBitwise, scalarTrig, scalarCast, scalarMap, scalarStrsim,
+    scalarUrl)
 }
