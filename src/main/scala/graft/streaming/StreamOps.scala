@@ -165,6 +165,31 @@ object StreamOps {
       .select(col("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** T9 outer face: LEFT-OUTER interval join — clicks with no view in
+    * the band emit a null-extended row once the watermark proves no
+    * match can still arrive. The null side is therefore
+    * WATERMARK-GATED: rows near the end of a bounded replay never get
+    * their nulls (the watermark stops at max event − delay), which is
+    * correct streaming semantics, not data loss — the equivalence spec
+    * asserts exact agreement with the batch left join below the
+    * watermark horizon and match-only agreement above it. */
+  def intervalJoinOuter(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    c.join(v, col("user_id") === col("v_uid") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("c_ts"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
   /** T7: keyed stateful forward-fill (`flatMapGroupsWithState`): per user,
     * emit one row per hour carrying the latest observed value into hours
     * with no events. An hour is emitted when the first event of a later

@@ -87,4 +87,47 @@ class StreamingEquivalenceSpec extends SparkSpec {
     val s = replay(StreamOps.intervalJoin, "append", "t_ivjoin")
     assert(rows(s) == rows(SparkEntry.queries("stream_interval_join")(spark, sf)))
   }
+
+  test("T9-outer: null extension exact below the watermark horizon, match-only above") {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val streamed = replay(StreamOps.intervalJoinOuter, "append", "t_ivjoin_outer")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sf)
+    val batch = {
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      c.join(v, col("user_id") === col("v_uid") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v_ts") <= col("c_ts"), "left_outer")
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          unix_micros(col("c_ts")).as("c_ts_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    }
+    // matched rows are watermark-independent: exact equality
+    assert(streamed.filter(_._3 >= 0).sorted.toSeq ==
+      batch.filter(_._3 >= 0).sorted.toSeq)
+    // null-extended rows: every one the stream emitted is genuine…
+    val streamedNulls = streamed.filter(_._3 < 0).map(t => (t._1, t._2)).toSet
+    val batchNulls = batch.filter(_._3 < 0).map(t => (t._1, t._2)).toSet
+    assert(streamedNulls.subsetOf(batchNulls))
+    // …and below the final-watermark horizon none may be missing
+    // the GLOBAL watermark is the min across both watermarked inputs —
+    // the view side usually ends earlier than the click side, so the
+    // horizon derives from min(max click ts, max view ts) − delay, less
+    // the band and a batch of slack
+    import org.apache.spark.sql.functions.max
+    def sideMax(t: String) = ev.filter(col("event_type") === t)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val globalWm = math.min(sideMax("click"), sideMax("view")) - 3600L * 1000000
+    val horizon = globalWm - 1800L * 1000000
+    val dueNulls = batch.filter(t => t._3 < 0 && t._4 < horizon)
+      .map(t => (t._1, t._2)).toSet
+    assert(dueNulls.subsetOf(streamedNulls),
+      s"${(dueNulls -- streamedNulls).size} overdue null-extensions missing")
+  }
 }
