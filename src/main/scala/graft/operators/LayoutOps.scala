@@ -40,4 +40,52 @@ object LayoutOps {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Hilbert-curve key of two non-negative integer columns — the
+    * stronger-locality alternative to [[zValue]] (consecutive curve
+    * positions are always grid-adjacent; Morton's are not). Rides the
+    * native codegen expression [[graft.functions.HilbertIndex]]. */
+  def hilbertValue(x: Column, y: Column, order: Int = 16): Column =
+    call_function("hilbert_index", x.cast("long"), y.cast("long"), lit(order))
+
+  /** [[zOrderBy]]'s Hilbert twin: rewrite `df` clustered on the Hilbert
+    * index of (`xCol`, `yCol`). Same write-side contract — values
+    * untouched, only file order/boundaries change. */
+  def hilbertBy(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int = 8, order: Int = 16): DataFrame =
+    df.withColumn("__h", hilbertValue(col(xCol), col(yCol), order))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+
+  /** Compact a parquet directory's small files into ~`targetFileBytes`
+    * files: list the leaf files (one driver-side FS listing, no data
+    * read), size the output file count from the actual byte total, and
+    * rewrite with a round-robin repartition (parquet re-encodes, so
+    * output bytes ≈ input bytes for the same codec). Returns the
+    * compacted copy's scan.
+    *
+    * @note scale: small-files pathology is the #1 operational tax on a
+    *   100 TB lake — a 1k-row-files table pays per-file open/footer
+    *   costs and floods the driver's listing. Compaction is one shuffle
+    *   of the data it rewrites; run it per partition-directory so each
+    *   rewrite is independent and incremental. The round-robin
+    *   repartition deliberately does NOT re-sort: compose with
+    *   [[zOrderBy]]/[[hilbertBy]] when the table also wants clustering. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetFileBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
 }

@@ -30,6 +30,51 @@ object TextOps {
       regexp_count(col("text"), lit("[a-z]+")).cast("int").as("n_alpha"),
       length(col("text")).as("n_chars_calc"))
 
+  /** Corpus boilerplate detection (the C4/CCNet "duplicated span"
+    * analysis): every n-gram appearing in at least `minDocs` DISTINCT
+    * documents, with its document frequency — `(g, n_docs)`. Downstream
+    * cleaners anti-join docs' spans against this table to strip shared
+    * headers/footers/license blocks, and decontamination treats high-df
+    * grams as carrying no signal.
+    *
+    * @note scale: explode to distinct per-doc grams (corpus tokens × n
+    *   rows, but map-side — no join), ONE shuffle on the gram for the
+    *   doc-frequency agg with partial aggregation upstream, and the
+    *   `minDocs` filter drops the long unique tail before any sink. For
+    *   100 TB corpora, group on [[graft.functions.Hashes.polyHash]] of
+    *   the gram instead to shuffle 8-byte keys (collision odds
+    *   |grams|²/2^57), keeping one gram string per group via `min`. */
+  def hotNgrams(df: DataFrame, n: Int = 5, minDocs: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    DedupOps.shingles(df, idCol, textCol, n)
+      .groupBy(col("sh").as("g"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate fraction against [[hotNgrams]]: how much
+    * of each doc's distinct n-gram set is corpus-shared —
+    * `(doc_id, n_grams, n_hot, hot_ratio)`. The row-level quality
+    * signal cleaners threshold on (a doc that is mostly shared spans is
+    * a template, not content). Docs shorter than `n` tokens have no
+    * grams and drop out, mirroring the gram build.
+    *
+    * @note scale: reuses the one gram explode for both sides; the hot
+    *   table is df-filtered (tiny — boilerplate is by definition rare
+    *   distinct mass) so the back-join broadcasts. Two shuffles total:
+    *   gram df-agg, per-doc agg. */
+  def boilerplateRatio(df: DataFrame, n: Int = 5, minDocs: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = DedupOps.shingles(df, idCol, textCol, n)
+    val hot = hotNgrams(df, n, minDocs, idCol, textCol)
+      .select(col("g").as("sh"), lit(1).as("is_hot"))
+    grams.join(broadcast(hot), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_hot"), lit(0))).cast("long").as("n_hot"))
+      .withColumn("hot_ratio",
+        round(col("n_hot").cast("double") / col("n_grams"), 6))
+  }
+
   /** Whole-document rolling-hash fingerprint: `(doc_id, fp)`. */
   def fingerprint(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

@@ -570,6 +570,51 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Exact Pearson correlation — [[aggCovar]]'s companion: every moment
+    * (Σx, Σy, Σxy, Σx², Σy²) is an EXACT decimal sum of integer
+    * micro-units, so the only float steps are the final decimal→double
+    * conversions and one sqrt/divide written identically on both
+    * engines. The fixed-point factor cancels between numerator and
+    * denominator, so no unscaling is needed; rounded to 6 to absorb the
+    * last-bit of the double division. */
+  private val aggCorr = Q(
+    "agg_corr_exact",
+    """WITH u AS (SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |        CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |        CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |        CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+      |        CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+      |      FROM u GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+      |           * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 6) AS corr
+      |FROM g ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val D0 = DecimalType(38, 0)
+    val u = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    u.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D0)).cast(D0).as("sx"),
+        sum(col("y").cast(D0)).cast(D0).as("sy"),
+        sum(col("x").cast(D0) * col("y").cast(D0)).cast(D0).as("sxy"),
+        sum(col("x").cast(D0) * col("x").cast(D0)).cast(D0).as("sxx"),
+        sum(col("y").cast(D0) * col("y").cast(D0)).cast(D0).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast(D0) * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n").cast(D0) * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n").cast(D0) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("corr"))
+      .orderBy("l_returnflag")
+  }
+
   /** MERGE-shaped changelog application ([[graft.operators.DiffOps
     * .applyChangelog]]): derive the old→new changelog with
     * [[graft.operators.DiffOps.snapshotDiff]], attach the new payload,
@@ -773,7 +818,7 @@ object ExtendedQueries {
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore, aggMode, aggCovar, cdcApplyChangelog, stateSessionIds,
+    windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggBool, windowLocf)
 }

@@ -37,5 +37,33 @@ object ProfileQueries {
       Seq("l_quantity", "l_discount", "l_tax"))
   }
 
-  val all: Seq[Q] = Seq(histogram, profile)
+  /** Equal-frequency (quantile) binning — the feature-discretization
+    * pass: customers cut into balance deciles via ntile over a TOTAL
+    * order (unique custkey tiebreak makes the cut deterministic on both
+    * engines), then per-bin population and range. The profile-side twin
+    * of a Bucketizer fit.
+    *
+    * @note scale: a global ntile is a single-partition window — fine
+    *   for profiling samples; at full 100 TB switch the cut points to
+    *   approx_percentile and bin map-side with width_bucket, trading
+    *   exact equal counts for a shuffle-free pass. */
+  private val quantileBins = Q(
+    "profile_quantile_bins",
+    s"""WITH b AS (SELECT c_acctbal,
+       |    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+       |  FROM customer)
+       |SELECT bin, count(*) AS n, round(min(c_acctbal), 6) AS lo,
+       |  round(max(c_acctbal), 6) AS hi
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_acctbal"), ntile(10).over(w).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), round(min("c_acctbal"), 6).as("lo"),
+        round(max("c_acctbal"), 6).as("hi"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(histogram, profile, quantileBins)
 }

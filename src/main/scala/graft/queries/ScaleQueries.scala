@@ -195,6 +195,28 @@ object ScaleQueries {
     s.sql(sqlExists)
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers survive with n_orders = 0, then the
+    * count-of-counts rollup — the double-aggregation distribution query
+    * every profiling pass runs. One portable string.
+    *
+    * @note scale: the left join shuffles both sides on custkey with the
+    *   orders side pre-aggregated map-side; the second agg groups on the
+    *   tiny distinct-count domain, so it's a near-free exchange. */
+  private val sqlQ13: String =
+    """SELECT n_orders, count(*) AS n_cust
+      |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |      GROUP BY c.c_custkey) t
+      |GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  private val sqlTpchQ13 = Q("sql_tpch_q13", sqlQ13) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlQ13)
+  }
+
   val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
-    sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate)
+    sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate,
+    sqlTpchQ13)
 }

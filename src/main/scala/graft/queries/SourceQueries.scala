@@ -128,6 +128,82 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("rev"))
   }
 
+  /** Hilbert clustered rewrite + 2-D box read
+    * ([[graft.operators.LayoutOps.hilbertBy]]): [[zorderBox]]'s twin on
+    * the Hilbert curve — stronger locality (consecutive curve positions
+    * are always grid-adjacent, so row groups cover tighter boxes), same
+    * layout-invariance contract, same plain box-aggregate oracle. A
+    * different box than the z-order key so the two prune independently. */
+  private val hilbertBox = Q(
+    "sink_hilbert_box",
+    s"""SELECT count(*) AS n, ${Det.osum("l_extendedprice")} AS rev
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 500 AND 800 AND l_suppkey BETWEEN 50 AND 90""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val dir = tmp(s"hilbert_${d.replaceAll("[^0-9.]", "")}")
+    graft.operators.LayoutOps.hilbertBy(li, "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("l_partkey").between(500, 800) &&
+        col("l_suppkey").between(50, 90))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("rev"))
+  }
+
+  /** Small-files compaction ([[graft.operators.LayoutOps.compact]]):
+    * orders deliberately shattered into 64 tiny files, compacted back by
+    * byte-sized bin-packing, then aggregated from the compacted copy.
+    * The oracle aggregates the original table — any row lost or
+    * duplicated by the rewrite breaks the hash; the file-count bound is
+    * spec-side (`LayoutSpec`). */
+  private val layoutCompact = Q(
+    "layout_compact",
+    s"""SELECT o_orderstatus, count(*) AS n, ${Det.osum("o_totalprice")} AS tot
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val shattered = tmp(s"shatter_${d.replaceAll("[^0-9.]", "")}")
+    val compacted = tmp(s"compact_${d.replaceAll("[^0-9.]", "")}")
+    ord.repartition(64).write.mode("overwrite").parquet(shattered)
+    graft.operators.LayoutOps
+      .compact(s, shattered, compacted, targetFileBytes = 4L * 1024 * 1024)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("tot"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Schema evolution under `mergeSchema` (S5's other operational
+    * face): an early batch written with a narrow schema, a later batch
+    * with an added column, one merged read — old rows surface the new
+    * column as NULL. The oracle reproduces the per-batch membership
+    * with the same key-parity split, so both the merge AND the null
+    * semantics are hash-pinned.
+    *
+    * @note scale: mergeSchema reconciles footers at planning time
+    *   (driver-side, O(files) — on a real lake pin the merged schema in
+    *   a catalog instead of re-deriving it per query); the scan itself
+    *   stays columnar with constant-NULL fill for absent chunks. */
+  private val schemaEvolution = Q(
+    "source_schema_evolution",
+    s"""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'NONE' ELSE o_orderpriority END AS pri,
+       |  count(*) AS n, ${Det.osum("o_totalprice")} AS tot
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val dir = tmp(s"evo_${d.replaceAll("[^0-9.]", "")}")
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/batch1")
+    ord.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch1", s"$dir/batch2")
+      .select(coalesce(col("o_orderpriority"), lit("NONE")).as("pri"),
+        col("o_totalprice"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("tot"))
+      .orderBy("pri")
+  }
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
-    partitionedPrune, textRoundtrip, zorderBox)
+    partitionedPrune, textRoundtrip, zorderBox, hilbertBox, layoutCompact,
+    schemaEvolution)
 }

@@ -259,6 +259,26 @@ object StreamingQueries {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** J5 streaming side — stream-static broadcast enrichment
+    * ([[graft.streaming.StreamOps.enrichStatic]]): events enriched with
+    * the customer dimension on user_id and rolled up per market
+    * segment. The streaming twin replays identically
+    * (`EnrichmentAndTwsSpec` J5-stream); this batch face carries the
+    * oracle. */
+  private val enrichStatic = Q(
+    "stream_enrich_static",
+    s"""SELECT c.c_mktsegment, count(*) AS n, ${Det.osum("e.value")} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.streaming.StreamOps
+      .enrichStatic(Tables.events(s, d), dim, Seq("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel, sessionDynamic, intervalJoin)
+    cepSequence, cepFunnel, sessionDynamic, intervalJoin, enrichStatic)
 }

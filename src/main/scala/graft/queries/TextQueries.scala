@@ -309,7 +309,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate n-gram detection ([[TextOps.hotNgrams]]): 5-grams
+    * shared by ≥3 documents with their document frequency — the
+    * duplicated-span table C4-style cleaners strip against. The oracle
+    * rebuilds the same distinct-per-doc gram set with DuckDB list
+    * slicing. */
+  private val boilerplateNgrams = Q(
+    "llm_boilerplate_ngrams",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      |          FROM toks, UNNEST(generate_series(1, len(t)-4)) AS u(i)
+      |          WHERE len(t) >= 5)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM grams GROUP BY g
+      |HAVING count(*) >= 3 ORDER BY g""".stripMargin) { (s, d) =>
+    TextOps.hotNgrams(Tables.documents(s, d), n = 5, minDocs = 3)
+      .orderBy("g")
+  }
+
+  /** Per-doc boilerplate fraction ([[TextOps.boilerplateRatio]]): the
+    * row-level signal derived from the hot-gram table — what fraction
+    * of each doc's distinct 5-grams are shared by ≥3 docs. */
+  private val boilerplateRatio = Q(
+    "llm_boilerplate_ratio",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      |          FROM toks, UNNEST(generate_series(1, len(t)-4)) AS u(i)
+      |          WHERE len(t) >= 5),
+      |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 3)
+      |SELECT grams.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN hot.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+      |  round(CAST(sum(CASE WHEN hot.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS hot_ratio
+      |FROM grams LEFT JOIN hot ON grams.g = hot.g
+      |GROUP BY grams.doc_id ORDER BY grams.doc_id""".stripMargin) { (s, d) =>
+    TextOps.boilerplateRatio(Tables.documents(s, d), n = 5, minDocs = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
     keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
-    piiRedact, repFilter, corpusReport, heavyHitters, bpeApply)
+    piiRedact, repFilter, corpusReport, heavyHitters, bpeApply,
+    boilerplateNgrams, boilerplateRatio)
 }

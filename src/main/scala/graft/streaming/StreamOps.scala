@@ -87,6 +87,20 @@ object StreamOps {
       idCol: String = "event_id", salt: Long = 0L): DataFrame =
     graft.operators.SampleOps.hashSample(ev, rate, idCol, salt)
 
+  /** J5 streaming side: stream-static broadcast enrichment — the Flink
+    * broadcast-state pattern as a stream⋈static inner join on `keys`.
+    * Stateless and append-safe (no watermark needed: the static side is
+    * re-read/re-broadcast per micro-batch, which is also how dimension
+    * updates between batches become visible). The same call works on a
+    * batch frame, which is what carries the DuckDB oracle key.
+    *
+    * @note scale: the dim side must stay broadcast-sized (the hint makes
+    *   the planner refuse rather than silently shuffle the stream); for
+    *   bigger dims pre-bucket both sides on the key instead. */
+  def enrichStatic(ev: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    ev.join(broadcast(dim), keys, "inner")
+
   /** T2: 1-hour tumbling event-time window per event_type. */
   def tumblingHour(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes")

@@ -26,6 +26,21 @@ class GraftApiSpec extends SparkSpec {
     assert(q.count() == docs.count())
   }
 
+  test("boilerplate ops accept custom column names") {
+    val docs = Tables.documents(spark, sf)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")
+    val viaApi = Graft.text.hotNgrams(docs, n = 5, minDocs = 3,
+        idCol = "id", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaKey = graft.SparkEntry.queries("llm_boilerplate_ngrams")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaApi == viaKey && viaApi.nonEmpty)
+    val ratios = Graft.text.boilerplateRatio(docs, idCol = "id", textCol = "body")
+    assert(ratios.columns.toSeq == Seq("doc_id", "n_grams", "n_hot", "hot_ratio"))
+    assert(ratios.filter(col("hot_ratio") > 0).count() > 0,
+      "fixture must contain shared spans")
+  }
+
   test("similarity ops accept custom column names") {
     val emb = Tables.embeddings(spark, sf)
       .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "vec")

@@ -67,4 +67,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("join_bloom_prefilter")
     assert(p.contains("GreaterThan(o_totalprice,400000.0)"), p)
   }
+
+  test("stream-static enrichment broadcasts the dimension side") {
+    assert(plan("stream_enrich_static").contains("BroadcastHashJoin"))
+  }
+
+  test("boilerplate ratio broadcasts the hot-gram table back-join") {
+    assert(plan("llm_boilerplate_ratio").contains("BroadcastHashJoin"))
+  }
+
+  test("Q13 keeps the zero-preserving join LEFT outer after optimization") {
+    val p = plan("sql_tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+  }
 }
