@@ -35,4 +35,36 @@ object ProfileOps {
         .select("col_name", "n", "n_null", "n_distinct", "mn", "mx")
     }.reduce(_ unionByName _).orderBy("col_name")
   }
+
+  /** Expectation validation, the Deequ-style quality gate: each check
+    * is `(name, bad-row predicate)`; returns one `(check_name, n_bad)`
+    * row per check. ALL checks evaluate in ONE scan — a single global
+    * aggregate of conditional counters, then a stack to the long shape —
+    * so adding a check is free at 100 TB (no extra pass per
+    * expectation). Cross-table rules (FK orphans) are [[fkOrphans]].
+    *
+    * A violation COUNT rather than a boolean: pipelines gate on
+    * thresholds ("< 0.1% bad rows"), and the count is what you alert
+    * on, log, and trend. */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty)
+    val agged = df.agg(
+      sum(when(checks.head._2, 1L).otherwise(0L)).as(checks.head._1),
+      checks.tail.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(n) }: _*)
+    val stackArgs = checks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+    agged.select(expr(
+      s"stack(${checks.size}, $stackArgs) AS (check_name, n_bad)"))
+  }
+
+  /** Referential-integrity check: child rows whose `childKey` has no
+    * match in `parent.parentKey` — `(check_name, n_bad)`, one row.
+    * @note scale: a LEFT ANTI join (shuffle or broadcast by size);
+    *   null child keys count as orphans (a null FK violates too). */
+  def fkOrphans(name: String, child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit(name).as("check_name"), col("n_bad"))
 }

@@ -65,5 +65,104 @@ object ProfileQueries {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(histogram, profile, quantileBins)
+  /** Expectation validation ([[graft.operators.ProfileOps.rowChecks]] +
+    * [[graft.operators.ProfileOps.fkOrphans]]): the Deequ-style quality
+    * gate — domain, range, PK-uniqueness and FK-integrity checks as one
+    * stacked `(check_name, n_bad)` report. Row checks share ONE scan
+    * per table; the mix includes checks that fire (>0) and checks that
+    * hold (0) so both outcomes are hash-pinned. */
+  private val constraints = Q(
+    "profile_constraints",
+    """SELECT 'l_discount_le_8pct' AS check_name,
+      |  CAST(count(CASE WHEN l_discount > 0.08 THEN 1 END) AS BIGINT) AS n_bad
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_orderkey_fk', CAST(count(*) AS BIGINT) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'o_custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'o_pk_unique', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'o_status_domain',
+      |  CAST(count(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 END) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice_cap_450k',
+      |  CAST(count(CASE WHEN o_totalprice > 450000 THEN 1 END) AS BIGINT) FROM orders
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    import graft.operators.ProfileOps
+    val orders = Tables.orders(s, d)
+    val rowRules = ProfileOps.rowChecks(orders, Seq(
+      "o_status_domain" -> !col("o_orderstatus").isin("P", "O", "F"),
+      "o_totalprice_cap_450k" -> (col("o_totalprice") > 450000)))
+    val liRules = ProfileOps.rowChecks(Tables.lineitem(s, d), Seq(
+      "l_discount_le_8pct" -> (col("l_discount") > 0.08)))
+    val pkUnique = orders
+      .agg((count(lit(1)) - count_distinct(col("o_orderkey")))
+        .cast("long").as("n_bad"))
+      .select(lit("o_pk_unique").as("check_name"), col("n_bad"))
+    val fks =
+      ProfileOps.fkOrphans("o_custkey_fk", orders, Tables.customer(s, d),
+          "o_custkey", "c_custkey")
+        .unionByName(ProfileOps.fkOrphans("l_orderkey_fk",
+          Tables.lineitem(s, d), orders, "l_orderkey", "o_orderkey"))
+    rowRules.unionByName(liRules).unionByName(pkUnique).unionByName(fks)
+      .orderBy("check_name")
+  }
+
+  /** Semi-structured key census: parse the events' JSON payload as a
+    * map and profile which keys appear with what frequency and numeric
+    * mass — the discovery pass before promoting JSON fields to typed
+    * columns. Spark parses once into a map (`from_json`) and explodes;
+    * the oracle walks DuckDB's json_keys the same way.
+    *
+    * @note scale: one narrow parse+explode, one hash agg on the key —
+    *   output is the number of DISTINCT keys, so the report stays tiny
+    *   however wide the payloads get. */
+  private val jsonKeys = Q(
+    "profile_json_keys",
+    """SELECT k, count(*) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.'||k) AS BIGINT)) AS BIGINT) AS sum_v
+      |FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)
+      |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("k")
+  }
+
+  /** Corrupt-record tolerance: 1% of the JSON payloads are mangled
+    * in-flight, the parse (`from_json`, PERMISSIVE by default) yields
+    * NULL instead of failing the job, and the report counts parse
+    * failures per event type while aggregating the valid remainder —
+    * the "bad rows must not kill the pipeline" contract, hash-pinned.
+    * The oracle reproduces the mangling predicate and the null-out. */
+  private val corruptTolerant = Q(
+    "profile_corrupt_tolerant",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(count(CASE WHEN event_id % 100 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+      |  CAST(sum(CASE WHEN event_id % 100 <> 0
+      |             THEN CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val mangled = when(col("event_id") % 100 === 0,
+      concat(lit("NOT_JSON"), col("props"))).otherwise(col("props"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(mangled, org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)).as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(element_at(col("m"), "k")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(histogram, profile, quantileBins, constraints,
+    jsonKeys, corruptTolerant)
 }
