@@ -163,6 +163,42 @@ object ProfileQueries {
       .orderBy("event_type")
   }
 
+  /** Exact higher moments (skewness + excess kurtosis per group) —
+    * completes the moments family (count/mean/var → covar → corr →
+    * skew/kurt), the drift-detection statistics a profiling pass
+    * trends. Power sums Σx..Σx⁴ are EXACT decimal sums of integer
+    * micro-units (x ≤ 5000 so x⁴ fits BIGINT per row; only the sum
+    * needs decimal); the moment combination runs in double through ONE
+    * portable SQL string executed verbatim by both engines, so every
+    * IEEE operation — including the correctly-rounded sqrt — is
+    * expression-identical. No pow(): `m2·sqrt(m2)` instead, because
+    * pow is not correctly rounded and may differ across libm
+    * implementations. */
+  private val momentsSql: String =
+    """WITH u AS (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS x FROM lineitem),
+      |g AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+      |        CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |        CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+      |        CAST(sum(CAST(x * x * x AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+      |        CAST(sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      |      FROM u GROUP BY 1),
+      |m AS (SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4 FROM g),
+      |c AS (SELECT l_returnflag, n, mu,
+      |        s2 / n - mu * mu AS m2,
+      |        s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu AS m3,
+      |        s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu AS m4
+      |      FROM m)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n, round(mu / 100, 6) AS mean_q,
+      |  round(m2 / 10000, 6) AS var_q,
+      |  round(m3 / (m2 * sqrt(m2)), 6) AS skew_q,
+      |  round(m4 / (m2 * m2) - 3, 6) AS kurt_q
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  private val moments = Q("profile_moments", momentsSql) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(momentsSql)
+  }
+
   val all: Seq[Q] = Seq(histogram, profile, quantileBins, constraints,
-    jsonKeys, corruptTolerant)
+    jsonKeys, corruptTolerant, moments)
 }
