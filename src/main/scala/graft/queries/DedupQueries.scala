@@ -143,6 +143,51 @@ object DedupQueries {
       .orderBy("cluster_id")
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy,
+  /** End-to-end cleaning pipeline — the composition story: exact dedup
+    * (keep-first per content hash) → quality filter (score_u ≥ 0.5 in
+    * micro-units) → per-source corpus report. Each stage is an already
+    * oracle-verified operator; this key pins that they COMPOSE without
+    * column/semantic drift, which is how a user actually runs the
+    * library. (The sf fixtures contain no exact dups, so the dedup
+    * stage passes everything through — the filter does the real work;
+    * both facts are hash-pinned.)
+    * @note scale: dedup shuffles the content hash once, quality is a
+    *   narrow projection, the report is one partial+final agg — the
+    *   composed plan keeps each stage's scale shape. */
+  private val pipelineClean = Q(
+    "llm_pipeline_clean",
+    """WITH kept AS (SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |q AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |  CAST(floor(1000000 * (
+      |    0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |    + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |    + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |                   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0))) AS BIGINT) AS score_u
+      |  FROM documents)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(q.n_tok) AS BIGINT) AS n_tok_total,
+      |  CAST(sum(q.score_u) AS BIGINT) AS score_u_total
+      |FROM kept k JOIN q ON q.doc_id = k.doc_id
+      |JOIN documents d ON d.doc_id = k.doc_id
+      |WHERE q.score_u >= 500000
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = DedupOps.exactDedup(docs).select(col("kept").as("doc_id"))
+    val clean = kept
+      .join(graft.operators.TextOps.quality(docs), Seq("doc_id"))
+      .filter(col("score_u") >= 500000L)
+    clean.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tok_total"),
+        sum(col("score_u")).as("score_u_total"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy, pipelineClean,
     dedupCluster, dedupKeepBest)
 }
