@@ -81,13 +81,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
-      (children: Seq[Expression]) => HilbertIndex(children.head, children(1),
-        children.lift(2).map(_.eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"hilbert_index order must be an int literal, got $other")
-        }).getOrElse(16))))
+      (children: Seq[Expression]) => {
+        def bad(msg: String) = new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg), None)
+        if (children.size < 2 || children.size > 3)
+          throw bad(s"hilbert_index(x, y[, order]) takes 2 or 3 arguments, " +
+            s"got ${children.size}")
+        val order = children.lift(2).map {
+          case lit if lit.foldable => lit.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw bad(
+              s"hilbert_index order must be an integer literal, got $other")
+          }
+          case nonLit => throw bad(
+            s"hilbert_index order must be a foldable integer literal, " +
+              s"got ${nonLit.sql}")
+        }.getOrElse(16)
+        HilbertIndex(children.head, children(1), order)
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

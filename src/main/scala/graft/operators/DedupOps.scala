@@ -48,27 +48,44 @@ object DedupOps {
       .select(col("doc_id").as("kept"), col("h"), col("cnt").as("dup_count"))
   }
 
-  /** Exact pairwise n-gram Jaccard over ALL pairs sharing a shingle:
-    * `(ai, bi, jac)`. Joins on the shingle hash (cheap key compare;
-    * collision term ~|shingles|²/2^57).
-    * @note scale: shuffle on the shingle hash, never doc×doc; cap hot
-    *   shingles (df > threshold carries no dedup signal) on skewed
-    *   corpora; shuffle-hash beats broadcast for the self-join. */
+  /** Exact pairwise n-gram Jaccard over pairs sharing a NON-HOT shingle:
+    * `(ai, bi, jac)`. Candidate pairs come from a self-join on the
+    * shingle hash (cheap key compare; collision term ~|shingles|²/2^57)
+    * restricted to shingles whose document frequency is ≤ `maxShingleDf`
+    * — a shingle in more docs than that is boilerplate, carries no dedup
+    * signal, and would contribute up to df²/2 joined rows on ONE shuffle
+    * key (the classic 100 TB skew killer). The Jaccard value itself is
+    * then computed EXACTLY over each candidate pair's FULL shingle sets
+    * (hot shingles included), so reported `jac` is true n-gram Jaccard;
+    * the cap only bounds candidate generation. A pair is missed only if
+    * every shingle it shares is hot — such pairs share only boilerplate.
+    * @note scale: candidate shuffle on the shingle hash, never doc×doc,
+    *   with per-key join fan-out bounded by maxShingleDf²; the verify
+    *   join is ∝ |candidates|. The hot-shingle set is found with one
+    *   groupBy on the same key. `maxShingleDf = Long.MaxValue` disables
+    *   the cap (spec cross-check only — never at scale). */
   def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3): DataFrame = {
-    // cached: referenced three times below (both self-join sides + sizes)
-    // — without it the tokenize+hash pass runs three times
+      textCol: String = "text", n: Int = 3,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    // cached: feeds candidate generation (both self-join sides via the
+    // df filter) AND the exact verify — one tokenize+hash pass
     val sh = hashedShingles(df, idCol, textCol, n).persist()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.as("sa"), col("ai") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("bi") === col("sb.doc_id"))
-      .select(col("ai"), col("bi"),
-        round(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
+    val cold =
+      if (maxShingleDf == Long.MaxValue) sh
+      else {
+        // count docs per shingle, keep only non-hot instances; an inner
+        // join against the df table (not a broadcast of the hot set —
+        // the hot-set size is corpus-dependent and unbounded)
+        val dfc = sh.groupBy("h").agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") <= maxShingleDf)
+          .select("h")
+        sh.join(dfc, Seq("h"))
+      }
+    val cands = cold.as("a").hint("shuffle_hash")
+      .join(cold.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+      .distinct()
+    jaccardForHashed(cands, sh)
   }
 
   /** Exact Jaccard for GIVEN candidate pairs `(ai, bi)` via per-doc

@@ -44,13 +44,42 @@ object LayoutOps {
   /** Hilbert-curve key of two non-negative integer columns — the
     * stronger-locality alternative to [[zValue]] (consecutive curve
     * positions are always grid-adjacent; Morton's are not). Rides the
-    * native codegen expression [[graft.functions.HilbertIndex]]. */
+    * native codegen expression [[graft.functions.HilbertIndex]].
+    *
+    * CARDINALITY BOUND: the curve covers a 2^order × 2^order grid and
+    * any key ≥ 2^order CLAMPS into the last grid cell — correctness of
+    * downstream queries is unaffected (the value is only a sort key)
+    * but clustering quality silently degrades once a nontrivial
+    * fraction of keys clamp (e.g. `l_partkey` exceeds 2^16 at TPC-H
+    * sf ≥ 1 under the default order=16). Size `order` ≥
+    * ceil(log2(max key + 1)), or call [[fitHilbertOrder]] to derive it
+    * from the data with one cheap agg. */
   def hilbertValue(x: Column, y: Column, order: Int = 16): Column =
     call_function("hilbert_index", x.cast("long"), y.cast("long"), lit(order))
 
+  /** Smallest curve order covering both columns' observed range: one
+    * min/max agg over the two columns. Use when the key bound isn't
+    * statically known — `hilbertBy(df, x, y, order = fitHilbertOrder(
+    * df, x, y))`. Caps at 31 (the 2-D index then spans 62 bits, the
+    * widest a LongType key can hold); rejects negative keys, which the
+    * curve does not cover. */
+  def fitHilbertOrder(df: DataFrame, xCol: String, yCol: String): Int = {
+    val r = df.agg(max(greatest(col(xCol).cast("long"), col(yCol).cast("long"))).as("mx"),
+      min(least(col(xCol).cast("long"), col(yCol).cast("long"))).as("mn")).head()
+    if (r.isNullAt(0)) 1
+    else {
+      require(r.getLong(1) >= 0L,
+        s"hilbert keys must be non-negative, found min ${r.getLong(1)}")
+      math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(r.getLong(0))))
+    }
+  }
+
   /** [[zOrderBy]]'s Hilbert twin: rewrite `df` clustered on the Hilbert
     * index of (`xCol`, `yCol`). Same write-side contract — values
-    * untouched, only file order/boundaries change. */
+    * untouched, only file order/boundaries change. Same cardinality
+    * bound as [[hilbertValue]]: keys ≥ 2^order collapse onto one curve
+    * cell and stop clustering — pass `order = fitHilbertOrder(df, xCol,
+    * yCol)` when the key range is data-dependent. */
   def hilbertBy(df: DataFrame, xCol: String, yCol: String,
       numFiles: Int = 8, order: Int = 16): DataFrame =
     df.withColumn("__h", hilbertValue(col(xCol), col(yCol), order))

@@ -48,13 +48,19 @@ object ProfileOps {
     * on, log, and trend. */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)
-    val agged = df.agg(
-      sum(when(checks.head._2, 1L).otherwise(0L)).as(checks.head._1),
-      checks.tail.map { case (n, bad) =>
-        sum(when(bad, 1L).otherwise(0L)).as(n) }: _*)
-    val stackArgs = checks.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
-    agged.select(expr(
-      s"stack(${checks.size}, $stackArgs) AS (check_name, n_bad)"))
+    // coalesce so an EMPTY input reports 0 violations per check (sum
+    // over zero rows is NULL, which would make an `n_bad == 0` gate
+    // depend on null handling). Counters carry positional aliases and
+    // user-supplied names flow only through lit(), never through SQL
+    // text or identifier parsing — a quote/backtick in a check name is
+    // data, not syntax.
+    val counters = checks.zipWithIndex.map { case ((_, bad), i) =>
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"c_$i") }
+    val agged = df.agg(counters.head, counters.tail: _*)
+    val pairs = checks.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("check_name"), col(s"c_$i").as("n_bad")) }
+    agged.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.check_name"), col("kv.n_bad"))
   }
 
   /** Referential-integrity check: child rows whose `childKey` has no

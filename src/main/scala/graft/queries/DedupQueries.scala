@@ -25,11 +25,20 @@ object DedupQueries {
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
       |         i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS sh FROM toks)""".stripMargin
 
+  /** Mirrors [[DedupOps.jaccardPairs]]'s shape exactly: candidate pairs
+    * from shingles with document frequency ≤ 1000 (the operator's
+    * default hot-shingle cap — inert on these fixtures, max df 25, but
+    * restated here so the oracle contract is the CAPPED semantics at
+    * any scale), then exact Jaccard over the FULL shingle sets. */
   private val oJaccardPairs =
     s"""$oShingles,
+       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= 1000),
+       |cands AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+       |          FROM sh a JOIN cold USING (sh) JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
-       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |inter AS (SELECT c.ai, c.bi, count(*) AS c
+       |          FROM cands c JOIN sh a ON a.doc_id = c.ai
+       |          JOIN sh b ON b.doc_id = c.bi AND b.sh = a.sh GROUP BY 1, 2),
        |j AS (SELECT ai, bi, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
        |      FROM inter JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi)""".stripMargin
 

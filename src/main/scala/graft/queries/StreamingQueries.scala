@@ -204,6 +204,48 @@ object StreamingQueries {
       .orderBy("user_id", "a_id", "b_id", "c_id")
   }
 
+  /** T8 generalized — N-step pattern with an OPTIONAL middle step
+    * ([[graft.streaming.CepOps.cepPattern]]): click → error? → purchase,
+    * each bound 360 min from the last matched step. Emits every
+    * combination (Flink `optional()` + NO_SKIP): the 3-step matches AND
+    * the 2-step skip matches, null error_id on the skip branch. The
+    * oracle restates the two branches as a UNION ALL of the funnel join
+    * and the direct click→purchase join. Null ordering pinned NULLS
+    * FIRST on both engines (Spark's ASC default; DuckDB needs it
+    * spelled). */
+  private val cepPattern = Q(
+    "cep_pattern",
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS error_id, c.event_id AS purchase_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS total_us
+      |FROM events a
+      |JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_type = 'click' AND b.event_type = 'error'
+      |  AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |JOIN events c ON c.user_id = a.user_id
+      |  AND c.event_type = 'purchase'
+      |  AND CAST(c.ts AS TIMESTAMP) > CAST(b.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |UNION ALL
+      |SELECT a.user_id, a.event_id, CAST(NULL AS BIGINT), c.event_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+      |FROM events a
+      |JOIN events c ON c.user_id = a.user_id
+      |  AND a.event_type = 'click' AND c.event_type = 'purchase'
+      |  AND CAST(c.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |ORDER BY user_id, click_id, error_id NULLS FIRST, purchase_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepPattern(Tables.events(s, d),
+      "user_id", "ts", "event_id", Seq(
+        graft.streaming.PatternStep("click", col("event_type") === "click"),
+        graft.streaming.PatternStep("error", col("event_type") === "error",
+          within = "360 minutes", optional = true),
+        graft.streaming.PatternStep("purchase", col("event_type") === "purchase",
+          within = "360 minutes")))
+      .orderBy(col("user_id"), col("click_id"),
+        col("error_id").asc_nulls_first, col("purchase_id"))
+  }
+
   /** T4 extended — DYNAMIC session gap (Flink
     * `SessionWindowTimeGapExtractor`): each event extends the session
     * by its own gap (purchases hold it open 60 min, everything else
@@ -280,5 +322,5 @@ object StreamingQueries {
   }
 
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel, sessionDynamic, intervalJoin, enrichStatic)
+    cepSequence, cepFunnel, cepPattern, sessionDynamic, intervalJoin, enrichStatic)
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One step of an N-step CEP pattern (SURVEY §2.9 T8 generalized): the
+  * events matching `predicate`, required to occur within `within` of the
+  * previous MATCHED step. `optional` steps may be skipped — the next
+  * step's bound then applies from the last matched step, exactly Flink
+  * CEP's `optional()` with the NO_SKIP after-match strategy (every
+  * combination is emitted: if the optional event exists, both the
+  * with- and without- matches appear).
+  */
+final case class PatternStep(name: String, predicate: Column,
+    within: String = "0 minutes", optional: Boolean = false)
+
+/** General N-step sequence patterns over a keyed event stream —
+  * subsumes the fixed 2-step `cep_sequence` and 3-step `cep_funnel3`
+  * shapes (spec-asserted). Flink CEP's `begin/next/within/optional`
+  * chain re-expressed as chained event-time interval joins, which is
+  * the form Spark can both batch-plan and incrementally execute.
+  */
+object CepOps {
+
+  /** All matches of `steps` over `ev`: one row per combination —
+    * `(key, <name>_id per step (null when an optional step is
+    * skipped), total_us)` where `total_us` spans first to last MATCHED
+    * event. First and last step must be required (anchors).
+    *
+    * Works on batch and streaming frames alike: each step becomes one
+    * equi-join on the key plus a time-band residual, so under
+    * Structured Streaming (apply `withWatermark` to `ev` first) every
+    * join's buffer evicts at the watermark horizon — a k-step pattern
+    * is k-1 bounded-state joins, never a per-key history scan
+    * (the same chain shape Spark supports for multi-stateful-operator
+    * append queries).
+    *
+    * @note scale: shuffle is on the key at every join; each step's
+    *   fan-out is bounded by events-per-key inside the time band. An
+    *   optional step unions the skip branch (no extra shuffle — same
+    *   partitioning) with the take branch.
+    */
+  def cepPattern(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      steps: Seq[PatternStep]): DataFrame = {
+    require(steps.size >= 2, "a pattern needs at least two steps")
+    require(!steps.head.optional && !steps.last.optional,
+      "first and last pattern steps must be required (they anchor the match)")
+    val first = steps.head
+    // first_ts is carried as epoch-µs BIGINT, not TimestampType: under
+    // streaming the ts column is watermark-tagged, and duplicating it
+    // would give the plan two event-time columns (Spark allows one per
+    // stream). last_ts stays the single tagged column driving state
+    // eviction in every downstream join.
+    var acc = ev.filter(first.predicate).select(
+      col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("first_us"),
+      col(tsCol).as("last_ts"),
+      col(idCol).as(s"${first.name}_id"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val e = ev.filter(st.predicate).select(
+        col(keyCol).as(s"k_$i"), col(tsCol).as(s"ts_$i"), col(idCol).as(s"id_$i"))
+      val kept = acc.columns.filterNot(_ == "last_ts").map(col)
+      val taken = acc.join(e,
+          col("k") === col(s"k_$i") && col(s"ts_$i") > col("last_ts") &&
+            col(s"ts_$i") <= col("last_ts") + expr(s"INTERVAL ${st.within}"))
+        .select(kept :+ col(s"ts_$i").as("last_ts")
+          :+ col(s"id_$i").as(s"${st.name}_id"): _*)
+      acc =
+        if (st.optional)
+          acc.withColumn(s"${st.name}_id",
+              lit(null).cast(taken.schema(s"${st.name}_id").dataType))
+            .unionByName(taken)
+        else taken
+    }
+    acc.select(col("k").as(keyCol)
+      +: steps.map(s => col(s"${s.name}_id"))
+      :+ (unix_micros(col("last_ts")) - col("first_us")).as("total_us"): _*)
+  }
+}

@@ -291,6 +291,50 @@ object StreamOps {
       }
   }
 
+  /** T5: late-row side-channel — the Flink `sideOutputLateData` parity
+    * operator the divergence note above only documented until now. Spark
+    * drops below-watermark rows inside its stateful operators with no
+    * side output, so the capture runs as a foreachBatch splitter that
+    * tracks the event-time watermark itself using Spark's own update
+    * rule: the watermark applied to batch N is max(event time) over
+    * batches 0..N-1 minus the delay (before any batch completes nothing
+    * is late). Each micro-batch is split on that horizon and BOTH sides
+    * are handed to `onBatch(onTime, late, batchId)` — route on-time rows
+    * to the main sink/aggregation and late rows to the capture sink.
+    * Run it alongside the main windowed query on the same source with
+    * the same delay and the two watermarks advance in lockstep, so the
+    * captured set is exactly the rows the main query dropped (asserted
+    * by `LateDataSpec`).
+    *
+    * @note scale: the split is two narrow filters on a persisted
+    *   micro-batch plus one max() agg — no extra shuffle, no state
+    *   store; the watermark is one long on the driver, updated at batch
+    *   boundaries exactly like Spark's own `EventTimeWatermarkExec`
+    *   stats. */
+  def lateCapture(ev: DataFrame, tsCol: String, delay: String)(
+      onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"late-capture delay must be a fixed duration, got '$delay'")
+    val delayUs = iv.days * 86400L * 1000000L + iv.microseconds
+    val wm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    ev.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.persist()
+      try {
+        val horizon = wm.get()
+        val tsUs = unix_micros(col(tsCol))
+        onBatch(batch.filter(tsUs >= lit(horizon)),
+          batch.filter(tsUs < lit(horizon)), batchId)
+        val mx = batch.agg(max(unix_micros(col(tsCol)))).collect()(0)
+        if (!mx.isNullAt(0)) wm.getAndUpdate { cur =>
+          math.max(cur, mx.getLong(0) - delayUs)
+        }
+      } finally { batch.unpersist(); () }
+      ()
+    }
+  }
+
   /** T8: CEP-lite stream-stream self-join — "error then purchase within
     * 10 minutes, same user". Watermarks on both sides + the time-bound
     * condition let the join state be evicted as event time advances. */

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+case class CepEvent(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+
+/** [[CepOps.cepPattern]] must subsume the fixed-shape CEP keys — the
+  * 2-step `cep_sequence` and 3-step `cep_funnel3` are instances of the
+  * general operator — and its optional-step semantics must decompose
+  * into exactly (take branch = the required-3-step matches) ∪ (skip
+  * branch = the direct 2-step matches). */
+class CepOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("2 required steps reproduce cep_sequence exactly") {
+    val pat = CepOps.cepPattern(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", Seq(
+        PatternStep("a", col("event_type") === "error"),
+        PatternStep("b", col("event_type") === "purchase", within = "10 minutes")))
+    val ref = SparkEntry.queries("cep_sequence")(spark, sf)
+      .select("user_id", "a_id", "b_id", "gap_us")
+    assert(rows(pat) == rows(ref))
+    assert(rows(pat).nonEmpty)
+  }
+
+  test("3 required steps reproduce cep_funnel3 exactly") {
+    val pat = CepOps.cepPattern(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", Seq(
+        PatternStep("a", col("event_type") === "click"),
+        PatternStep("b", col("event_type") === "error", within = "360 minutes"),
+        PatternStep("c", col("event_type") === "purchase", within = "360 minutes")))
+    val ref = SparkEntry.queries("cep_funnel3")(spark, sf)
+      .select("user_id", "a_id", "b_id", "c_id", "total_us")
+    assert(rows(pat) == rows(ref))
+    assert(rows(pat).nonEmpty)
+  }
+
+  test("optional middle = take branch ∪ skip branch, nothing else") {
+    val ev = Tables.events(spark, sf)
+    val withOpt = CepOps.cepPattern(ev, "user_id", "ts", "event_id", Seq(
+      PatternStep("a", col("event_type") === "click"),
+      PatternStep("b", col("event_type") === "error",
+        within = "360 minutes", optional = true),
+      PatternStep("c", col("event_type") === "purchase", within = "360 minutes")))
+    val take = CepOps.cepPattern(ev, "user_id", "ts", "event_id", Seq(
+      PatternStep("a", col("event_type") === "click"),
+      PatternStep("b", col("event_type") === "error", within = "360 minutes"),
+      PatternStep("c", col("event_type") === "purchase", within = "360 minutes")))
+    val skip = CepOps.cepPattern(ev, "user_id", "ts", "event_id", Seq(
+      PatternStep("a", col("event_type") === "click"),
+      PatternStep("c", col("event_type") === "purchase", within = "360 minutes")))
+    assert(rows(withOpt.filter(col("b_id").isNotNull)) == rows(take))
+    assert(rows(withOpt.filter(col("b_id").isNull).drop("b_id")) == rows(skip))
+    assert(rows(take).nonEmpty && rows(skip).nonEmpty)
+  }
+
+  test("streaming 2-step pattern matches arrive incrementally") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[CepEvent]
+    val pat = CepOps.cepPattern(
+      input.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "ts", "event_id", Seq(
+        PatternStep("a", col("event_type") === "error"),
+        PatternStep("b", col("event_type") === "purchase", within = "10 minutes")))
+    val q = pat.writeStream.format("memory").queryName("cep_pat_stream")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-cep").toString)
+      .start()
+    try {
+      input.addData(
+        CepEvent(1L, t("10:00"), 100L, "error"),
+        CepEvent(1L, t("10:05"), 101L, "purchase"),  // match: 5 min gap
+        CepEvent(1L, t("10:20"), 102L, "purchase"),  // no match: 20 min gap
+        CepEvent(2L, t("10:00"), 200L, "purchase"))  // no match: no error
+      q.processAllAvailable()
+      input.addData(CepEvent(9L, t("13:00"), 900L, "view")) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("cep_pat_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(out == Set((1L, 100L, 101L, 300000000L)), s"got $out")
+    } finally q.stop()
+  }
+}
