@@ -97,13 +97,15 @@ object SimilarityQueries {
   }
 
   /** The full production ANN stack: coarse cells prune, PQ codes
-    * compress, exact pass re-ranks. Rows-only; recall gated by
-    * `SimilaritySpec` (measured 0.84 at both fixture scales with
-    * nprobe=4/16 cells). */
+    * compress, exact pass re-ranks. Rows-only; recall ≥ 0.9 gated by
+    * `SimilaritySpec` (measured 0.92 at sf0.01 / 1.00 at sf0.1 with
+    * nprobe=8/16 cells, 32-code books, rerank 400 — the RecallProbe
+    * sweep showed shortlist depth and codebook resolution, not probe
+    * count, dominate recall once nprobe clears the routing misses). */
   private val knnIvfPq = Q.noOracle("llm_knn_ivfpq") { (s, d) =>
     SimilarityOps.knnIvfPq(Tables.embeddings(s, d),
         isQuery = col("vec_id") < 5, nCells = 16, cellIters = 2,
-        nprobe = 4, m = 8, kCodes = 16, pqIters = 2, k = 10, rerank = 100)
+        nprobe = 8, m = 8, kCodes = 32, pqIters = 2, k = 10, rerank = 400)
       .orderBy("qid", "rk")
   }
 

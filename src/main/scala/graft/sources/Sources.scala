@@ -45,16 +45,36 @@ object Sources {
     * broker — neither exists in this environment, so calling this here
     * fails at format resolution; the wiring is the production-exact
     * shape (earliest offsets, value parsed with an explicit schema —
-    * never schema inference on a stream). */
+    * never schema inference on a stream). `KafkaContractSpec` pins the
+    * contract that IS checkable without infra: the options build and
+    * the plan reaches provider lookup (failing with the classified
+    * missing-provider error, not an option/wiring error), and both
+    * transform halves below round-trip. */
   def kafkaJson(spark: SparkSession, bootstrapServers: String, topic: String,
       schema: StructType): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("r"))
+    kafkaValueParse(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load(),
+      schema)
+
+  /** S3 consumer transform half: Kafka wire rows (`value` binary, plus
+    * key/topic/partition/offset/timestamp) → typed columns via an
+    * explicit schema. Broker-independent, so it is testable here on a
+    * wire-shaped frame and identical in production after `load()`. */
+  def kafkaValueParse(wire: DataFrame, schema: StructType): DataFrame =
+    wire.select(from_json(col("value").cast("string"), schema).as("r"))
       .select("r.*")
+
+  /** S3 producer transform half: typed rows → the `(key, value)` binary
+    * pair the Kafka SINK contract requires (key for partitioning,
+    * JSON-encoded payload struct as value). Compose with
+    * `writeStream.format("kafka")` in production. */
+  def toKafkaWire(df: DataFrame, keyCol: String, payloadCols: Seq[String]): DataFrame =
+    df.select(col(keyCol).cast("string").cast("binary").as("key"),
+      to_json(struct(payloadCols.map(col): _*)).cast("binary").as("value"))
 
   /** S5: exactly-once parquet sink (commit log in the checkpoint). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =

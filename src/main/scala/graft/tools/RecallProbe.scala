@@ -40,6 +40,13 @@ object RecallProbe {
       def r(s: Set[(Long, Long)]): Double = (exact & s).size.toDouble / exact.size
       println(f"RECALL $sf fixed=${r(fixed)}%.3f kmeans=${r(km)}%.3f " +
         f"pq=${r(pq)}%.3f pq_rerank100=${r(pqr)}%.3f ivfpq_rerank100=${r(ivfpq)}%.3f")
+      // IVF-PQ sweep: which (nprobe, rerank, kCodes) clears 0.9 cheapest?
+      for (np <- Seq(4, 6, 8); rr <- Seq(200, 400); kc <- Seq(16, 32)) {
+        val s = pairs(SimilarityOps.knnIvfPq(
+          emb, col("vec_id") < 5, nCells = 16, cellIters = 2, nprobe = np,
+          m = 8, kCodes = kc, pqIters = 2, k = 10, rerank = rr))
+        println(f"SWEEP $sf ivfpq nprobe=$np rerank=$rr kCodes=$kc recall=${r(s)}%.3f")
+      }
     }
     spark.stop()
   }

@@ -80,4 +80,60 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("sql_tpch_q13")
     assert(p.contains("LeftOuter"), p)
   }
+
+  // ---- gates for the most expensive bench keys (BENCH_FULL.json top) ----
+
+  test("tfidf: df side broadcast, top-k group-limited, exactly one intended BNLJ") {
+    val p = plan("llm_tfidf_top")
+    assert(p.contains("BroadcastHashJoin"), "df table must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "per-term top-k must prune below the final sort")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "exactly the one-row doc-count BNLJ is allowed")
+  }
+
+  test("projection keys shuffle ONLY for the mandated output sort") {
+    // scalar_math / proj_compute / scalar_map are narrow projections —
+    // any hash exchange would mean an accidental aggregation/join
+    for (k <- Seq("scalar_math", "proj_compute", "scalar_map")) {
+      val p = plan(k)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$k: projection must not hash-shuffle")
+      // WholeStageCodegen spans only materialize in the AQE final plan,
+      // so the codegen property is pinned structurally instead: nothing
+      // but scan→project→(sort) may appear
+      assert(!p.contains("Join") && !p.contains("Aggregate"),
+        s"$k: projection must stay scan→project→sort")
+    }
+  }
+
+  test("salted skew join stays a shuffled join over the salted key") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("Exchange hashpartitioning"),
+      "salting only helps a shuffled join")
+    assert(p.toLowerCase.contains("salt"), "salt column must survive planning")
+  }
+
+  test("forward-fill scaffold reuses the user_id partitioning (≤3 exchanges)") {
+    val n = "Exchange hashpartitioning".r.findAllIn(plan("state_forward_fill")).size
+    assert(n <= 3, s"expected ≤3 hash exchanges, got $n")
+  }
+
+  test("approx distinct aggregates two-phase like the exact twin") {
+    val p = plan("agg_approx_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Exchange rangepartitioning") ||
+      p.contains("Sort"), "only the output sort may range-shuffle")
+  }
+
+  test("banded MinHash-LSH path plans only equi-joins, never all-pairs") {
+    // at fixture scale AQE may broadcast the small verify sides — fine;
+    // the invariant worth pinning is that every join stays an EQUI-join
+    // (band-value / doc_id keys), so no theta/all-pairs shape can sneak
+    // into the LSH path at any scale
+    val p = plan("llm_dedup_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no all-pairs fallback in the LSH path")
+    assert(p.contains("Join"), "the candidate/verify joins must be present")
+  }
 }

@@ -55,7 +55,8 @@ class SimilaritySpec extends SparkSpec {
     val approx = pairs("llm_knn_ivfpq")
     assert(approx.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low (measured 0.84 at sf0.01)")
+    assert(recall >= 0.9,
+      s"recall $recall below gate (measured 0.92 at sf0.01, 1.00 at sf0.1)")
   }
 
   test("broadcast all-pairs kernel equals the declarative theta join exactly") {
