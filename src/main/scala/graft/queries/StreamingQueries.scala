@@ -246,6 +246,29 @@ object StreamingQueries {
         col("error_id").asc_nulls_first, col("purchase_id"))
   }
 
+  /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
+    * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
+    * same user in the following 360 minutes. Oracle restates it as NOT
+    * EXISTS over the same band. */
+  private val cepAbsence = Q(
+    "cep_absence",
+    """SELECT a.user_id, a.event_id AS a_id,
+      |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS a_ts_us
+      |FROM events a
+      |WHERE a.event_type = 'click' AND NOT EXISTS (
+      |  SELECT 1 FROM events b
+      |  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+      |    AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      |    AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 360 MINUTE)
+      |ORDER BY user_id, a_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepAbsence(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        first = col("event_type") === "click",
+        absent = col("event_type") === "purchase",
+        within = "360 minutes")
+      .orderBy("user_id", "a_id")
+  }
+
   /** T4 extended — DYNAMIC session gap (Flink
     * `SessionWindowTimeGapExtractor`): each event extends the session
     * by its own gap (purchases hold it open 60 min, everything else
@@ -322,5 +345,6 @@ object StreamingQueries {
   }
 
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel, cepPattern, sessionDynamic, intervalJoin, enrichStatic)
+    cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
+    enrichStatic)
 }

@@ -76,4 +76,39 @@ object CepOps {
       +: steps.map(s => col(s"${s.name}_id"))
       :+ (unix_micros(col("last_ts")) - col("first_us")).as("total_us"): _*)
   }
+
+  /** Absence pattern (Flink CEP `notFollowedBy` + `within`): events
+    * matching `first` with NO `absent`-matching event for the same key
+    * in `(ts, ts + within]` — "clicked but never purchased inside the
+    * window", the churn/abandonment staple. Returns
+    * `(key, a_id, a_ts_us)`.
+    *
+    * Planned as a LEFT-OUTER time-band join filtered to the null side
+    * rather than an anti join: the two are equivalent in batch, and the
+    * outer form is the one Structured Streaming supports for
+    * stream-stream joins — with watermarks on both sides the null
+    * verdict is emitted once the watermark proves no match can still
+    * arrive (the same watermark-gated null semantics as
+    * [[StreamOps.intervalJoinOuter]]).
+    *
+    * @note scale: one shuffle on the key; join state bounded by the
+    *   band + watermark delay per side.
+    * @note streaming caveat: Catalyst pushes the two predicates below
+    *   their sides' watermark operators, so each side's watermark
+    *   advances only from rows MATCHING that predicate, and the global
+    *   watermark (hence null emission) is the min of the two — a quiet
+    *   `absent` stream delays verdicts, exactly like an idle Flink
+    *   source holding back the watermark. */
+  def cepAbsence(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      first: Column, absent: Column, within: String): DataFrame = {
+    val a = ev.filter(first).select(col(keyCol).as("k"),
+      col(tsCol).as("a_ts"), col(idCol).as("a_id"))
+    val b = ev.filter(absent).select(col(keyCol).as("bk"),
+      col(tsCol).as("b_ts"), col(idCol).as("b_id"))
+    a.join(b, col("k") === col("bk") && col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"), "left_outer")
+      .filter(col("b_id").isNull)
+      .select(col("k").as(keyCol), col("a_id"),
+        unix_micros(col("a_ts")).as("a_ts_us"))
+  }
 }

@@ -62,6 +62,45 @@ class CepOpsSpec extends SparkSpec {
     assert(rows(take).nonEmpty && rows(skip).nonEmpty)
   }
 
+  test("streaming absence verdicts are watermark-gated and correct") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[CepEvent]
+    val abs = CepOps.cepAbsence(
+      input.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "ts", "event_id",
+      first = col("event_type") === "click",
+      absent = col("event_type") === "purchase",
+      within = "360 minutes")
+    val q = abs.writeStream.format("memory").queryName("cep_abs_stream")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt-abs").toString)
+      .start()
+    try {
+      input.addData(
+        CepEvent(1L, t("10:00"), 100L, "click"),
+        CepEvent(1L, t("12:00"), 101L, "purchase"), // inside band: NOT absent
+        CepEvent(2L, t("10:00"), 200L, "click"))    // no purchase: absent
+      q.processAllAvailable()
+      // watermark (11:50) has not passed 16:00 yet — no verdicts
+      assert(spark.table("cep_abs_stream").count() == 0)
+      // each side's watermark advances only from rows passing ITS
+      // predicate (filters push below the watermark exec), so both a
+      // click and a purchase are needed to move the global min
+      input.addData(CepEvent(9L, t("18:00"), 900L, "click"),
+        CepEvent(9L, t("18:30"), 901L, "purchase")) // global wm -> 17:50
+      q.processAllAvailable()
+      input.addData(CepEvent(8L, t("19:00"), 800L, "click"),
+        CepEvent(8L, t("19:05"), 801L, "purchase")) // flush emissions
+      q.processAllAvailable()
+      val out = spark.table("cep_abs_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((2L, 200L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streaming 2-step pattern matches arrive incrementally") {
     val sp = spark
     import sp.implicits._
