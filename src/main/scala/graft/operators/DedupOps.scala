@@ -272,6 +272,42 @@ object DedupOps {
         coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
+  /** Char-level CROSS-DOC duplicate-span profile — the "repeated
+    * substring" signal substring-dedup pipelines act on (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22), simplified from suffix arrays to strided k-char grams:
+    * every doc emits a gram of `k` chars at each `stride` offset (full
+    * grams only), grams are 57-bit poly-hashed, and a gram whose hash
+    * occurs in ≥ 2 DISTINCT docs marks a duplicated span. Returns one
+    * row per doc of length ≥ k: `(doc_id, n_spans, n_dup, dup_ratio)`.
+    * Use it to rank docs for span-level surgery or drop-listing; stride
+    * trades recall (a duplicated region shorter than k + stride can be
+    * missed) for gram volume.
+    *
+    * @note scale: gram volume is |chars| / stride rows of (long, long)
+    *   — one shuffle on the 8-byte hash for the df count, one to join
+    *   the verdict back; no doc×doc work anywhere, and hot grams cost
+    *   only their count (the join carries a boolean, not pairs). */
+  def duplicateSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 40, stride: Int = 10): DataFrame = {
+    require(k >= 1 && stride >= 1)
+    val grams = normalized(df, idCol, textCol)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(floor((length(text) - $k) / $stride) AS INT)), " +
+          s"i -> substring(text, i * $stride + 1, $k))")).as("gr"))
+      .select(col("doc_id"), Hashes.polyHash(col("gr")).as("h"))
+    val dup = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .select(col("h"), (col("nd") >= 2).as("is_dup"))
+    grams.join(dup, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_spans"), 6).as("dup_ratio"))
+  }
+
   /** MinHash+LSH near-dup pairs at Jaccard ≥ `minJaccard`:
     * `(ai, bi, jac)`. 64 permutations, 16 bands × 4 rows; banded
     * candidates are verified with exact Jaccard, so the output is the

@@ -152,6 +152,28 @@ object DedupQueries {
       .orderBy("cluster_id")
   }
 
+  /** Char-level duplicate-span profile ([[DedupOps.duplicateSpans]]):
+    * strided 40-char grams, poly-hashed; a gram in ≥ 2 distinct docs is
+    * a duplicated span. The oracle restates gram extraction + the same
+    * hash ([[graft.functions.Hashes.oPolyHash]]) so the hash check pins
+    * stride arithmetic, hashing, and the distinct-doc verdict. */
+  private val dupSpans = Q(
+    "llm_dup_spans",
+    s"""WITH g AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT) * 10 + 1, 40) AS gr
+       |  FROM documents, unnest(range(CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1)) AS u(i)
+       |  WHERE length(text) >= 40),
+       |h AS (SELECT doc_id, ${graft.functions.Hashes.oPolyHash("gr")} AS h FROM g),
+       |d AS (SELECT h, count(DISTINCT doc_id) >= 2 AS is_dup FROM h GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_ratio
+       |FROM h JOIN d USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    DedupOps.duplicateSpans(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
   /** End-to-end cleaning pipeline — the composition story: exact dedup
     * (keep-first per content hash) → quality filter (score_u ≥ 0.5 in
     * micro-units) → per-source corpus report. Each stage is an already
@@ -198,5 +220,5 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy, pipelineClean,
-    dedupCluster, dedupKeepBest)
+    dedupCluster, dedupKeepBest, dupSpans)
 }
