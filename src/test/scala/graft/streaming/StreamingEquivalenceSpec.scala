@@ -88,6 +88,47 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rows(s) == rows(SparkEntry.queries("stream_interval_join")(spark, sf)))
   }
 
+  test("T8 N-step pattern (3 required steps) replay equals batch twin") {
+    // inner-join matches are watermark-independent, so a complete
+    // replay of the chained interval joins equals the batch funnel
+    val s = replay(ev => CepOps.cepPattern(
+        ev.withWatermark("ts", "1 hour"), "user_id", "ts", "event_id", Seq(
+          PatternStep("a", col("event_type") === "click"),
+          PatternStep("b", col("event_type") === "error", within = "360 minutes"),
+          PatternStep("c", col("event_type") === "purchase", within = "360 minutes"))),
+      "append", "t_cep_nstep")
+    val batch = SparkEntry.queries("cep_funnel3")(spark, sf)
+      .select("user_id", "a_id", "b_id", "c_id", "total_us")
+    assert(rows(s) == rows(batch))
+  }
+
+  test("T8 absence replay: every verdict genuine, complete below the horizon") {
+    val s = replay(ev => CepOps.cepAbsence(
+        ev.withWatermark("ts", "1 hour"), "user_id", "ts", "event_id",
+        first = col("event_type") === "click",
+        absent = col("event_type") === "purchase",
+        within = "360 minutes"),
+      "append", "t_cep_absence")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = SparkEntry.queries("cep_absence")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // soundness: the stream never invents an absence
+    assert(s.toSet.subsetOf(batch.toSet),
+      s"stream emitted ${(s.toSet -- batch.toSet).size} phantom absences")
+    // completeness below the horizon: the global watermark is the MIN
+    // across the two filtered sides (see cepAbsence scaladoc), less the
+    // 360-min band
+    val ev = graft.Tables.events(spark, sf)
+    def sideMax(t: String) = ev.filter(col("event_type") === t)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wm = math.min(sideMax("click"), sideMax("purchase")) - 3600L * 1000000
+    val horizon = wm - 21600L * 1000000
+    val due = batch.filter(_._3 < horizon).toSet
+    assert(due.subsetOf(s.toSet),
+      s"${(due -- s.toSet).size} overdue absence verdicts missing")
+    assert(s.nonEmpty && due.nonEmpty, "fixture must exercise both sides")
+  }
+
   test("T9-outer: null extension exact below the watermark horizon, match-only above") {
     import org.apache.spark.sql.functions.{col, expr, unix_micros}
     val streamed = replay(StreamOps.intervalJoinOuter, "append", "t_ivjoin_outer")
