@@ -67,25 +67,39 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
       maxShingleDf: Long = 1000L): DataFrame = {
-    // cached: feeds candidate generation (both self-join sides via the
-    // df filter) AND the exact verify — one tokenize+hash pass
+    // cached: feeds the df-annotated split (both self-join sides), the
+    // sizes, and the hot-set gather — one tokenize+hash pass
     val sh = hashedShingles(df, idCol, textCol, n).persist()
-    val cold =
-      if (maxShingleDf == Long.MaxValue) sh
-      else {
-        // count docs per shingle, keep only non-hot instances; an inner
-        // join against the df table (not a broadcast of the hot set —
-        // the hot-set size is corpus-dependent and unbounded)
-        val dfc = sh.groupBy("h").agg(count(lit(1)).as("dfc"))
-          .filter(col("dfc") <= maxShingleDf)
-          .select("h")
-        sh.join(dfc, Seq("h"))
-      }
-    val cands = cold.as("a").hint("shuffle_hash")
+    // document frequency via a window on the SAME hash partitioning the
+    // self-join needs (one shuffle, no extra join); hot instances are
+    // split out rather than dropped so the Jaccard stays exact below
+    val shf = sh.withColumn("dfc",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    val cold = shf.filter(col("dfc") <= maxShingleDf)
+    // per-doc HOT shingle sets: bounded by |hot hashes| · df... but hot
+    // hashes are few by definition of the cap, and on an unskewed
+    // corpus this side is empty — the left joins below cost nothing
+    val hot = shf.filter(col("dfc") > maxShingleDf)
+      .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // inline intersection count over cold shingles only — the r3 shape,
+    // per-key join fan-out now bounded by maxShingleDf²
+    val inter = cold.as("a").hint("shuffle_hash")
       .join(cold.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
-      .distinct()
-    jaccardForHashed(cands, sh)
+      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+      .agg(count(lit(1)).as("cc"))
+    // exact full-set intersection = cold count + hot-set overlap
+    inter
+      .join(sz.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("bi") === col("sb.doc_id"))
+      .join(hot.as("ha"), col("ai") === col("ha.doc_id"), "left")
+      .join(hot.as("hb"), col("bi") === col("hb.doc_id"), "left")
+      .withColumn("c", col("cc").cast("double") +
+        when(col("ha.hs").isNotNull && col("hb.hs").isNotNull,
+          size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("ai"), col("bi"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
   }
 
   /** Exact Jaccard for GIVEN candidate pairs `(ai, bi)` via per-doc
