@@ -87,6 +87,32 @@ object LayoutOps {
       .sortWithinPartitions("__h")
       .drop("__h")
 
+  /** Write `df` as a BUCKETED external parquet table: rows are
+    * hash-routed into `nBuckets` file groups by `keyCol` at WRITE time
+    * and the bucket spec is recorded in the catalog, so a join between
+    * two tables bucketed on their join keys with the SAME bucket count
+    * runs with NO shuffle exchange on either side (and bucket pruning
+    * serves point predicates on the key). This is the canonical 100 TB
+    * trade: pay the fact table's shuffle ONCE at ingest instead of on
+    * every subsequent join/aggregation over the key.
+    *
+    * @note scale: pick nBuckets so one bucket ≈ one task's worth of
+    *   data at full scale (e.g. 100 TB / 256 MB ≈ 400k is too many
+    *   FILES per write task — bucket counts in the low thousands with
+    *   several files per bucket are the practical sweet spot; Spark
+    *   unions a bucket's files per task). Bucket routing uses Spark's
+    *   Murmur3 hash, so both join sides MUST be written by Spark with
+    *   identical counts. */
+  def bucketize(df: DataFrame, table: String, path: String,
+      keyCol: String, nBuckets: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .option("path", path).saveAsTable(table)
+    spark.table(table)
+  }
+
   /** Compact a parquet directory's small files into ~`targetFileBytes`
     * files: list the leaf files (one driver-side FS listing, no data
     * read), size the output file count from the actual byte total, and

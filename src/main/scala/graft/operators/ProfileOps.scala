@@ -63,6 +63,31 @@ object ProfileOps {
       .select(col("kv.check_name"), col("kv.n_bad"))
   }
 
+  /** Shuffle-key skew profile: the `k` heaviest values of `keyCol`
+    * with count, corpus share, and multiple-of-mean-key-load — the
+    * "which key do I salt" diagnostic run BEFORE a big join or
+    * aggregation ships 100 TB through a shuffle. `x_mean` ≫ 1 on the
+    * top key means that key's reducer finishes that many times later
+    * than the average one (the straggler); feed such keys to an
+    * explicit salt or let AQE skew-split them.
+    *
+    * @note scale: one hash agg on the key (partial+final), one global
+    *   one-row agg broadcast back, and a TakeOrderedAndProject for the
+    *   top-k — no full sort, no driver-side collection beyond k rows.
+    *   Deterministic under ties via the key tiebreak. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0)
+    val c = df.groupBy(col(keyCol).as("skew_key")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("total"), count(lit(1)).as("nkeys"))
+    c.crossJoin(broadcast(t))
+      .select(col("skew_key"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("share"),
+        round(col("n").cast("double") * col("nkeys").cast("double")
+          / col("total").cast("double"), 4).as("x_mean"))
+      .orderBy(col("n").desc, col("skew_key"))
+      .limit(k)
+  }
+
   /** Referential-integrity check: child rows whose `childKey` has no
     * match in `parent.parentKey` — `(check_name, n_bad)`, one row.
     * @note scale: a LEFT ANTI join (shuffle or broadcast by size);

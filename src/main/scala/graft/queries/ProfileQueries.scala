@@ -199,6 +199,22 @@ object ProfileQueries {
     s.sql(momentsSql)
   }
 
+  /** Shuffle-key skew report ([[graft.operators.ProfileOps.keySkew]]):
+    * the 10 heaviest l_partkey values with corpus share and
+    * multiple-of-mean load — the pre-join diagnostic that decides
+    * whether a key needs salting before a 100 TB shuffle. */
+  private val skew = Q(
+    "profile_skew",
+    """WITH c AS (SELECT l_partkey AS skew_key, count(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nkeys FROM c)
+      |SELECT c.skew_key, CAST(c.n AS BIGINT) AS n,
+      |  round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share,
+      |  round(CAST(c.n AS DOUBLE) * CAST(t.nkeys AS DOUBLE)
+      |    / CAST(t.total AS DOUBLE), 4) AS x_mean
+      |FROM c, t ORDER BY n DESC, skew_key LIMIT 10""".stripMargin) { (s, d) =>
+    graft.operators.ProfileOps.keySkew(Tables.lineitem(s, d), "l_partkey", 10)
+  }
+
   val all: Seq[Q] = Seq(histogram, profile, quantileBins, constraints,
-    jsonKeys, corruptTolerant, moments)
+    jsonKeys, corruptTolerant, moments, skew)
 }

@@ -203,7 +203,30 @@ object SourceQueries {
       .orderBy("pri")
   }
 
+  /** Bucketed co-located join ([[graft.operators.LayoutOps.bucketize]]):
+    * orders and customer rewritten as bucketed tables on their join
+    * keys (8 buckets each), then joined and aggregated — the join runs
+    * with NO shuffle exchange under either side (plan-gated in
+    * `BucketedJoinSpec`); at 100 TB that is the fact table's shuffle
+    * paid once at ingest instead of per query. Values are
+    * layout-invariant, so the oracle is the plain join aggregate. */
+  private val bucketedJoin = Q(
+    "sink_bucketed_join",
+    s"""SELECT c_mktsegment, count(*) AS n, ${Det.osum("o_totalprice")} AS rev
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val sfx = d.replaceAll("[^0-9.]", "").replace(".", "_")
+    val ob = graft.operators.LayoutOps.bucketize(Tables.orders(s, d),
+      s"orders_bkt_$sfx", tmp(s"bkt_orders_$sfx"), "o_custkey")
+    val cb = graft.operators.LayoutOps.bucketize(Tables.customer(s, d),
+      s"customer_bkt_$sfx", tmp(s"bkt_customer_$sfx"), "c_custkey")
+    ob.join(cb, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("rev"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip,
     partitionedPrune, textRoundtrip, zorderBox, hilbertBox, layoutCompact,
-    schemaEvolution)
+    schemaEvolution, bucketedJoin)
 }

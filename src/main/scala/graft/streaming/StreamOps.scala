@@ -335,6 +335,34 @@ object StreamOps {
     }
   }
 
+  /** Dynamic rule application — Flink broadcast-state parity
+    * (`BroadcastProcessFunction`: a low-throughput rule stream is
+    * shipped to every task and the LATEST rules apply to the main
+    * stream). Spark's streaming joins only support static or
+    * stream-stream sides, so the idiomatic equivalent re-resolves the
+    * small rule table at every micro-batch boundary: `loadRules` is
+    * invoked once per batch (read a parquet/Delta control table, a
+    * JDBC config store, an in-memory registry...), broadcast, and
+    * handed to `apply` together with the batch. Rules therefore change
+    * BETWEEN batches, never mid-batch — which is also Flink's
+    * practical granularity, since its rule broadcasts interleave with
+    * data records per-task with no global cut.
+    *
+    * @note scale: the rule table re-read is once per BATCH, not per
+    *   row or per task — a few-hundred-row broadcast every trigger.
+    *   The main stream never re-shuffles for the rules (broadcast hash
+    *   join); state is zero, so this composes with any downstream
+    *   stateful operator inside `apply`. */
+  def dynamicRules(ev: DataFrame,
+      loadRules: org.apache.spark.sql.SparkSession => DataFrame)(
+      apply: (DataFrame, DataFrame) => DataFrame)(
+      onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ev.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onBatch(apply(batch, broadcast(loadRules(batch.sparkSession))), batchId)
+      ()
+    }
+
   /** T8: CEP-lite stream-stream self-join — "error then purchase within
     * 10 minutes, same user". Watermarks on both sides + the time-bound
     * condition let the join state be evicted as event time advances. */
