@@ -216,7 +216,43 @@ object ScaleQueries {
     s.sql(sqlQ13)
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the heaviest
+    * decorrelation stress in the suite — a 4-table join with BOTH a
+    * correlated EXISTS (another supplier contributed to the order) and
+    * a correlated NOT EXISTS (no OTHER supplier's line was flagged)
+    * against the same fact table. The fixture's trimmed lineitem has no
+    * receipt/commit dates, so `l_returnflag = 'R'` stands in for "late
+    * line" — the plan shape (semi + anti self-joins on l_orderkey, dims
+    * broadcast) is the real Q21.
+    *
+    * @note scale: Catalyst rewrites both predicates to one semi and one
+    *   anti join shuffled on l_orderkey — three passes over the fact
+    *   share a partitioning; supplier/nation broadcast. No correlated
+    *   per-row subquery survives (that would be a 100 TB disaster). */
+  private val sqlQ21: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND s_nationkey = n_nationkey
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  private val sqlTpchQ21 = Q("sql_tpch_q21", sqlQ21) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(sqlQ21)
+  }
+
   val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
     sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate,
-    sqlTpchQ13)
+    sqlTpchQ13, sqlTpchQ21)
 }

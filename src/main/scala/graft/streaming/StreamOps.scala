@@ -335,6 +335,24 @@ object StreamOps {
     }
   }
 
+  /** In-flight named metrics — Flink counter/metric-group parity.
+    * `Dataset.observe` evaluates the aggregate expressions INSIDE the
+    * running job via accumulators (no second pass over the data, unlike
+    * a separate `.agg()` action): per micro-batch the values arrive in
+    * `StreamingQueryProgress.observedMetrics(name)`; in batch jobs a
+    * `QueryExecutionListener` reads the same map. This is how a 100 TB
+    * pipeline exports rows-processed / bad-row / freshness counters
+    * without paying an extra aggregation over the input.
+    *
+    * @note scale: each metric is one accumulator merged at task
+    *   completion — cost is per-TASK, not per-row beyond the expression
+    *   eval; keep metric expressions simple aggregates (count/sum/min/
+    *   max/avg) so they stay inside codegen. */
+  def observed(df: DataFrame, name: String,
+      first: org.apache.spark.sql.Column,
+      rest: org.apache.spark.sql.Column*): DataFrame =
+    df.observe(name, first, rest: _*)
+
   /** Dynamic rule application — Flink broadcast-state parity
     * (`BroadcastProcessFunction`: a low-throughput rule stream is
     * shipped to every task and the LATEST rules apply to the main
