@@ -771,6 +771,31 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable-sketch rollup — the INCREMENTAL distinct-count pattern a
+    * 100 TB warehouse runs: per-partition (here per-nation) HLL
+    * sketches built independently, persisted as binary, then
+    * `hll_union_agg` merges them into the global estimate WITHOUT
+    * re-reading the base data. Register-wise max is associative, so
+    * the merged estimate tracks a direct whole-table sketch within 1%
+    * (exact equality breaks only at DataSketches' sparse→dense mode
+    * transition; `HllMergeSpec` pins the 1% band plus the ±5% accuracy
+    * gate vs the exact count). Rows-only: sketch internals are
+    * engine-specific.
+    *
+    * @note scale: each rollup job sketches only its partition; the
+    *   merge reads |partitions| fixed-size binaries — distinct counts
+    *   over a year of data cost one day's scan per day, never a
+    *   re-scan of history. */
+  private val aggHllMergeable = Q.noOracle("agg_hll_mergeable") { (s, d) =>
+    val sk = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_custs"),
+        sum(col("n_rows")).as("total_rows"))
+  }
+
   /** Boolean aggregates (ALL/ANY predicates per group). */
   private val aggBool = Q(
     "agg_bool",
@@ -820,5 +845,5 @@ object ExtendedQueries {
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
-    aggApproxDistinct, aggApproxQuantile, aggBool, windowLocf)
+    aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggBool, windowLocf)
 }

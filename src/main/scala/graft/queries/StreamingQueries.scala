@@ -344,7 +344,22 @@ object StreamingQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Windowed hot-key monitor ([[graft.streaming.StreamOps.skewMonitor]]
+    * — the streaming face of keySkew): per tumbling hour, users whose
+    * event count reaches the threshold. Same code path batch +
+    * streaming (watermark no-ops on a batch frame); replay equivalence
+    * in `StreamingEquivalenceSpec`. */
+  private val skewMonitor = Q(
+    "stream_skew_monitor",
+    s"""SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR) AS ws,
+       |  user_id, count(*) AS n
+       |FROM events GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.skewMonitor(Tables.events(s, d), minCount = 2L)
+      .orderBy("ws", "user_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
-    enrichStatic)
+    enrichStatic, skewMonitor)
 }

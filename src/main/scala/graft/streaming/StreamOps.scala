@@ -335,6 +335,26 @@ object StreamOps {
     }
   }
 
+  /** Windowed hot-key monitor — the streaming face of
+    * [[graft.operators.ProfileOps.keySkew]]: per tumbling hour, the
+    * user_ids whose event count reaches `minCount`. The alert feed a
+    * pipeline watches for emerging skew (a key heating up BEFORE it
+    * melts a downstream join) or abuse (one principal hammering the
+    * system). Identical code runs batch and streaming: on a batch
+    * frame the watermark is a no-op and the same plan carries the
+    * DuckDB-checked `stream_skew_monitor` key.
+    *
+    * @note scale: one windowed hash agg keyed by (window, user) —
+    *   state bounded by active windows × distinct keys and evicted by
+    *   the watermark; the threshold filter is stateless post-agg, so
+    *   append mode emits only closed hot windows. */
+  def skewMonitor(ev: DataFrame, minCount: Long = 2L): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("w.start").cast("string").as("ws"), col("user_id"), col("n"))
+
   /** In-flight named metrics — Flink counter/metric-group parity.
     * `Dataset.observe` evaluates the aggregate expressions INSIDE the
     * running job via accumulators (no second pass over the data, unlike

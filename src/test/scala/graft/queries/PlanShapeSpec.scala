@@ -126,6 +126,21 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("Sort"), "only the output sort may range-shuffle")
   }
 
+  test("Q21 decorrelates both subqueries: one semi, one anti, no per-row subquery") {
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+  }
+
+  test("key-skew report takes top-k without a global sort of all keys") {
+    assert(plan("profile_skew").contains("TakeOrderedAndProject"))
+  }
+
+  test("skew monitor is a single windowed aggregation (one hash exchange)") {
+    val n = "Exchange hashpartitioning".r.findAllIn(plan("stream_skew_monitor")).size
+    assert(n == 1, s"expected 1 hash exchange, got $n")
+  }
+
   test("banded MinHash-LSH path plans only equi-joins, never all-pairs") {
     // at fixture scale AQE may broadcast the small verify sides — fine;
     // the invariant worth pinning is that every join stays an EQUI-join

@@ -49,6 +49,11 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rows(s) == rows(SparkEntry.queries("stream_session_dynamic")(spark, sf)))
   }
 
+  test("skew-monitor replay equals batch twin") {
+    val s = replay(StreamOps.skewMonitor(_), "complete", "t_skewmon")
+    assert(rows(s) == rows(SparkEntry.queries("stream_skew_monitor")(spark, sf)))
+  }
+
   test("T6 dedup-first replay: one event per user, all rows genuine") {
     // arrival order inside a multi-partition micro-batch is not pinned
     // (documented in StreamOps.dedupFirst), so assert the set contract:
