@@ -252,7 +252,134 @@ object ScaleQueries {
     s.sql(sqlQ21)
   }
 
+  /** TPC-H Q4 shape (order priority checking): EXISTS over the fact
+    * table with a correlated date comparison — the fixture has no
+    * commit/receipt dates, so "a line shipped >30 days after ordering"
+    * stands in for "commit missed". Catalyst must decorrelate to a
+    * semi-join on l_orderkey; the date arithmetic rides inside the
+    * join condition, not a per-row subquery. */
+  private val sqlQ4: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE year(o.o_orderdate) BETWEEN 1996 AND 1997
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val sqlTpchQ4 = Q("sql_tpch_q4", sqlQ4) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlQ4)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority classification): one
+    * orders⋈lineitem join with BOTH branches of a conditional count in
+    * a single pass (high- vs low-priority lines among late shippers) —
+    * the multi-metric CASE-agg every ops dashboard runs. l_returnflag
+    * stands in for l_shipmode (fixture has no ship mode). BIGINT casts
+    * keep DuckDB's HUGEINT sums out of the schema compare. */
+  private val sqlQ12: String =
+    """SELECT l.l_returnflag AS ship_class,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND year(l.l_shipdate) BETWEEN 1996 AND 1998
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  private val sqlTpchQ12 = Q("sql_tpch_q12", sqlQ12) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlQ12)
+  }
+
+  /** TPC-H Q14 shape (promo revenue percent): a whole-table scalar
+    * ratio of two conditional decimal sums over one month of
+    * lineitem⋈part. Numerator and denominator are emitted alongside
+    * the percentage so the hash compare pins the exact decimal sums,
+    * not just the divided double. */
+  private val sqlQ14: String =
+    """SELECT
+      |  CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(28,6))
+      |             * (1 - CAST(l_discount AS DECIMAL(28,6))) ELSE 0 END), 4)
+      |    AS DOUBLE) AS promo_revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |             * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4)
+      |    AS DOUBLE) AS total_revenue,
+      |  CAST(round(100.0
+      |      * CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+      |            THEN CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6))) ELSE 0 END), 4) AS DOUBLE)
+      |      / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4) AS DOUBLE), 2)
+      |    AS DOUBLE) AS promo_pct
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE year(l.l_shipdate) = 1997 AND month(l.l_shipdate) = 6""".stripMargin
+
+  private val sqlTpchQ14 = Q("sql_tpch_q14", sqlQ14) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(sqlQ14)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): IN over a grouped
+    * HAVING subquery on the fact table, then the 3-way join back and a
+    * re-aggregation — the "find the whales, then explain them" pattern.
+    * Catalyst turns the IN into a semi-join against the pre-aggregated
+    * fact; both aggs shuffle on orderkey so AQE can reuse the exchange.
+    * Unique (qty DESC, orderkey) sort makes the LIMIT deterministic. */
+  private val sqlQ18: String =
+    """SELECT c.c_name, o.o_orderkey,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                       GROUP BY l_orderkey
+      |                       HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 300)
+      |GROUP BY c.c_name, o.o_orderkey
+      |ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin
+
+  private val sqlTpchQ18 = Q("sql_tpch_q18", sqlQ18) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlQ18)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): an aggregated scalar
+    * subquery feeding a predicate PLUS a NOT EXISTS anti-join in the
+    * same query. The classic `bal > avg(bal)` comparison is restated as
+    * the exact cross-multiplied `bal * n > total` so both engines
+    * compare decimals, never a dialect-dependent avg() result type
+    * (DuckDB's avg(DECIMAL) is DOUBLE, Spark's is DECIMAL — a tie on
+    * the boundary would hash-diverge). "No urgent order" replaces "no
+    * order" because every fixture customer has orders. */
+  private val sqlQ22: String =
+    """WITH pos AS (SELECT count(*) AS n_pos,
+      |                    sum(CAST(c_acctbal AS DECIMAL(28,6))) AS total_pos
+      |             FROM customer WHERE c_acctbal > 0)
+      |SELECT c.c_mktsegment, count(*) AS numcust,
+      |  CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(28,6))), 4) AS DOUBLE) AS totacctbal
+      |FROM customer c, pos
+      |WHERE CAST(c.c_acctbal AS DECIMAL(28,6)) * pos.n_pos > pos.total_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  private val sqlTpchQ22 = Q("sql_tpch_q22", sqlQ22) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlQ22)
+  }
+
   val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
     sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate,
-    sqlTpchQ13, sqlTpchQ21)
+    sqlTpchQ13, sqlTpchQ21, sqlTpchQ4, sqlTpchQ12, sqlTpchQ14, sqlTpchQ18,
+    sqlTpchQ22)
 }

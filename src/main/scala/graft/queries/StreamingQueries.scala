@@ -359,7 +359,91 @@ object StreamingQueries {
       .orderBy("ws", "user_id")
   }
 
+  // ------------------------------------------------------- CUMULATE window
+  /** Flink CUMULATE windows ([[graft.streaming.StreamOps.cumulate]]):
+    * 4 h windows reported cumulatively every hour. The oracle restates
+    * the expanding-window assignment with a global step grid (DuckDB's
+    * generate_series can't be LATERAL) range-joined on
+    * `we ∈ (ts, ws + size]`; all bucket math is integer epoch-µs so
+    * the grid is identical in both engines. */
+  private val streamCumulate = Q(
+    "stream_cumulate",
+    s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+       |x AS (SELECT ts_us - ts_us % 14400000000 AS ws_us, ts_us, value FROM e),
+       |b AS (SELECT min(ws_us) AS lo, max(ws_us) AS mx FROM x),
+       |s AS (SELECT unnest(generate_series(lo + 3600000000, mx + 14400000000,
+       |                                    3600000000)) AS we_us FROM b)
+       |SELECT x.ws_us, s.we_us, count(*) AS n, ${Det.osum("x.value")} AS sum_value
+       |FROM x JOIN s ON s.we_us > x.ts_us AND s.we_us <= x.ws_us + 14400000000
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.cumulate(Tables.events(s, d))
+      .orderBy("ws_us", "we_us")
+  }
+
+  // ------------------------------------------------------- temporal join
+  /** Temporal table join ([[graft.streaming.StreamOps
+    * .temporalJoinStatic]] — Flink `FOR SYSTEM_TIME AS OF` event time):
+    * each event joined to the SCD2 state its user held ONE HOUR before
+    * the event — a genuine version lookup into the past, not a
+    * degenerate always-latest probe. Dim = [[graft.operators.DiffOps
+    * .scd2]] over the same events (the cdc_scd2 construction); facts
+    * whose lookup time predates the user's first version keep NULL
+    * state via the left join. */
+  private val streamTemporalJoin = Q(
+    "stream_temporal_join",
+    """WITH o AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, event_id, ts_us FROM o
+      |      WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id, event_type AS state_then, ts_us AS valid_from_us,
+      |      lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      |      FROM c)
+      |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |  v.state_then, v.valid_from_us
+      |FROM events e LEFT JOIN v ON v.user_id = e.user_id
+      |  AND epoch_us(e.ts) - 3600000000 >= v.valid_from_us
+      |  AND (v.valid_to_us IS NULL OR epoch_us(e.ts) - 3600000000 < v.valid_to_us)
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val dim = graft.operators.DiffOps.scd2(ev, keyCols = Seq("user_id"),
+        orderCols = Seq("ts_us", "event_id"),
+        attrCol = "event_type", tsCol = "ts_us")
+      .select(col("user_id").as("d_uid"), col("event_type").as("state_then"),
+        col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"))
+    val fact = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    graft.streaming.StreamOps.temporalJoinStatic(fact, dim,
+        "user_id", "d_uid", col("ts_us") - lit(3600000000L),
+        "valid_from_us", "valid_to_us")
+      .select(col("event_id"), fact("user_id"), col("ts_us"),
+        col("state_then"), col("valid_from_us"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------- CEP times(n)
+  /** Quantified CEP pattern ([[graft.streaming.CepOps.cepTimes]] —
+    * Flink `times(3).consecutive()`): three consecutive clicks by one
+    * user within 12 hours. The oracle restates the lag-window form. */
+  private val cepTimes = Q(
+    "cep_times",
+    """WITH m AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |l AS (SELECT user_id, ts, event_id,
+      |        lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id
+      |      FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, first_id, event_id AS last_id,
+      |  epoch_us(ts) - epoch_us(first_ts) AS span_us
+      |FROM l WHERE first_ts IS NOT NULL AND ts <= first_ts + INTERVAL 12 HOUR
+      |ORDER BY user_id, last_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepTimes(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "click", n = 3, within = "12 hours")
+      .orderBy("user_id", "last_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
-    enrichStatic, skewMonitor)
+    enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes)
 }

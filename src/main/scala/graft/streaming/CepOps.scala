@@ -111,4 +111,37 @@ object CepOps {
       .select(col("k").as(keyCol), col("a_id"),
         unix_micros(col("a_ts")).as("a_ts_us"))
   }
+
+  /** Quantified pattern `A{n}` with *consecutive* contiguity (Flink CEP
+    * `times(n).consecutive()` applied to the matched substream): every
+    * run of `n` consecutive `predicate`-matching events of one key whose
+    * span fits in `within`. Overlapping runs each emit (Flink's
+    * default after-match-skip NO_SKIP). Returns
+    * `(key, first_id, last_id, span_us)`.
+    *
+    * This is the batch/window face: one `lag(n-1)` over the filtered
+    * substream — a single shuffle on the key, no self-join. The RELAXED
+    * contiguity variant (Flink's `times(n)` default, other events may
+    * interleave *and* non-adjacent matches may combine) is exactly
+    * [[cepPattern]] with `n` identical required steps, which is also
+    * the streaming-capable form; `CepOpsSpec` pins the subset relation
+    * between the two.
+    *
+    * @note scale: lag state is n-1 rows per key inside the sort — the
+    *   window sort shuffles once on the key, cost identical to any
+    *   per-key sessionization pass. */
+  def cepTimes(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      predicate: Column, n: Int, within: String): DataFrame = {
+    require(n >= 2, "times(n) needs n >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    ev.filter(predicate)
+      .select(col(keyCol), col(tsCol), col(idCol))
+      .withColumn("first_ts", lag(col(tsCol), n - 1).over(w))
+      .withColumn("first_id", lag(col(idCol), n - 1).over(w))
+      .filter(col("first_ts").isNotNull &&
+        col(tsCol) <= col("first_ts") + expr(s"INTERVAL $within"))
+      .select(col(keyCol), col("first_id"), col(idCol).as("last_id"),
+        (unix_micros(col(tsCol)) - unix_micros(col("first_ts"))).as("span_us"))
+  }
 }

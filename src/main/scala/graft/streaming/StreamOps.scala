@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -400,6 +400,65 @@ object StreamOps {
       onBatch(apply(batch, broadcast(loadRules(batch.sparkSession))), batchId)
       ()
     }
+
+  /** Flink-style CUMULATE windows (`CUMULATE(ts, step, size)`): each
+    * event lands in every expanding window `[ws, ws + k·step)` whose end
+    * lies in `(ts, ws + size]`, where `ws = floor(ts, size)` — the
+    * "running total that resets every `size`" dashboards want without
+    * the update-mode churn of a plain running sum.
+    *
+    * One function serves both faces: on a batch frame the
+    * `withWatermark` is a no-op; on a stream the *derived window-end*
+    * column carries the event-time tag (it is the max-ts proxy of its
+    * window — monotone in ts, so lateness transfers), making the agg an
+    * append-mode windowed aggregation with state evicted per closed
+    * window end.
+    *
+    * All bucket math is integer epoch-µs (`unix_micros`), never
+    * double division — `pmod` keeps the grid exact at any epoch.
+    *
+    * @note scale: explode fan-out is `size/step` (a small constant, 4
+    *   here) and the single shuffle groups on (ws, we) — same cost
+    *   shape as Spark's own sliding windows, which materialize the
+    *   per-slide copies identically. */
+  def cumulate(ev: DataFrame, sizeHours: Int = 4, stepMinutes: Int = 60,
+      delay: String = "10 minutes"): DataFrame = {
+    val sizeUs = sizeHours * 3600L * 1000000L
+    val stepUs = stepMinutes * 60L * 1000000L
+    ev.select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("ws_us", col("ts_us") - pmod(col("ts_us"), lit(sizeUs)))
+      .withColumn("we_us", explode(sequence(
+        col("ts_us") - pmod(col("ts_us"), lit(stepUs)) + lit(stepUs),
+        col("ws_us") + lit(sizeUs), lit(stepUs))))
+      .withColumn("we_ts", timestamp_micros(col("we_us")))
+      .withWatermark("we_ts", delay)
+      .groupBy(col("ws_us"), col("we_ts"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("ws_us"), unix_micros(col("we_ts")).as("we_us"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Flink temporal-TABLE join (`FOR SYSTEM_TIME AS OF` event time)
+    * against a versioned dimension: each fact row joins the ONE dim
+    * version whose validity interval `[valid_from, valid_to)` contains
+    * its lookup time (`valid_to` NULL = current). Left join so facts
+    * predating the first version survive with NULL attributes.
+    *
+    * Stream-static form: the dim is re-read and re-broadcast per
+    * micro-batch (dimension updates become visible between batches —
+    * Flink's processing-time temporal join refresh semantics), the
+    * stream side never shuffles and no state is kept.
+    *
+    * @note scale: versions tile the timeline disjointly per key, so the
+    *   join is 1:≤1 — no fan-out. The dim must stay broadcast-sized
+    *   (versions × keys); for dims beyond that, pre-bucket both sides
+    *   on the key and use [[graft.plans.AsOfJoin]] instead. */
+  def temporalJoinStatic(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, lookup: Column,
+      validFrom: String, validTo: String): DataFrame =
+    fact.join(broadcast(dim),
+      fact(factKey) === dim(dimKey) && lookup >= dim(validFrom) &&
+        (dim(validTo).isNull || lookup < dim(validTo)), "left")
 
   /** T8: CEP-lite stream-stream self-join — "error then purchase within
     * 10 minutes, same user". Watermarks on both sides + the time-bound

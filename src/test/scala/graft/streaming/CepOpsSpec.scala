@@ -130,4 +130,40 @@ class CepOpsSpec extends SparkSpec {
       assert(out == Set((1L, 100L, 101L, 300000000L)), s"got $out")
     } finally q.stop()
   }
+
+  test("cepTimes: overlapping consecutive runs, within cutoff (fixture)") {
+    val sp = spark
+    import sp.implicits._
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    // user 1: clicks 00:00, 01:00, 02:00, 20:00 — runs (1,2,3) span 2 h ok,
+    //   (2,3,4) span 19 h > 12 h cut; the interleaved view must not break
+    //   contiguity of the click substream (consecutive-in-substream).
+    // user 2: two clicks only — below n=3.
+    val ev = Seq(
+      CepEvent(1L, t("00:00"), 1L, "click"),
+      CepEvent(1L, t("00:30"), 9L, "view"),
+      CepEvent(1L, t("01:00"), 2L, "click"),
+      CepEvent(1L, t("02:00"), 3L, "click"),
+      CepEvent(1L, t("20:00"), 4L, "click"),
+      CepEvent(2L, t("00:00"), 5L, "click"),
+      CepEvent(2L, t("00:10"), 6L, "click")).toDF()
+    val out = CepOps.cepTimes(ev, "user_id", "ts", "event_id",
+        col("event_type") === "click", n = 3, within = "12 hours")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 1L, 3L, 7200000000L)), s"got $out")
+  }
+
+  test("cepTimes consecutive matches ⊆ relaxed times via identical-step cepPattern") {
+    val ev = Tables.events(spark, sf)
+    val cons = CepOps.cepTimes(ev, "user_id", "ts", "event_id",
+        col("event_type") === "click", n = 3, within = "12 hours")
+      .select("user_id", "first_id", "last_id")
+    val relaxed = CepOps.cepPattern(ev, "user_id", "ts", "event_id", Seq(
+        PatternStep("a", col("event_type") === "click"),
+        PatternStep("b", col("event_type") === "click", within = "12 hours"),
+        PatternStep("c", col("event_type") === "click", within = "12 hours")))
+      .select(col("user_id"), col("a_id").as("first_id"), col("c_id").as("last_id"))
+    assert(rows(cons).nonEmpty)
+    assert(rows(cons).subsetOf(rows(relaxed)))
+  }
 }

@@ -176,4 +176,29 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(dueNulls.subsetOf(streamedNulls),
       s"${(dueNulls -- streamedNulls).size} overdue null-extensions missing")
   }
+
+  test("CUMULATE-window replay equals batch twin") {
+    val s = replay(StreamOps.cumulate(_), "complete", "t_cumulate")
+    assert(rows(s) == rows(SparkEntry.queries("stream_cumulate")(spark, sf)))
+    assert(s.count() > 0)
+  }
+
+  test("temporal-table-join replay equals batch twin") {
+    val evB = graft.Tables.events(spark, sf).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val dim = graft.operators.DiffOps.scd2(evB, keyCols = Seq("user_id"),
+        orderCols = Seq("ts_us", "event_id"),
+        attrCol = "event_type", tsCol = "ts_us")
+      .select(col("user_id").as("d_uid"), col("event_type").as("state_then"),
+        col("valid_from").as("valid_from_us"), col("valid_to").as("valid_to_us"))
+    val s = replay(ev => StreamOps.temporalJoinStatic(
+        ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        dim, "user_id", "d_uid", col("ts_us") - lit(3600000000L),
+        "valid_from_us", "valid_to_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("state_then"), col("valid_from_us")),
+      "append", "t_temporal")
+    assert(rows(s) == rows(SparkEntry.queries("stream_temporal_join")(spark, sf)))
+    assert(s.count() > 0)
+  }
 }
