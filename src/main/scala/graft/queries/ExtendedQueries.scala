@@ -839,11 +839,42 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ------------------------------------------------------- async enrich
+  /** Flink Async-I/O enrichment ([[graft.operators.EnrichOps
+    * .asyncEnrich]]): every event enriched through the bounded-
+    * concurrency ordered async pipeline against a keyed lookup service
+    * (here a broadcast map standing in for the KV store — the container
+    * has no external service; the operator's concurrency/order/timeout
+    * machinery is the real path and is latency-tested in
+    * `EnrichOpsSpec`). Ordered-wait semantics make the result equal the
+    * plain left join, which is exactly what the oracle runs.
+    *
+    * @note scale: the broadcast map is the *test* service; in
+    *   production `fetch` calls the remote store and the collect
+    *   disappears. Concurrency is per task (see EnrichOps scaladoc). */
+  private val enrichAsync = Q(
+    "enrich_async",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dim: Map[Long, String] = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bc = s.sparkContext.broadcast(dim)
+    val ds = Tables.events(s, d)
+      .select(col("event_id"), col("user_id")).as[(Long, Long)]
+    graft.operators.EnrichOps.asyncEnrich(ds, concurrency = 8) { t =>
+      (t._1, t._2, bc.value.getOrElse(t._2, null.asInstanceOf[String]))
+    }.toDF("event_id", "user_id", "segment").orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(windowCountBased, cogroupTyped, aggCube, aggGroupingSets,
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
-    aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggBool, windowLocf)
+    aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggBool, windowLocf,
+    enrichAsync)
 }

@@ -378,8 +378,76 @@ object ScaleQueries {
     s.sql(sqlQ22)
   }
 
+  /** TPC-H Q3 (shipping priority, the real date-banded form — the
+    * earlier `sql_entry_q3` key is the priority-grouped variant): top-10
+    * unshipped-revenue orders at the cutoff. Both date predicates must
+    * reach their scans; the LIMIT rides a TakeOrderedAndProject over
+    * the grouped revenue. Unique (revenue DESC, orderkey) sort keeps
+    * the LIMIT deterministic. */
+  private val sqlQ3True: String =
+    """SELECT l.l_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4) AS DOUBLE) AS revenue,
+      |  CAST(o.o_orderdate AS STRING) AS orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+
+  private val sqlTpchQ3 = Q("sql_tpch_q3", sqlQ3True) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlQ3True)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the purest
+    * filter-then-global-agg — every predicate must show in
+    * `PushedFilters`, no exchange beyond the 1-row final agg merge. */
+  private val sqlQ6: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * CAST(l_discount AS DECIMAL(28,6))), 4) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE year(l_shipdate) = 1997
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private val sqlTpchQ6 = Q("sql_tpch_q6", sqlQ6) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlQ6)
+  }
+
+  /** TPC-H Q10 (returned-item reporting): the 4-way join funnel into a
+    * wide group-by (customer identity) with a top-20 on aggregated
+    * revenue — the "who cost us the most" report. Nation broadcasts;
+    * orders⋈lineitem shuffles on orderkey then regroups on custkey. */
+  private val sqlQ10: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4) AS DOUBLE) AS revenue,
+      |  n.n_name
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = 1997
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin
+
+  private val sqlTpchQ10 = Q("sql_tpch_q10", sqlQ10) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(sqlQ10)
+  }
+
   val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
     sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate,
     sqlTpchQ13, sqlTpchQ21, sqlTpchQ4, sqlTpchQ12, sqlTpchQ14, sqlTpchQ18,
-    sqlTpchQ22)
+    sqlTpchQ22, sqlTpchQ3, sqlTpchQ6, sqlTpchQ10)
 }

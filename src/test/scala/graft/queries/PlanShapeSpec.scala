@@ -151,4 +151,29 @@ class PlanShapeSpec extends SparkSpec {
       "no all-pairs fallback in the LSH path")
     assert(p.contains("Join"), "the candidate/verify joins must be present")
   }
+
+  test("temporal table join broadcasts the versioned dim") {
+    assert(plan("stream_temporal_join").contains("BroadcastHashJoin"))
+  }
+
+  test("CUMULATE window aggregates in one hash exchange") {
+    val n = "Exchange hashpartitioning".r.findAllIn(plan("stream_cumulate")).size
+    assert(n == 1, s"expected 1 hash exchange, got $n")
+  }
+
+  test("times(n) quantifier is one keyed window pass, no self-join") {
+    val p = plan("cep_times")
+    assert(!p.contains("Join"), "consecutive times(n) must not self-join")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 hash exchange, got $n")
+  }
+
+  test("Q4/Q18 IN-and-EXISTS subqueries decorrelate to semi joins") {
+    for (k <- Seq("sql_tpch_q4", "sql_tpch_q18"))
+      assert(plan(k).contains("LeftSemi"), s"$k: expected a semi join")
+  }
+
+  test("Q22 NOT EXISTS decorrelates to an anti join") {
+    assert(plan("sql_tpch_q22").contains("LeftAnti"))
+  }
 }
