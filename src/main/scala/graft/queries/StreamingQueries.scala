@@ -422,6 +422,36 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------------- window top-N
+  /** Flink Window Top-N ([[graft.streaming.StreamOps.windowTopN]]):
+    * per tumbling hour, the 3 users with the most events. This batch
+    * twin is the agg + rank-window form; the streaming face emits each
+    * window's top-3 once, on the event-time timer at window close
+    * (`WindowTopNSpec` pins the gating and the equality). */
+  private val streamWindowTopn = Q(
+    "stream_window_topn",
+    """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+      |             - epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS ws_us,
+      |             user_id, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT ws_us, user_id, n,
+      |        CAST(row_number() OVER (PARTITION BY ws_us
+      |                                ORDER BY n DESC, user_id) AS INT) AS rnk
+      |      FROM h)
+      |SELECT ws_us, user_id, n, rnk FROM r WHERE rnk <= 3
+      |ORDER BY ws_us, rnk""".stripMargin) { (s, d) =>
+    val hourUs = 3600L * 1000000L
+    val hourly = Tables.events(s, d)
+      .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(hourUs)))
+        .as("ws_us"), col("user_id"))
+      .groupBy("ws_us", "user_id").agg(count(lit(1)).as("n"))
+    hourly
+      .withColumn("rnk", row_number().over(Window.partitionBy("ws_us")
+        .orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rnk") <= 3)
+      .orderBy("ws_us", "rnk")
+  }
+
   // ------------------------------------------------------- CEP times(n)
   /** Quantified CEP pattern ([[graft.streaming.CepOps.cepTimes]] —
     * Flink `times(3).consecutive()`): three consecutive clicks by one
@@ -445,5 +475,6 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
-    enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes)
+    enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
+    streamWindowTopn)
 }

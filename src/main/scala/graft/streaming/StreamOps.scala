@@ -11,6 +11,8 @@ case class FillState(curHourUs: Long, curTsUs: Long, curEventId: Long, curValue:
 case class FillRow(user_id: Long, h_us: Long, v_fill: Double)
 case class CountWinState(bucket: Int, cnt: Int, sum: Double)
 case class CountWinRow(user_id: Long, bucket: Int, n: Int, sum_value: Double)
+case class WinTopState(counts: Map[Long, Long])
+case class WinTopRow(ws_us: Long, user_id: Long, n: Long, rnk: Int)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
   * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
@@ -400,6 +402,58 @@ object StreamOps {
       onBatch(apply(batch, broadcast(loadRules(batch.sparkSession))), batchId)
       ()
     }
+
+  /** Flink "Window Top-N" (SQL `ROW_NUMBER() OVER (PARTITION BY window
+    * ...)` ≤ k): per tumbling hour, the k keys with the most events —
+    * emitted ONCE when the watermark closes the window, never
+    * retracted. Spark's append mode can't rank inside a windowed agg,
+    * so the operator is a `flatMapGroupsWithState` keyed by WINDOW
+    * START: state accumulates per-key counts (pre-shrunk map-side by
+    * the shuffle on ws), an event-time timer at window end + delay
+    * fires the one-shot top-k emission and clears the state.
+    *
+    * The batch twin (agg + rank window, `stream_window_topn`) carries
+    * the oracle; `WindowTopNSpec` pins timer-gated emission and final
+    * equality.
+    *
+    * @note scale: state per window is the distinct-key count map of ONE
+    *   hour — bounded by active keys/hour, evicted at timeout; shuffle
+    *   is one exchange on ws. Ties break (n DESC, key ASC) so emission
+    *   is deterministic. */
+  def windowTopN(ev: DataFrame, k: Int = 3,
+      delayMs: Long = 10 * 60 * 1000L): Dataset[WinTopRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    // the watermarked ts column must SURVIVE the projection — the
+    // event-time-timeout checker requires the tagged attribute in the
+    // fMGWS child, even though only ws_us/user_id feed the state
+    ev.withWatermark("ts", "10 minutes")
+      .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(HourUs)))
+        .as("ws_us"), col("user_id"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WinTopState, WinTopRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (ws, it, state) =>
+        if (state.hasTimedOut) {
+          val m = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+          state.remove()
+          m.toSeq.sortBy { case (uid, n) => (-n, uid) }.take(k).zipWithIndex
+            .map { case ((uid, n), i) => WinTopRow(ws, uid, n, i + 1) }.iterator
+        } else {
+          val m0 = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+          val m = it.foldLeft(m0) { case (acc, t) =>
+            val uid = t._2
+            acc.updated(uid, acc.getOrElse(uid, 0L) + 1L) }
+          state.update(WinTopState(m))
+          // a straggler window re-opened behind the watermark must not
+          // set a timeout in the past (that throws) — clamp to wm+1
+          state.setTimeoutTimestamp(math.max(
+            ws / 1000L + HourUs / 1000L + delayMs,
+            state.getCurrentWatermarkMs() + 1L))
+          Iterator.empty
+        }
+      }
+  }
 
   /** Flink-style CUMULATE windows (`CUMULATE(ts, step, size)`): each
     * event lands in every expanding window `[ws, ws + k·step)` whose end
