@@ -176,4 +176,18 @@ class PlanShapeSpec extends SparkSpec {
   test("Q22 NOT EXISTS decorrelates to an anti join") {
     assert(plan("sql_tpch_q22").contains("LeftAnti"))
   }
+
+  test("window top-N batch twin shares one exchange between agg and rank") {
+    // groupBy(ws,user) then rank partitioned by ws: the rank's
+    // ws-partitioning is a coarsening of the agg's — a second hash
+    // exchange would mean the window failed to reuse it
+    val n = "Exchange hashpartitioning".r.findAllIn(plan("stream_window_topn")).size
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n")
+  }
+
+  test("Q6 pushes every predicate to the lineitem scan") {
+    val p = plan("sql_tpch_q6")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull(l_discount)"), p)
+    assert(!p.contains("Join"), "Q6 must not join")
+  }
 }

@@ -124,4 +124,36 @@ class StreamOpsPropertySpec extends SparkSpec {
       assert(got == expected, s"seed=$seed")
     }
   }
+
+  test("CUMULATE: final step equals the tumbling size-window; counts non-decreasing") {
+    val SizeUs = 4L * 3600 * 1000000
+    for (seed <- 1 to 3) {
+      val evs = genEvents(seed, 60 + seed * 11)
+      val rows = StreamOps.cumulate(df(evs))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every event contributes to its own size-window's final step…
+      val finals = rows.filter { case (ws, we, _) => we == ws + SizeUs }
+      val tumbling = evs.groupBy(e => Math.floorDiv(e.ts.getTime * 1000, SizeUs) * SizeUs)
+        .view.mapValues(_.size.toLong).toMap
+      assert(finals.map(f => f._1 -> f._3).toMap == tumbling,
+        s"seed=$seed: final cumulative step must equal the tumbling window count")
+      // …and the expanding counts never shrink within a size-window
+      rows.groupBy(_._1).foreach { case (ws, g) =>
+        val ns = g.sortBy(_._2).map(_._3)
+        assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+          s"seed=$seed ws=$ws: cumulative counts must be non-decreasing")
+      }
+    }
+  }
+
+  test("temporal join: exactly one output row per fact, version interval contains lookup") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("stream_temporal_join")(spark, sf)
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(out.count() == nEvents, "left 1:<=1 join must preserve fact cardinality")
+    val bad = out.filter(col("valid_from_us").isNotNull &&
+      col("valid_from_us") > col("ts_us") - lit(3600000000L)).count()
+    assert(bad == 0, "matched version must be valid at the lookup instant")
+  }
 }
