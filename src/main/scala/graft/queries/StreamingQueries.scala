@@ -422,6 +422,30 @@ object StreamingQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------- full-outer interval join
+  /** Full-outer stream-stream interval join ([[graft.streaming
+    * .StreamOps.intervalJoinFull]]): clicks ⟗ views in the same
+    * 30-minute band — the abandonment view from BOTH directions
+    * (clicks without a preceding view AND views that led to no click)
+    * in one pass. Same code path batch + streaming; the unique
+    * (user, click, view) triple makes the sort deterministic. */
+  private val intervalJoinFull = Q(
+    "stream_interval_join_full",
+    """SELECT coalesce(c.user_id, v.user_id) AS user_id,
+      |  c.event_id AS click_id, v.event_id AS view_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS c_ts_us,
+      |  epoch_us(CAST(v.ts AS TIMESTAMP)) AS v_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      |  AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+      |  AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |ORDER BY user_id, click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.intervalJoinFull(Tables.events(s, d))
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("view_id").asc_nulls_first)
+  }
+
   // ------------------------------------------------------- window top-N
   /** Flink Window Top-N ([[graft.streaming.StreamOps.windowTopN]]):
     * per tumbling hour, the 3 users with the most events. This batch
@@ -476,5 +500,5 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
-    streamWindowTopn)
+    streamWindowTopn, intervalJoinFull)
 }

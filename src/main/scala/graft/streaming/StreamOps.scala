@@ -206,6 +206,36 @@ object StreamOps {
         unix_micros(col("c_ts")).as("c_ts_us"))
   }
 
+  /** T9 full-outer stream-stream interval join: clicks ⟗ views within
+    * the same 30-minute back-looking band — unmatched rows of BOTH
+    * sides null-extend once the watermark proves no partner can still
+    * arrive (Spark supports full-outer stream-stream joins given
+    * watermarks on both sides + a time-bound condition). Same
+    * null-emission horizon reasoning as [[intervalJoinOuter]], applied
+    * symmetrically: the global watermark is the min across both sides.
+    *
+    * @note scale: state per side is band + watermark delay, identical
+    *   to the inner form; the outer-ness only changes eviction-time
+    *   emission, not state size. */
+  def intervalJoinFull(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    c.join(v, col("user_id") === col("v_uid") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("c_ts"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("v_uid")).as("user_id"),
+        col("click_id"), col("view_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"),
+        unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
   /** T7: keyed stateful forward-fill (`flatMapGroupsWithState`): per user,
     * emit one row per hour carrying the latest observed value into hours
     * with no events. An hour is emitted when the first event of a later

@@ -177,6 +177,25 @@ class StreamingEquivalenceSpec extends SparkSpec {
       s"${(dueNulls -- streamedNulls).size} overdue null-extensions missing")
   }
 
+  test("T9-full-outer: matches exact, null extensions genuine on BOTH sides") {
+    val s = replay(StreamOps.intervalJoinFull, "append", "t_ivj_full")
+    val batch = SparkEntry.queries("stream_interval_join_full")(spark, sf)
+    def key(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    }
+    val (sm, bm) = (key(s), key(batch))
+    // matched rows carry no watermark dependence: exact equality
+    assert(sm.filter(t => t._2 >= 0 && t._3 >= 0).sorted.toSeq ==
+      bm.filter(t => t._2 >= 0 && t._3 >= 0).sorted.toSeq)
+    // every streamed null-extension (either side) is genuine
+    assert(sm.filter(t => t._2 < 0 || t._3 < 0).toSet
+      .subsetOf(bm.filter(t => t._2 < 0 || t._3 < 0).toSet))
+    // both null directions exist in the batch truth (the shape is real)
+    assert(bm.exists(_._2 < 0) && bm.exists(_._3 < 0))
+  }
+
   test("CUMULATE-window replay equals batch twin") {
     val s = replay(StreamOps.cumulate(_), "complete", "t_cumulate")
     assert(rows(s) == rows(SparkEntry.queries("stream_cumulate")(spark, sf)))
