@@ -13,6 +13,8 @@ case class CountWinState(bucket: Int, cnt: Int, sum: Double)
 case class CountWinRow(user_id: Long, bucket: Int, n: Int, sum_value: Double)
 case class WinTopState(counts: Map[Long, Long])
 case class WinTopRow(ws_us: Long, user_id: Long, n: Long, rnk: Int)
+case class BucketState(docs: List[(Long, Seq[Long])])
+case class CandPair(ai: Long, bi: Long, est_jac: Double, band: Int)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
   * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
@@ -204,6 +206,81 @@ object StreamOps {
         "left_outer")
       .select(col("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_ts_us"))
+  }
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+    * streaming face of [[graft.operators.DedupOps.minhashNearDups]]'s
+    * band stage: as documents arrive, each is checked against every
+    * prior document sharing any of its 16 LSH band signatures, and a
+    * candidate pair (with the signature-estimated Jaccard) is emitted
+    * the moment the collision happens. Exact verification stays a
+    * downstream batch/foreachBatch step (it needs both full shingle
+    * sets) — the production split: the stream flags, the verifier
+    * confirms.
+    *
+    * The whole signature is computed PER ROW (64 permuted mins over the
+    * distinct-shingle hash array via higher-order functions — no
+    * aggregation), so the only stateful step is the per-bucket
+    * membership map: fMGWS keyed by (band, bsig), state = up to
+    * `maxBucket` (doc_id, signature) entries. A pair colliding in k
+    * bands emits k times (one per bucket, like Flink's per-partition
+    * side outputs) — consumers dedup on (ai, bi), which the exact
+    * verify does for free.
+    *
+    * Signature/band construction is bit-identical to the batch
+    * operator (same 57-bit poly hash mod M, same (2i+1)x + c_i perms,
+    * same 16×4 bands), so after a complete replay the distinct
+    * candidate set EQUALS the batch band-join's — `StreamDedupSpec`
+    * pins that, plus verified-pair ⊆ candidate coverage.
+    *
+    * @note scale: state per bucket is ≤ maxBucket × 64 longs; a hot
+    *   bucket (boilerplate band value) saturates at the cap exactly
+    *   like the batch hot-shingle df cap — the cap bounds state AND
+    *   emission quadratic-ness; shuffle is one exchange on (band,
+    *   bsig). NoTimeout keeps buckets forever — in production wrap
+    *   with a TTL'd transformWithState or restart per corpus epoch. */
+  def nearDupCandidates(docs: DataFrame, n: Int = 3,
+      maxBucket: Int = 64): Dataset[CandPair] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val M = 2147483647L
+    val withSig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .withColumn("shx", transform(
+        array_distinct(expr(
+          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")),
+        s => pmod(graft.functions.Hashes.polyHash(s), lit(M))))
+      .withColumn("sig", transform(sequence(lit(0), lit(63)), i =>
+        array_min(transform(col("shx"),
+          x => pmod((lit(2L) * i + lit(1L)) * x + (lit(1000003L) * i + lit(12345L)), lit(M))))))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(15))).as("band"))
+      .withColumn("bsig", expr(
+        "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
+      .select(col("band"), col("bsig"), col("doc_id"), col("sig"))
+      .as[(Int, String, Long, Seq[Long])]
+    withSig
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var docs = state.getOption.map(_.docs).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+        // deterministic intra-batch order: a bucket's arrivals pair in
+        // doc_id order regardless of task scheduling
+        it.toSeq.sortBy(_._3).foreach { case (band, _, id, sig) =>
+          if (!docs.exists(_._1 == id)) {
+            docs.foreach { case (pid, psig) =>
+              val eq = psig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+              out += CandPair(math.min(pid, id), math.max(pid, id),
+                eq.toDouble / 64.0, band)
+            }
+            if (docs.size < maxBucket) docs = (id, sig) :: docs
+          }
+        }
+        state.update(BucketState(docs))
+        out.iterator
+      }
   }
 
   /** T9 full-outer stream-stream interval join: clicks ⟗ views within
