@@ -15,6 +15,11 @@ case class WinTopState(counts: Map[Long, Long])
 case class WinTopRow(ws_us: Long, user_id: Long, n: Long, rnk: Int)
 case class BucketState(docs: List[(Long, Seq[Long])])
 case class CandPair(ai: Long, bi: Long, est_jac: Double, band: Int)
+/** CUMULATE append-mode state: per-step exact partials (value ×10⁶ as
+  * long — the [[graft.Det]] DECIMAL(18,6) grid) + high-water mark of
+  * already-emitted sub-window ends. */
+case class CumState(steps: Map[Long, (Long, Long)], emittedUpTo: Long)
+case class CumRow(ws_us: Long, we_us: Long, n: Long, sum_value: Double)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
   * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
@@ -568,12 +573,17 @@ object StreamOps {
     * "running total that resets every `size`" dashboards want without
     * the update-mode churn of a plain running sum.
     *
-    * One function serves both faces: on a batch frame the
-    * `withWatermark` is a no-op; on a stream the *derived window-end*
-    * column carries the event-time tag (it is the max-ts proxy of its
-    * window — monotone in ts, so lateness transfers), making the agg an
-    * append-mode windowed aggregation with state evicted per closed
-    * window end.
+    * One function serves batch and COMPLETE-mode streaming: the agg
+    * groups on the derived, exploded window ends, which carry no
+    * event-time tag — so a streamed append-mode use fails analysis
+    * loudly ("streaming aggregation without watermark") instead of
+    * silently dropping data. (An earlier revision watermarked the
+    * exploded end column; since every event emits ends up to its full
+    * `ws + size`, one early event advanced the watermark past all
+    * earlier cumulative sub-windows and append mode lost every event
+    * arriving in a later micro-batch of the same window. Append-mode
+    * streaming lives in [[cumulateAppend]], which watermarks the REAL
+    * event-time column.)
     *
     * All bucket math is integer epoch-µs (`unix_micros`), never
     * double division — `pmod` keeps the grid exact at any epoch.
@@ -582,8 +592,7 @@ object StreamOps {
     *   here) and the single shuffle groups on (ws, we) — same cost
     *   shape as Spark's own sliding windows, which materialize the
     *   per-slide copies identically. */
-  def cumulate(ev: DataFrame, sizeHours: Int = 4, stepMinutes: Int = 60,
-      delay: String = "10 minutes"): DataFrame = {
+  def cumulate(ev: DataFrame, sizeHours: Int = 4, stepMinutes: Int = 60): DataFrame = {
     val sizeUs = sizeHours * 3600L * 1000000L
     val stepUs = stepMinutes * 60L * 1000000L
     ev.select(unix_micros(col("ts")).as("ts_us"), col("value"))
@@ -591,12 +600,84 @@ object StreamOps {
       .withColumn("we_us", explode(sequence(
         col("ts_us") - pmod(col("ts_us"), lit(stepUs)) + lit(stepUs),
         col("ws_us") + lit(sizeUs), lit(stepUs))))
-      .withColumn("we_ts", timestamp_micros(col("we_us")))
-      .withWatermark("we_ts", delay)
-      .groupBy(col("ws_us"), col("we_ts"))
+      .groupBy(col("ws_us"), col("we_us"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
-      .select(col("ws_us"), unix_micros(col("we_ts")).as("we_us"),
-        col("n"), col("sum_value"))
+      .select(col("ws_us"), col("we_us"), col("n"), col("sum_value"))
+  }
+
+  /** Append-mode CUMULATE — the streaming face of [[cumulate]] with
+    * correct per-event lateness: the watermark rides the REAL event-time
+    * column `ts`, so an event is late only when `ts` itself falls behind
+    * the watermark, never because an earlier event of the same window
+    * pre-announced later window ends.
+    *
+    * Shape: fMGWS keyed by window start. State holds one exact partial
+    * aggregate per `step` bucket (value pre-scaled to ×10⁶ longs, the
+    * same DECIMAL(18,6) grid as [[graft.Det.dsum]], so streamed sums are
+    * bit-equal to the batch twin under any arrival order). An event-time
+    * timer at the earliest un-emitted sub-window end fires the one-shot
+    * cumulative emission for every end the watermark has passed; state
+    * drops once the last end (`ws + size`) emits.
+    *
+    * Emission ↔ lateness consistency: an end `we` emits only once the
+    * watermark ≥ `we`, and fMGWS filters input rows with `ts` below the
+    * watermark — so any event that could still land in a bucket ≤ `we`
+    * (its `ts < we`) is provably dropped-as-late before `we` can have
+    * emitted without it. Ends whose OWN bucket is empty still emit
+    * (cumulative totals repeat), exactly like the batch grid.
+    *
+    * Bounded-replay tail: ends past the final watermark never fire —
+    * flush them with [[graft.streaming.StateFlush]] (statestore reader)
+    * or compare up to the final-watermark horizon.
+    *
+    * @note scale: state per window = ≤ size/step (n, sum) pairs + one
+    *   long — O(1); one exchange on ws. Timers fire once per step, not
+    *   per event. */
+  def cumulateAppend(ev: DataFrame, sizeHours: Int = 4, stepMinutes: Int = 60,
+      delay: String = "10 minutes"): Dataset[CumRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    val sizeUs = sizeHours * 3600L * 1000000L
+    val stepUs = stepMinutes * 60L * 1000000L
+    ev.withWatermark("ts", delay)
+      .select(unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+          lit(1000000L)).cast("long").as("v6"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(t => t._1 - Math.floorMod(t._1, sizeUs))
+      .flatMapGroupsWithState[CumState, CumRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (ws, it, state) =>
+        val weLast = ws + sizeUs
+        val st0 = state.getOption.getOrElse(CumState(Map.empty, Long.MinValue))
+        // merge this batch's events into their own step buckets
+        val st1 = it.foldLeft(st0) { case (st, (tsUs, v6, _)) =>
+          val we = tsUs - Math.floorMod(tsUs, stepUs) + stepUs
+          val (n0, s0) = st.steps.getOrElse(we, (0L, 0L))
+          st.copy(steps = st.steps.updated(we, (n0 + 1L, s0 + v6)))
+        }
+        if (st1.steps.isEmpty) { state.remove(); Iterator.empty }
+        else {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val first = st1.steps.keysIterator.min
+          val start = math.max(first, st1.emittedUpTo + stepUs)
+          val due = Iterator.iterate(start)(_ + stepUs)
+            .takeWhile(we => we <= wmUs && we <= weLast).toList
+          val rows = due.map { we =>
+            val (n, s6) = st1.steps.iterator.filter(_._1 <= we)
+              .foldLeft((0L, 0L)) { case ((a, b), (_, (n2, s2))) => (a + n2, b + s2) }
+            CumRow(ws, we, n, BigDecimal(s6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          val emitted = if (due.nonEmpty) due.last else st1.emittedUpTo
+          if (emitted >= weLast) state.remove()
+          else {
+            state.update(st1.copy(emittedUpTo = emitted))
+            val next = math.max(if (emitted == Long.MinValue) first else emitted + stepUs, first)
+            state.setTimeoutTimestamp(math.max(next / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          rows.iterator
+        }
+      }
   }
 
   /** Flink temporal-TABLE join (`FOR SYSTEM_TIME AS OF` event time)
