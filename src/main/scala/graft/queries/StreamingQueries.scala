@@ -478,18 +478,25 @@ object StreamingQueries {
 
   // ------------------------------------------------------- CEP times(n)
   /** Quantified CEP pattern ([[graft.streaming.CepOps.cepTimes]] —
-    * Flink `times(3).consecutive()`): three consecutive clicks by one
-    * user within 12 hours. The oracle restates the lag-window form. */
+    * Flink `times(3).consecutive()`): three STRICTLY consecutive clicks
+    * by one user (no other event of that user in between — enforced by
+    * position-ranking the full stream before the filter) within 12
+    * hours. The oracle restates the rank-then-lag form. */
   private val cepTimes = Q(
     "cep_times",
-    """WITH m AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
-      |           FROM events WHERE event_type = 'click'),
-      |l AS (SELECT user_id, ts, event_id,
-      |        lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS pos
+      |           FROM events),
+      |m AS (SELECT user_id, ts, event_id, pos FROM p WHERE event_type = 'click'),
+      |l AS (SELECT user_id, ts, event_id, pos,
+      |        lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id,
+      |        lag(pos, 2) OVER w AS first_pos
       |      FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, first_id, event_id AS last_id,
       |  epoch_us(ts) - epoch_us(first_ts) AS span_us
-      |FROM l WHERE first_ts IS NOT NULL AND ts <= first_ts + INTERVAL 12 HOUR
+      |FROM l WHERE first_pos IS NOT NULL AND pos - first_pos = 2
+      |  AND ts <= first_ts + INTERVAL 12 HOUR
       |ORDER BY user_id, last_id""".stripMargin) { (s, d) =>
     graft.streaming.CepOps.cepTimes(Tables.events(s, d),
         "user_id", "ts", "event_id",

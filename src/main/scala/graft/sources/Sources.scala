@@ -93,11 +93,19 @@ object Sources {
     * `JdbcUpsertSpec`; the same code reaches Postgres/MySQL by URL).
     * Idempotent by construction: re-applying a batch converges to the
     * same table state, which is exactly what streaming replay needs.
+    * Duplicate keys inside one call are safe too: the partition tracks
+    * which keys sit in the not-yet-flushed INSERT batch and flushes
+    * before probing such a key again, so the second row's UPDATE sees
+    * the first row instead of double-inserting (last row in partition
+    * order wins — [[jdbcUpsertSink]] additionally compacts per key so
+    * "last" is deterministic under shuffle).
     *
     * @note scale: no driver involvement beyond the plan — each
     *   partition holds one connection and flushes in `batchSize`
-    *   chunks; repartition by key upstream if the target enforces
-    *   row-level locking and partitions contend. */
+    *   chunks (the duplicate-key flush costs extra round-trips only
+    *   when a partition actually repeats a key); repartition by key
+    *   upstream if the target enforces row-level locking and
+    *   partitions contend. */
   def jdbcUpsert(df: DataFrame, url: String, table: String,
       keyCols: Seq[String], batchSize: Int = 500): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
@@ -119,7 +127,16 @@ object Sources {
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
           var pending = 0
+          // keys whose INSERT is still unflushed: a repeat of one of
+          // these would miss its UPDATE probe and double-insert
+          val pendingKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+          def flush(): Unit = {
+            if (pending > 0) ins.executeBatch()
+            pending = 0; pendingKeys.clear()
+          }
           rows.foreach { r =>
+            val key = keyCols.map(c => r.get(idx(c)))
+            if (pendingKeys.contains(key)) flush()
             valCols.zipWithIndex.foreach { case (c, i) =>
               upd.setObject(i + 1, r.get(idx(c))) }
             keyCols.zipWithIndex.foreach { case (c, i) =>
@@ -129,10 +146,11 @@ object Sources {
                 ins.setObject(i + 1, r.get(idx(c))) }
               ins.addBatch()
               pending += 1
-              if (pending >= batchSize) { ins.executeBatch(); pending = 0 }
+              pendingKeys += key
+              if (pending >= batchSize) flush()
             }
           }
-          if (pending > 0) ins.executeBatch()
+          flush()
           conn.commit()
         } finally conn.close()
       }

@@ -112,34 +112,40 @@ object CepOps {
         unix_micros(col("a_ts")).as("a_ts_us"))
   }
 
-  /** Quantified pattern `A{n}` with *consecutive* contiguity (Flink CEP
-    * `times(n).consecutive()` applied to the matched substream): every
-    * run of `n` consecutive `predicate`-matching events of one key whose
-    * span fits in `within`. Overlapping runs each emit (Flink's
-    * default after-match-skip NO_SKIP). Returns
+  /** Quantified pattern `A{n}` with *strict* contiguity (Flink CEP
+    * `times(n).consecutive()`): every run of `n` `predicate`-matching
+    * events of one key with NO other event of that key — matching or
+    * not — in between, whose span fits in `within`. Overlapping runs
+    * each emit (Flink's default after-match-skip NO_SKIP). Returns
     * `(key, first_id, last_id, span_us)`.
     *
-    * This is the batch/window face: one `lag(n-1)` over the filtered
-    * substream — a single shuffle on the key, no self-join. The RELAXED
-    * contiguity variant (Flink's `times(n)` default, other events may
-    * interleave *and* non-adjacent matches may combine) is exactly
+    * Strictness is enforced against the FULL keyed stream: events are
+    * position-ranked before the predicate filter, and a run qualifies
+    * only when its `n` matches occupy `n` adjacent positions — an
+    * intervening non-match breaks the run, exactly Flink's
+    * `consecutive()`. (An earlier revision lagged over the filtered
+    * substream only, which admitted interrupted runs Flink rejects.)
+    * The RELAXED variant (Flink's `times(n)` default) is exactly
     * [[cepPattern]] with `n` identical required steps, which is also
     * the streaming-capable form; `CepOpsSpec` pins the subset relation
     * between the two.
     *
-    * @note scale: lag state is n-1 rows per key inside the sort — the
-    *   window sort shuffles once on the key, cost identical to any
-    *   per-key sessionization pass. */
+    * @note scale: two window passes (rank, then lag) share one
+    *   partitioning on the key — a single shuffle, no self-join; lag
+    *   state is n-1 rows per key inside the sort. */
   def cepTimes(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
       predicate: Column, n: Int, within: String): DataFrame = {
     require(n >= 2, "times(n) needs n >= 2")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
-    ev.filter(predicate)
-      .select(col(keyCol), col(tsCol), col(idCol))
+    ev.withColumn("__pos", row_number().over(w))
+      .filter(predicate)
+      .select(col(keyCol), col(tsCol), col(idCol), col("__pos"))
       .withColumn("first_ts", lag(col(tsCol), n - 1).over(w))
       .withColumn("first_id", lag(col(idCol), n - 1).over(w))
-      .filter(col("first_ts").isNotNull &&
+      .withColumn("first_pos", lag(col("__pos"), n - 1).over(w))
+      .filter(col("first_pos").isNotNull &&
+        col("__pos") - col("first_pos") === lit(n - 1) &&
         col(tsCol) <= col("first_ts") + expr(s"INTERVAL $within"))
       .select(col(keyCol), col("first_id"), col(idCol).as("last_id"),
         (unix_micros(col(tsCol)) - unix_micros(col("first_ts"))).as("span_us"))

@@ -420,19 +420,37 @@ object StreamOps {
     * captured set is exactly the rows the main query dropped (asserted
     * by `LateDataSpec`).
     *
+    * Restart semantics: Spark persists the MAIN query's watermark in
+    * its checkpoint, while this shadow watermark lives on the driver —
+    * so after a restart with no `persistDir` the shadow resets to -∞
+    * and rows the main query still drops are classified on-time until
+    * the shadow re-derives (the two horizons re-converge after one
+    * batch with data). Pass `persistDir` to close that gap: the shadow
+    * horizon is persisted (atomic tmp+rename) after every batch and
+    * restored on the next start, mirroring the checkpointed watermark's
+    * lifecycle. On batch REPLAY after a crash (same batchId re-run) the
+    * persisted horizon is the one from after that batch's first
+    * attempt — a ≥ horizon, i.e. the replayed split is never more
+    * permissive than the main query's.
+    *
     * @note scale: the split is two narrow filters on a persisted
     *   micro-batch plus one max() agg — no extra shuffle, no state
-    *   store; the watermark is one long on the driver, updated at batch
+    *   store; the watermark is one long on the driver (plus one tiny
+    *   file write per batch when persisted), updated at batch
     *   boundaries exactly like Spark's own `EventTimeWatermarkExec`
     *   stats. */
-  def lateCapture(ev: DataFrame, tsCol: String, delay: String)(
+  def lateCapture(ev: DataFrame, tsCol: String, delay: String,
+      persistDir: Option[String] = None)(
       onBatch: (DataFrame, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(delay))
     require(iv.months == 0, s"late-capture delay must be a fixed duration, got '$delay'")
     val delayUs = iv.days * 86400L * 1000000L + iv.microseconds
-    val wm = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val wmPath = persistDir.map(d => java.nio.file.Paths.get(d, "late-capture-wm"))
+    val restored = wmPath.filter(java.nio.file.Files.exists(_))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+    val wm = new java.util.concurrent.atomic.AtomicLong(restored.getOrElse(Long.MinValue))
     ev.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.persist()
       try {
@@ -443,6 +461,14 @@ object StreamOps {
         val mx = batch.agg(max(unix_micros(col(tsCol)))).collect()(0)
         if (!mx.isNullAt(0)) wm.getAndUpdate { cur =>
           math.max(cur, mx.getLong(0) - delayUs)
+        }
+        wmPath.foreach { p =>
+          java.nio.file.Files.createDirectories(p.getParent)
+          val tmp = p.resolveSibling("late-capture-wm.tmp")
+          java.nio.file.Files.write(tmp, wm.get().toString.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       } finally { batch.unpersist(); () }
       ()

@@ -54,6 +54,27 @@ class JdbcUpsertSpec extends SparkSpec {
       Set((1L, 10L, "a"), (2L, 20L, "b2"), (3L, 20L, "c")))
   }
 
+  test("duplicate keys inside one partition collapse to the last row, no double insert") {
+    freshTable("t_dup")
+    val sp = spark
+    import sp.implicits._
+    // single partition so both duplicates share one INSERT batch — the
+    // shape that used to double-insert (PK violation) before the
+    // pending-key flush: row 1's INSERT was still unflushed when row 2's
+    // UPDATE probed, so both rows took the INSERT path
+    val df = Seq((1L, 10L, "a1"), (2L, 10L, "b"), (1L, 20L, "a2"))
+      .toDF("k", "ts", "v").coalesce(1)
+    Sources.jdbcUpsert(df, url, "t_dup", Seq("k"))
+    assert(tableRows("t_dup") == Set((1L, 20L, "a2"), (2L, 10L, "b")))
+    // and a key straddling a flush boundary (batchSize 2) still converges
+    freshTable("t_dup2")
+    val df2 = Seq((1L, 1L, "p"), (2L, 1L, "q"), (1L, 2L, "p2"), (3L, 1L, "r"))
+      .toDF("k", "ts", "v").coalesce(1)
+    Sources.jdbcUpsert(df2, url, "t_dup2", Seq("k"), batchSize = 2)
+    assert(tableRows("t_dup2") ==
+      Set((1L, 2L, "p2"), (2L, 1L, "q"), (3L, 1L, "r")))
+  }
+
   test("streaming sink converges to last-write-wins across micro-batches") {
     freshTable("t_stream")
     val sp = spark

@@ -135,22 +135,27 @@ class CepOpsSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
-    // user 1: clicks 00:00, 01:00, 02:00, 20:00 — runs (1,2,3) span 2 h ok,
-    //   (2,3,4) span 19 h > 12 h cut; the interleaved view must not break
-    //   contiguity of the click substream (consecutive-in-substream).
-    // user 2: two clicks only — below n=3.
+    // user 1: view, then clicks 01:00, 02:00, 03:00, 20:00 — run (2,3,4)
+    //   is strictly consecutive (span 2 h ok); (3,4,5) spans 18 h > cut.
+    // user 2: click-view-click-click — the interleaved view BREAKS the
+    //   run (Flink consecutive(): no other event of the key in between).
+    // user 3: two clicks only — below n=3.
     val ev = Seq(
-      CepEvent(1L, t("00:00"), 1L, "click"),
       CepEvent(1L, t("00:30"), 9L, "view"),
       CepEvent(1L, t("01:00"), 2L, "click"),
       CepEvent(1L, t("02:00"), 3L, "click"),
-      CepEvent(1L, t("20:00"), 4L, "click"),
-      CepEvent(2L, t("00:00"), 5L, "click"),
-      CepEvent(2L, t("00:10"), 6L, "click")).toDF()
+      CepEvent(1L, t("03:00"), 4L, "click"),
+      CepEvent(1L, t("20:00"), 5L, "click"),
+      CepEvent(2L, t("00:00"), 10L, "click"),
+      CepEvent(2L, t("00:30"), 11L, "view"),
+      CepEvent(2L, t("01:00"), 12L, "click"),
+      CepEvent(2L, t("02:00"), 13L, "click"),
+      CepEvent(3L, t("00:00"), 6L, "click"),
+      CepEvent(3L, t("00:10"), 7L, "click")).toDF()
     val out = CepOps.cepTimes(ev, "user_id", "ts", "event_id",
         col("event_type") === "click", n = 3, within = "12 hours")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(out == Set((1L, 1L, 3L, 7200000000L)), s"got $out")
+    assert(out == Set((1L, 2L, 4L, 7200000000L)), s"got $out")
   }
 
   test("cepTimes consecutive matches ⊆ relaxed times via identical-step cepPattern") {

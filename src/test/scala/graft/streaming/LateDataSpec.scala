@@ -64,6 +64,36 @@ class LateDataSpec extends SparkSpec {
     } finally { mainQ.stop(); capQ.stop() }
   }
 
+  test("T5 persistDir restores the shadow watermark across a restart") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dir = Files.createTempDirectory("cap-wm").toString
+
+    // run 1: advance the shadow watermark to 12:20, then stop
+    val in1 = MemoryStream[TsEvent]
+    val late1 = scala.collection.mutable.ArrayBuffer.empty[Timestamp]
+    val q1 = StreamOps.lateCapture(in1.toDF(), "ts", "10 minutes", Some(dir)) {
+      (_, late, _) => late1 ++= late.select(col("ts")).collect().map(_.getTimestamp(0))
+    }.option("checkpointLocation", Files.createTempDirectory("ckpt-wm1").toString)
+      .start()
+    in1.addData(TsEvent(t("12:30"), 1.0)); q1.processAllAvailable(); q1.stop()
+    assert(late1.isEmpty)
+
+    // run 2, fresh stream + fresh driver state: WITHOUT the persisted
+    // horizon this row would be classified on-time (the r4 divergence);
+    // with it, the 10:30 row is late immediately on the first batch
+    val in2 = MemoryStream[TsEvent]
+    val late2 = scala.collection.mutable.ArrayBuffer.empty[Timestamp]
+    val q2 = StreamOps.lateCapture(in2.toDF(), "ts", "10 minutes", Some(dir)) {
+      (_, late, _) => late2 ++= late.select(col("ts")).collect().map(_.getTimestamp(0))
+    }.option("checkpointLocation", Files.createTempDirectory("ckpt-wm2").toString)
+      .start()
+    in2.addData(TsEvent(t("10:30"), 1.0)); q2.processAllAvailable(); q2.stop()
+    assert(late2.toSeq == Seq(t("10:30")),
+      s"restored shadow watermark must classify 10:30 late, got $late2")
+  }
+
   test("T5 late row below watermark is excluded from its closed window") {
     val sp = spark
     import sp.implicits._
