@@ -19,6 +19,26 @@ import org.apache.spark.sql.{Dataset, Encoder}
   */
 object EnrichOps {
 
+  /** Materialize a small keyed dimension as the driver-map stand-in for
+    * the external KV service [[asyncEnrich]]'s `fetch` probes in tests.
+    * The collect is BOUNDED: at most `maxDriverRows + 1` rows ever reach
+    * the driver (`limit` pushes into the scan), and exceeding the cap is
+    * an explicit error instead of a driver OOM — at 100× scale a real
+    * remote store replaces this map entirely, so the cap marks the
+    * test-path boundary the same way the SimHash kernel guard does.
+    *
+    * @note scale: driver memory is the cap × entry size, independent of
+    *   the dimension's true cardinality. */
+  def boundedLookupMap(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      valCol: String, maxDriverRows: Int = 2000000): Map[Long, String] = {
+    val rows = df.select(keyCol, valCol).limit(maxDriverRows + 1).collect()
+    require(rows.length <= maxDriverRows,
+      s"lookup dimension exceeds maxDriverRows=$maxDriverRows — a driver-map " +
+        "stand-in cannot hold it; point asyncEnrich's fetch at the real " +
+        "external store (or raise the cap if the driver genuinely has room)")
+    rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
   def asyncEnrich[T, U: Encoder](ds: Dataset[T], concurrency: Int,
       timeout: scala.concurrent.duration.Duration =
         scala.concurrent.duration.Duration(5, "min"))(

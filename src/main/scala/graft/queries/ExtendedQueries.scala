@@ -849,8 +849,10 @@ object ExtendedQueries {
     * `EnrichOpsSpec`). Ordered-wait semantics make the result equal the
     * plain left join, which is exactly what the oracle runs.
     *
-    * @note scale: the broadcast map is the *test* service; in
-    *   production `fetch` calls the remote store and the collect
+    * @note scale: the broadcast map is the *test* service — bounded by
+    *   [[graft.operators.EnrichOps.boundedLookupMap]]'s explicit cap,
+    *   so a 100× dimension fails loudly instead of OOMing the driver;
+    *   in production `fetch` calls the remote store and the collect
     *   disappears. Concurrency is per task (see EnrichOps scaladoc). */
   private val enrichAsync = Q(
     "enrich_async",
@@ -858,9 +860,8 @@ object ExtendedQueries {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val dim: Map[Long, String] = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dim: Map[Long, String] = graft.operators.EnrichOps.boundedLookupMap(
+      Tables.customer(s, d), "c_custkey", "c_mktsegment")
     val bc = s.sparkContext.broadcast(dim)
     val ds = Tables.events(s, d)
       .select(col("event_id"), col("user_id")).as[(Long, Long)]

@@ -238,19 +238,40 @@ object StreamOps {
     * candidate set EQUALS the batch band-join's — `StreamDedupSpec`
     * pins that, plus verified-pair ⊆ candidate coverage.
     *
+    * State lifetime: pass `tsCol` (the document's ingest/event time) to
+    * bound bucket state — the stream is watermarked on it (`delay` =
+    * out-of-order tolerance) and each bucket carries an event-time
+    * timer at `ttl` past its latest arrival; when the watermark passes
+    * that, the bucket's membership state is EVICTED. A later document
+    * hashing into the same bucket starts it fresh, so pairs spanning
+    * more than `ttl` of quiet time are not flagged — the corpus-epoch
+    * retention a continuous 100 TB ingest needs (state is then bounded
+    * by buckets touched per `ttl`, not corpus lifetime). With `tsCol`
+    * left None (the batch face, or bounded replays) no watermark is
+    * attached and buckets live for the query's lifetime.
+    *
     * @note scale: state per bucket is ≤ maxBucket × 64 longs; a hot
     *   bucket (boilerplate band value) saturates at the cap exactly
     *   like the batch hot-shingle df cap — the cap bounds state AND
     *   emission quadratic-ness; shuffle is one exchange on (band,
-    *   bsig). NoTimeout keeps buckets forever — in production wrap
-    *   with a TTL'd transformWithState or restart per corpus epoch. */
+    *   bsig). Bucket COUNT is unbounded only in the tsCol=None form —
+    *   production continuous ingest should always pass tsCol. */
   def nearDupCandidates(docs: DataFrame, n: Int = 3,
-      maxBucket: Int = 64): Dataset[CandPair] = {
+      maxBucket: Int = 64, tsCol: Option[String] = None,
+      ttl: String = "1 hour", delay: String = "10 minutes"): Dataset[CandPair] = {
     val sp = docs.sparkSession
     import sp.implicits._
     val M = 2147483647L
-    val withSig = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val ttlMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      require(iv.months == 0, s"ttl must be a fixed duration, got '$ttl'")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val base = tsCol.fold(docs.withColumn("__ts", lit(null).cast("timestamp")))(
+      c => docs.withWatermark(c, delay).withColumn("__ts", col(c)))
+    val withSig = base
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("__ts"))
       .filter(size(col("t")) >= n)
       .withColumn("shx", transform(
         array_distinct(expr(
@@ -259,34 +280,91 @@ object StreamOps {
       .withColumn("sig", transform(sequence(lit(0), lit(63)), i =>
         array_min(transform(col("shx"),
           x => pmod((lit(2L) * i + lit(1L)) * x + (lit(1000003L) * i + lit(12345L)), lit(M))))))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"), col("__ts"),
         explode(sequence(lit(0), lit(15))).as("band"))
       .withColumn("bsig", expr(
         "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
-      .select(col("band"), col("bsig"), col("doc_id"), col("sig"))
-      .as[(Int, String, Long, Seq[Long])]
+      // the watermark-tagged column must survive into the fMGWS child
+      // for the event-time-timeout checker (same constraint as
+      // windowTopN); with tsCol=None it is a null literal
+      .select(col("band"), col("bsig"), col("doc_id"), col("sig"), col("__ts"))
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     withSig
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[BucketState, CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
-        var docs = state.getOption.map(_.docs).getOrElse(Nil)
-        val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-        // deterministic intra-batch order: a bucket's arrivals pair in
-        // doc_id order regardless of task scheduling
-        it.toSeq.sortBy(_._3).foreach { case (band, _, id, sig) =>
-          if (!docs.exists(_._1 == id)) {
-            docs.foreach { case (pid, psig) =>
-              val eq = psig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
-              out += CandPair(math.min(pid, id), math.max(pid, id),
-                eq.toDouble / 64.0, band)
+        OutputMode.Append, timeoutConf) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          // ttl past the bucket's last arrival: evict the membership
+          state.remove()
+          Iterator.empty
+        } else {
+          var docs = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          var maxTsMs = Long.MinValue
+          // deterministic intra-batch order: a bucket's arrivals pair in
+          // doc_id order regardless of task scheduling
+          it.toSeq.sortBy(_._3).foreach { case (band, _, id, sig, ts) =>
+            if (ts != null) maxTsMs = math.max(maxTsMs, ts.getTime)
+            if (!docs.exists(_._1 == id)) {
+              docs.foreach { case (pid, psig) =>
+                val eq = psig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+                out += CandPair(math.min(pid, id), math.max(pid, id),
+                  eq.toDouble / 64.0, band)
+              }
+              if (docs.size < maxBucket) docs = (id, sig) :: docs
             }
-            if (docs.size < maxBucket) docs = (id, sig) :: docs
           }
+          state.update(BucketState(docs))
+          if (tsCol.isDefined && maxTsMs != Long.MinValue)
+            state.setTimeoutTimestamp(math.max(maxTsMs + ttlMs,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
         }
-        state.update(BucketState(docs))
-        out.iterator
       }
   }
+
+  /** Streaming near-dup detection END-TO-END: [[nearDupCandidates]]
+    * composed with the exact-Jaccard verify, closing the flag→confirm
+    * loop in-stream. Each micro-batch's new candidate pairs are
+    * verified by [[graft.operators.DedupOps.jaccardForHashed]] against
+    * the corpus-so-far — `corpus` is re-resolved per batch (read the
+    * doc-store table the ingest pipeline is appending to anyway: a
+    * parquet/Delta path, exactly the [[dynamicRules]] refresh pattern),
+    * so the verify always sees every document that could appear in a
+    * pair. Confirmed pairs (`ai, bi, jac` ≥ `minJaccard`) go to `sink`.
+    *
+    * After a complete replay the union of sunk batches equals the batch
+    * [[graft.operators.DedupOps.minhashNearDups]] pair set
+    * (`StreamDedupVerifySpec`) — same candidates (spec-pinned band
+    * equality), same exact-verify function, same threshold. A pair that
+    * collides in several bands re-verifies only within one batch (the
+    * `distinct`); re-emission across batches can only happen for
+    * cap-evicted re-arrivals, and the sink's keyed upsert absorbs it.
+    *
+    * @note scale: per batch the verify joins |new candidates| pairs
+    *   against the corpus shingle table — cost tracks the CANDIDATE
+    *   rate, not corpus size (the join prunes to the pair doc_ids);
+    *   shuffle on doc_id. The candidate stream itself stays bounded via
+    *   `tsCol`/`ttl`. For very high candidate rates, point `corpus` at
+    *   a bucketed doc store so the verify join co-locates. */
+  def nearDupVerified(docs: DataFrame, corpus: SparkSession => DataFrame,
+      minJaccard: Double = 0.8, n: Int = 3, maxBucket: Int = 64,
+      tsCol: Option[String] = None, ttl: String = "1 hour",
+      delay: String = "10 minutes")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[CandPair] =
+    nearDupCandidates(docs, n, maxBucket, tsCol, ttl, delay)
+      .writeStream.foreachBatch { (batch: Dataset[CandPair], batchId: Long) =>
+        val pairs = batch.toDF().select(col("ai"), col("bi")).distinct()
+        val verified = graft.operators.DedupOps.jaccardForHashed(pairs,
+            graft.operators.DedupOps.hashedShingles(
+              corpus(batch.sparkSession), n = n))
+          .filter(col("jac") >= minJaccard)
+        sink(verified, batchId)
+        ()
+      }
 
   /** T9 full-outer stream-stream interval join: clicks ⟗ views within
     * the same 30-minute back-looking band — unmatched rows of BOTH

@@ -40,4 +40,15 @@ class EnrichOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(got == (0L until 20L).map(_ * 2)) // order preserved exactly
   }
+
+  test("boundedLookupMap: under the cap materializes, over the cap fails loudly") {
+    import spark.implicits._
+    val dim = (0L until 100L).map(k => (k, s"seg-$k")).toDF("k", "v")
+    val m = EnrichOps.boundedLookupMap(dim, "k", "v", maxDriverRows = 100)
+    assert(m.size == 100 && m(7L) == "seg-7")
+    val e = intercept[IllegalArgumentException] {
+      EnrichOps.boundedLookupMap(dim, "k", "v", maxDriverRows = 99)
+    }
+    assert(e.getMessage.contains("maxDriverRows"))
+  }
 }
