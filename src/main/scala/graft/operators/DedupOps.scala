@@ -239,11 +239,13 @@ object DedupOps {
     * Returns every node with `cluster_id` = the smallest id reachable
     * from it (singletons map to themselves).
     *
-    * Min-label propagation to fixpoint: labels start as own id; each
-    * round every node takes the min of its own and its neighbors'
-    * labels; converges in O(component diameter) rounds. The driver
-    * loop materializes each round (persist + count) so lineage stays
-    * flat.
+    * Min-label propagation to fixpoint via [[graft.operators.GraphOps
+    * .iterate]]: labels start as own id; each round every node takes
+    * the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds (round guard 200, convergence
+    * required — an unconverged result is an error, never returned).
+    * Each round materializes once (the changed-count IS the
+    * convergence action) so lineage stays flat.
     *
     * @note scale: each round is one shuffle of the edge list joined to
     *   current labels. Diameter-bound rounds are fine for dedup graphs
@@ -261,24 +263,19 @@ object DedupOps {
     // Seed with min(self, direct neighbors): identical to one
     // propagation round over own-id labels, so pair/clique components
     // (the common dedup shape) converge a full round earlier.
-    var labels = e.groupBy(col("src")).agg(min(col("dst")).as("nb"))
+    val seed = e.groupBy(col("src")).agg(min(col("dst")).as("nb"))
       .select(col("src").as("node"), least(col("src"), col("nb")).as("lab"))
-      .persist()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = e.join(labels, e("dst") === labels("node"))
+    val labels = GraphOps.iterate(seed, maxRounds = 200,
+        requireConvergence = true) { (cur, _) =>
+      val prop = e.join(cur, e("dst") === cur("node"))
         .groupBy(col("src")).agg(min("lab").as("nlab"))
       // carry the previous label so the convergence check is a filter on
       // the same materialization — one job per round
-      val next = labels.as("l").join(prop, col("l.node") === prop("src"), "left")
+      cur.as("l").join(prop, col("l.node") === prop("src"), "left")
         .select(col("l.node").as("node"),
           least(col("l.lab"), coalesce(col("nlab"), col("l.lab"))).as("lab"),
           col("l.lab").as("prev"))
-        .persist()
-      changed = next.filter(col("lab") < col("prev")).count()
-      labels.unpersist()
-      labels = next.select("node", "lab")
-    }
+    } { (_, next) => next.filter(col("lab") < col("prev")).count() == 0 }
     e.unpersist()
     nodes.select(col(idCol).as("node"))
       .join(labels.withColumnRenamed("lab", "cluster_id"), Seq("node"), "left")

@@ -13,6 +13,50 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Reusable driver-loop fixpoint iteration — the named Spark
+    * equivalent of Flink's `DataStream#iterate` (cyclic dataflow has no
+    * Structured Streaming form, so iterative refinement runs as a
+    * driver-sequenced chain of batch jobs; this operator packages the
+    * loop [[pagerank]] and [[graft.operators.DedupOps
+    * .connectedComponents]] previously hand-rolled).
+    *
+    * Per round: `step(cur, round)` builds the next frame, which is
+    * persisted; `converged(cur, next)` decides termination (run your
+    * convergence action here — e.g. a changed-row count — so the round
+    * materializes exactly once); the previous round is then unpersisted
+    * (marked lazily — any un-evaluated downstream still recomputes
+    * correctly, lineage stays one round deep between materializations).
+    * Fixed-iteration algorithms pass `(_, _) => false` and let
+    * `maxRounds` count the rounds; fixpoint algorithms set
+    * `requireConvergence = true` so hitting the round guard is an
+    * explicit error, never a silently-unconverged result.
+    *
+    * @note scale: driver holds one round counter — all data stays
+    *   distributed; each round's cost is whatever `step` shuffles.
+    *   Keep inputs reused across rounds (edge lists, degree tables)
+    *   persisted OUTSIDE the loop, as [[pagerank]] does. */
+  def iterate(init: DataFrame, maxRounds: Int,
+      requireConvergence: Boolean = false)(
+      step: (DataFrame, Int) => DataFrame)(
+      converged: (DataFrame, DataFrame) => Boolean): DataFrame = {
+    require(maxRounds >= 1, "iterate needs maxRounds >= 1")
+    var cur = init.persist()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = step(cur, round).persist()
+      done = converged(cur, next)
+      cur.unpersist()
+      cur = next
+      round += 1
+    }
+    if (requireConvergence && !done)
+      throw new IllegalStateException(
+        s"iterate did not converge within $maxRounds rounds — raise " +
+          "maxRounds or check that step is a contraction")
+    cur
+  }
+
   /** Fixed-iteration PageRank in integer micro-units.
     *
     * All arithmetic is 64-bit integer (rank scaled by `scale`, damping
@@ -41,20 +85,20 @@ object GraphOps {
     val n = nodes.count() // one scalar action; the only driver-side state
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val base = scale * (100L - dampPct) / 100L / n
-    var ranks = nodes.withColumn("r", lit(scale / n))
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"),
-          expr(s"((r div outdeg) * $dampPct) div 100").as("c"))
-        .groupBy("node").agg(sum("c").as("in_r"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("in_r"), lit(0L))).as("r"))
-        .persist() // cut lineage growth across iterations
-    }
-    ranks
+    // fixed-round form of [[iterate]]: converged never fires, maxRounds
+    // IS the iteration count
+    iterate(nodes.withColumn("r", lit(scale / n)), maxRounds = iters) {
+      (ranks, _) =>
+        val contribs = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"),
+            expr(s"((r div outdeg) * $dampPct) div 100").as("c"))
+          .groupBy("node").agg(sum("c").as("in_r"))
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("in_r"), lit(0L))).as("r"))
+    } { (_, _) => false }
   }
 
   /** Global triangle count (plus node/edge counts) of the undirected

@@ -796,6 +796,33 @@ object ExtendedQueries {
         sum(col("n_rows")).as("total_rows"))
   }
 
+  /** Mergeable-sketch QUANTILE rollup — [[aggHllMergeable]]'s twin for
+    * percentiles: per-group KLL sketches (Spark 4.1's DataSketches
+    * `kll_sketch_agg_double` builtin) built independently, then
+    * `kll_merge_agg_double` combines them into whole-table p50/p95
+    * WITHOUT re-reading the base data — the incremental-quantile
+    * pattern (Karnin-Lang-Liberty, FOCS'16) a 100 TB warehouse uses
+    * for latency/price percentiles over rolling history. Rows-only:
+    * sketch internals (and KLL's randomized compaction) are
+    * engine-specific; `KllMergeSpec` rank-gates the estimates against
+    * the exact distribution and pins merge≈direct.
+    *
+    * @note scale: fixed-size sketch state (k=1024 ≈ 1.3% rank error),
+    *   partial-merge friendly, one pass per partition + a
+    *   |partitions|-row merge. */
+  private val aggKllMergeable = Q.noOracle("agg_kll_mergeable") { (s, d) =>
+    val sk = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("kll_sketch_agg_double(l_extendedprice, 1024)").as("sk"),
+        count(lit(1)).as("n_rows"))
+    sk.agg(
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5d)")
+        .as("approx_p50"),
+      expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.95d)")
+        .as("approx_p95"),
+      sum(col("n_rows")).as("total_rows"))
+  }
+
   /** Boolean aggregates (ALL/ANY predicates per group). */
   private val aggBool = Q(
     "agg_bool",
@@ -876,6 +903,6 @@ object ExtendedQueries {
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
     windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
-    aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggBool, windowLocf,
-    enrichAsync)
+    aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
+    aggBool, windowLocf, enrichAsync)
 }
