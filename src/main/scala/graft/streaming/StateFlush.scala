@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-of-replay flush for timer-gated operators (SURVEY §2.9 T7/T8
+  * family): a BOUNDED replay ends with the watermark at
+  * `max(ts) - delay`, so windows whose event-time timers sit beyond it
+  * never fire and their one-shot emissions are lost — the documented
+  * streaming-vs-batch tail gap. Spark 4's state data source closes it
+  * WITHOUT sentinel events: after the query stops, read the stateful
+  * operator's surviving state straight from the checkpoint
+  * (`spark.read.format("statestore")`) and apply the operator's own
+  * emission logic to it as one batch step. Streamed output ∪ flush =
+  * the batch twin, exactly.
+  *
+  * This is also the production drain pattern: stop a continuous
+  * pipeline at a corpus epoch, flush its open windows from the
+  * checkpoint, and hand downstream a COMPLETE result without waiting a
+  * watermark-delay past the last real event.
+  *
+  * @note scale: the state source reads one row per OPEN window from the
+  *   last committed snapshot — distributed, no driver materialization;
+  *   the rank/emission step is one window function / flatMap over that
+  *   (small) frame.
+  */
+object StateFlush {
+
+  /** Top-k emission for every window still open in a stopped
+    * [[StreamOps.windowTopN]] query: same ordering contract as the
+    * timer path ((n DESC, user_id ASC), rank ≤ k). */
+  def windowTopN(spark: SparkSession, checkpoint: String,
+      k: Int = 3): Dataset[WinTopRow] = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("ws_us"))
+      .orderBy(col("n").desc, col("user_id"))
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("ws_us"),
+        explode(col("value.groupState.counts")).as(Seq("user_id", "n")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("ws_us"), col("user_id"), col("n"), col("rnk"))
+      .as[WinTopRow]
+  }
+
+  /** Each user's final pending hour bucket for a stopped
+    * [[StreamOps.forwardFill]] query — the one row per key a bounded
+    * replay omits (a tail bucket flushes only when its successor
+    * opens). Streamed ∪ this = the batch scaffold's per-user rows up to
+    * each user's own last hour. */
+  def forwardFill(spark: SparkSession,
+      checkpoint: String): Dataset[FillRow] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.curHourUs").as("h_us"),
+        col("value.groupState.curValue").as("v_fill"))
+      .as[FillRow]
+  }
+
+  /** Remaining cumulative sub-window emissions for a stopped
+    * [[StreamOps.cumulateAppend]] query: every un-emitted grid end of
+    * each open window, with the same exact decimal partial sums. */
+  def cumulateAppend(spark: SparkSession, checkpoint: String,
+      sizeHours: Int = 4, stepMinutes: Int = 60): Dataset[CumRow] = {
+    import spark.implicits._
+    val sizeUs = sizeHours * 3600L * 1000000L
+    val stepUs = stepMinutes * 60L * 1000000L
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("ws"),
+        col("value.groupState.steps").as("steps"),
+        col("value.groupState.emittedUpTo").as("emittedUpTo"))
+      .as[(Long, Map[Long, (Long, Long)], Long)]
+      .flatMap { case (ws, steps, emittedUpTo) =>
+        if (steps.isEmpty) Iterator.empty
+        else {
+          val first = steps.keysIterator.min
+          val start = math.max(first, emittedUpTo + stepUs)
+          Iterator.iterate(start)(_ + stepUs)
+            .takeWhile(_ <= ws + sizeUs)
+            .map { we =>
+              val (n, s6) = steps.iterator.filter(_._1 <= we)
+                .foldLeft((0L, 0L)) { case ((a, b), (_, (n2, s2))) => (a + n2, b + s2) }
+              CumRow(ws, we, n,
+                BigDecimal(s6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+        }
+      }
+  }
+}

@@ -60,7 +60,9 @@ final class TopNTracker(k: Int) extends Serializable {
   *  - [[forwardFill]] emits an hour bucket when the next bucket opens;
   *    a tail bucket with no successor flushes only at event-time timeout,
   *    so a finite replay omits each key's final partial hour (the batch
-  *    twin includes it);
+  *    twin includes it) — [[StateFlush]] drains exactly those pending
+  *    buckets from the stopped query's checkpoint, as it does for every
+  *    timer-gated operator's open windows (windowTopN, cumulateAppend);
   *  - Flink `DataStream#iterate` (cyclic dataflow) has no Structured
   *    Streaming equivalent — iterative refinement is expressed as a
   *    driver-side loop over batch jobs, or a self-union re-ingest via

@@ -79,35 +79,35 @@ class CumulateAppendSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("chunked replay of events.parquet equals the batch twin") {
+  test("chunked replay + end-of-replay state flush equals the batch twin (no sentinel)") {
     val sp = spark
     import sp.implicits._
     implicit val ctx = sp.sqlContext
     val sf = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, sf).select(col("ts"), col("value"))
       .as[CumEvent].collect().sortBy(_.ts.getTime)
-    val maxTs = ev.map(_.ts.getTime).max
     val input = MemoryStream[CumEvent]
+    val ckpt = Files.createTempDirectory("ckpt-cumr").toString
     val q = StreamOps.cumulateAppend(input.toDF()).writeStream
       .format("memory").queryName("cum_replay").outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("ckpt-cumr").toString)
+      .option("checkpointLocation", ckpt)
       .start()
-    try {
+    val streamed = try {
       ev.grouped(400).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
-      // sentinel a week out fires every real window's remaining ends
-      val sentinel = new Timestamp(maxTs + 7L * 86400_000L)
-      input.addData(CumEvent(sentinel, 0.0)); q.processAllAvailable()
-      val sentWs = {
-        val u = sentinel.getTime * 1000L; u - Math.floorMod(u, 4L * 3600_000_000L)
-      }
-      val streamed = spark.table("cum_replay").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-        .filter(_._1 != sentWs).toSet
-      val batch = SparkEntry.queries("stream_cumulate")(spark, sf).collect()
+      spark.table("cum_replay").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      assert(streamed == batch,
-        s"missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
-      assert(streamed.nonEmpty)
     } finally q.stop()
+    // ends beyond the final watermark drain from the checkpointed state
+    val flushed = StateFlush.cumulateAppend(spark, ckpt).collect()
+      .map(r => (r.ws_us, r.we_us, r.n, r.sum_value)).toSet
+    assert(flushed.nonEmpty, "the replay tail must exist for this test to bite")
+    assert(streamed.intersect(flushed).isEmpty,
+      "emitted ends advance emittedUpTo — streamed and flush never overlap")
+    val batch = SparkEntry.queries("stream_cumulate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = streamed ++ flushed
+    assert(got == batch,
+      s"missing=${(batch -- got).size} extra=${(got -- batch).size}")
+    assert(streamed.nonEmpty)
   }
 }

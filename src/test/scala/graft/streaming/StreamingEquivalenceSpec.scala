@@ -16,15 +16,19 @@ class StreamingEquivalenceSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def replay(build: DataFrame => DataFrame, mode: String, name: String): DataFrame = {
+  private def replayCkpt(build: DataFrame => DataFrame, mode: String,
+      name: String): (DataFrame, String) = {
     val ckpt = Files.createTempDirectory(s"ckpt-$name").toString
     val q = build(StreamOps.source(spark, sf)).writeStream
       .format("memory").queryName(name).outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    (spark.table(name), ckpt)
   }
+
+  private def replay(build: DataFrame => DataFrame, mode: String, name: String): DataFrame =
+    replayCkpt(build, mode, name)._1
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toSeq.mkString("|")).sorted
@@ -73,7 +77,7 @@ class StreamingEquivalenceSpec extends SparkSpec {
   }
 
   test("T7 forward-fill replay equals batch twin minus each user's tail hour") {
-    val s = replay(StreamOps.forwardFill(_).toDF(), "append", "t_ffill")
+    val (s, ckpt) = replayCkpt(StreamOps.forwardFill(_).toDF(), "append", "t_ffill")
     val b = SparkEntry.queries("state_forward_fill")(spark, sf)
     val mh = b.groupBy("user_id").agg(max("h_us").as("mh"))
     val expected = b.join(mh, Seq("user_id")).filter(col("h_us") < col("mh"))
@@ -81,6 +85,10 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rows(s) == rows(expected))
     // and the tail hours are exactly one per user — nothing else missing
     assert(b.count() - s.count() == mh.count())
+    // draining the pending bucket from the checkpointed state closes
+    // the tail gap exactly: streamed ∪ flush == full batch scaffold
+    val flushed = StateFlush.forwardFill(spark, ckpt).toDF()
+    assert(rows(s.unionByName(flushed)) == rows(b.select("user_id", "h_us", "v_fill")))
   }
 
   test("T8 CEP sequence replay equals batch twin") {

@@ -51,7 +51,7 @@ class WindowTopNSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("replayed emissions equal the batch agg+rank twin") {
+  test("replayed emissions + end-of-replay state flush equal the batch twin (no sentinel)") {
     val sp = spark
     import sp.implicits._
     implicit val ctx = sp.sqlContext
@@ -59,26 +59,29 @@ class WindowTopNSpec extends SparkSpec {
     val ev = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[CepEvent].collect().sortBy(_.ts.getTime)
-    val maxTs = ev.map(_.ts.getTime).max
     val input = MemoryStream[CepEvent]
     val out = StreamOps.windowTopN(input.toDF(), k = 3)
+    val ckpt = Files.createTempDirectory("ckpt-wtopnr").toString
     val q = out.writeStream.format("memory").queryName("wtopn_replay")
       .outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("ckpt-wtopnr").toString)
+      .option("checkpointLocation", ckpt)
       .start()
-    try {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val streamed = try {
       ev.grouped(400).foreach { chunk => input.addData(chunk.toSeq); q.processAllAvailable() }
-      // sentinel a day past the fixture flushes every real window's timer
-      input.addData(CepEvent(-1L, new Timestamp(maxTs + 86400L * 1000L), -1L, "view"))
-      q.processAllAvailable()
-      val streamed = spark.table("wtopn_replay")
-        .filter(col("user_id") >= 0)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-      val batch = SparkEntry.queries("stream_window_topn")(spark, sf)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-      assert(streamed == batch,
-        s"missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
-      assert(streamed.nonEmpty)
+      rows(spark.table("wtopn_replay"))
     } finally q.stop()
+    // windows still open at end of replay (timers beyond the final
+    // watermark) are drained straight from the checkpointed state
+    val flushed = rows(StateFlush.windowTopN(spark, ckpt, k = 3).toDF())
+    assert(flushed.nonEmpty, "the replay tail must exist for this test to bite")
+    assert(streamed.intersect(flushed).isEmpty,
+      "fired windows drop their state — streamed and flush never overlap")
+    val batch = rows(SparkEntry.queries("stream_window_topn")(spark, sf))
+    val got = streamed ++ flushed
+    assert(got == batch,
+      s"missing=${(batch -- got).size} extra=${(got -- batch).size}")
+    assert(streamed.nonEmpty)
   }
 }
