@@ -22,6 +22,7 @@ import subprocess
 import sys
 
 ABS_FLOOR_SEC = 0.25  # ratio on a 0.1 s key is noise by construction
+DRIFT_RATIO = 1.3     # slow-drift alarm: current vs the key's history median
 
 
 def read_steal():
@@ -57,6 +58,37 @@ def benchone(keys, sf, reps):
     return best
 
 
+def drift_check(history_path, cur, label):
+    """Append this run to the history JSONL and flag slow drifts.
+
+    The 2x single-round ratio misses a key that gains 25% every round;
+    comparing against the MEDIAN of all recorded rounds catches the
+    compounding. Entries record only quiet-ish runs (caller decides by
+    writing or not); reading tolerates a missing file.
+    """
+    hist = []
+    try:
+        with open(history_path) as f:
+            hist = [json.loads(line) for line in f if line.strip()]
+    except FileNotFoundError:
+        pass
+    drifts = []
+    for k, sec in cur["queries"].items():
+        past = sorted(h["queries"][k] for h in hist if k in h.get("queries", {}))
+        if len(past) >= 2 and sec > ABS_FLOOR_SEC:
+            med = past[len(past) // 2]
+            if med > 0 and sec > DRIFT_RATIO * med:
+                drifts.append({"key": k, "history_median_sec": round(med, 3),
+                               "run_sec": sec,
+                               "ratio": round(sec / med, 2),
+                               "n_history_rounds": len(past)})
+    with open(history_path, "a") as f:
+        f.write(json.dumps({"label": label, "total": cur.get("total"),
+                            "steal_jiffies": cur.get("steal_jiffies"),
+                            "queries": cur["queries"]}) + "\n")
+    return drifts
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bench_json")
@@ -66,6 +98,10 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--history", default="BENCH_HISTORY.jsonl",
+                    help="per-round per-key history JSONL (append + drift check)")
+    ap.add_argument("--label", default="",
+                    help="history entry label, e.g. r5")
     ap.add_argument("--no-rerun", action="store_true",
                     help="diff only; skip the BenchOne isolation pass")
     args = ap.parse_args()
@@ -112,6 +148,8 @@ def main():
         "flagged": flagged,
         "n_regressions": sum(1 for f in flagged
                              if f.get("verdict") == "regression"),
+        "drifts_vs_history_median": drift_check(
+            args.history, cur, args.label or args.baseline),
     }
     json.dump(verdict, open(args.out_json, "w"), indent=1)
     print(f"{len(flagged)} flagged / {verdict['n_regressions']} confirmed "

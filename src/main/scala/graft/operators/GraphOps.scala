@@ -101,6 +101,48 @@ object GraphOps {
     } { (_, _) => false }
   }
 
+  /** Synchronous label propagation (community detection) on the
+    * undirected simple graph underlying `edges`, expressed through
+    * [[iterate]]: every node starts labeled with itself; each round
+    * every node adopts the label MOST FREQUENT among its neighbors,
+    * ties broken by smallest label — the classic LPA update made fully
+    * deterministic (asynchronous/random-order LPA is not reproducible;
+    * the synchronous + total-tie-break form is, on any engine and any
+    * partitioning, which is what lets a DuckDB oracle check it).
+    *
+    * Fixed `iters` rounds, no convergence test: synchronous LPA can
+    * two-cycle on bipartite structures, so a fixpoint test may never
+    * fire — bounded rounds is the standard deployment (labels are
+    * already informative after 3-5).
+    *
+    * @return `(node, lbl)` — nodes sharing `lbl` are one community
+    * @note scale: each round is one shuffle join on the neighbor key +
+    *   one hash agg + one per-node top-1 window — the same cost shape
+    *   as a PageRank round; the symmetric edge list is persisted once
+    *   outside the loop. Hub nodes skew the join key exactly like any
+    *   keyed agg — AQE skew-split applies. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v"))).persist()
+    val init = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("lbl"))
+    iterate(init, maxRounds = iters) { (cur, _) =>
+      sym.join(cur.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+    } { (_, _) => false }
+  }
+
   /** Global triangle count (plus node/edge counts) of the undirected
     * simple graph underlying `edges`: self-loops dropped, each edge
     * canonicalized to `(min, max)` and deduped, then the classic

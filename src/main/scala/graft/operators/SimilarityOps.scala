@@ -445,6 +445,81 @@ object SimilarityOps {
     rankShortlist(adc, unit, isQuery, k, rerank)
   }
 
+  /** IVF cells over SQ8-quantized lists — the production vector-store
+    * layout: coarse centroids prune the corpus to `nprobe` cells, the
+    * scan inside the probed cells runs on int8 codes (4× smaller than
+    * float32, 8× smaller than the double working form), and the exact
+    * pass re-ranks only the per-query `shortlist`. Composes the
+    * [[knnIvf]] routing with the [[knnSq8]] storage tier — the scan
+    * arithmetic and shortlist/re-rank contract are identical to
+    * [[knnSq8]], so the quantization error characteristics carry over
+    * unchanged; only the candidate set shrinks from "whole corpus" to
+    * "probed cells".
+    *
+    * @note scale: what you persist per corpus row is (cid, int8 codes,
+    *   one scale double) — the float vector is fetched only for the
+    *   shortlist rows (here kept alongside; in a real store it lives in
+    *   a separate column family keyed by id). Routing + encoding are
+    *   narrow passes against broadcast centroids; the only shuffle is
+    *   the per-query top-k window. */
+  def knnIvfSq8(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      nCells: Int = 16, cellIters: Int = 2, nprobe: Int = 4,
+      shortlist: Int = 40, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = normedTyped(df, idCol, vecCol)
+    val cells = trainCells(typed, nCells, cellIters)
+    if (cells.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("qid", "nbr", "cos", "rk")
+    val bc = spark.sparkContext.broadcast(cells)
+    // one narrow pass: cell routing; the SQ8 encode is the same
+    // declarative form as knnSq8 (int8 codes + per-vector scale)
+    val assigned = typed.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, vSeq, nr) =>
+        (id, vSeq, nr, cs(nearestCell(cs, vSeq.toArray, nr))._1)
+      }
+    }.toDF("vec_id", "v", "nrm", "cid")
+    val q8 = assigned
+      .withColumn("s", greatest(expr("array_max(transform(v, x -> abs(x)))"),
+        lit(1e-12)) / 127.0)
+      .withColumn("q", expr("transform(v, x -> CAST(round(x / s) AS TINYINT))"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+    val np = math.min(nprobe, cells.length)
+    val probes = typed.filter(isQuery).mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (qid, vSeq, qn) =>
+        val qv = vSeq.toArray
+        cs.map { case (cid, cv, cn) =>
+          val m = math.min(qv.length, cv.length)
+          var s = 0.0
+          var i = 0
+          while (i < m) { s += qv(i) * cv(i); i += 1 }
+          (cid, s / (qn * cn))
+        }.sortBy { case (cid, c) => (-c, cid) }.take(np)
+          .map { case (cid, _) => (qid, vSeq, qn, cid) }
+      }
+    }.toDF("qid", "qv", "qn", "cid")
+      .withColumn("qs", greatest(expr("array_max(transform(qv, x -> abs(x)))"),
+        lit(1e-12)) / 127.0)
+      .withColumn("qqd",
+        expr("transform(qv, x -> CAST(CAST(round(x / qs) AS TINYINT) AS DOUBLE))"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
+    val short = q8.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx",
+        col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
+      .withColumn("ark", row_number().over(wA)).filter(col("ark") <= shortlist)
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    short
+      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(wE)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Per-stratum per-dimension mean embedding — the corpus centroid
     * table used for domain-mixture analysis and drift monitoring:
     * `(stratum, pos, mean)`.

@@ -849,6 +849,58 @@ object ExtendedQueries {
         expr("theta_sketch_estimate(theta_difference(c, p))").as("n_click_only"))
   }
 
+  /** Retention matrix from THETA SKETCH ALGEBRA alone (r5): one theta
+    * sketch of active users per week, then every (week_a ≤ week_b)
+    * pair's co-active user count estimated via `theta_intersection` —
+    * no re-scan of base data, no exact user-level join. This is how a
+    * 100 TB corpus answers arbitrary audience-overlap / retention
+    * questions: persist one fixed-size sketch per (segment, period)
+    * and combine them pairwise at query time; the exact twin
+    * (`agg_cohort_retention`) needs the full user×week distinct set
+    * every time. `ThetaTopkSpec` gates every cell against the exact
+    * pairwise overlap.
+    *
+    * @note scale: the matrix is periods² cells of constant-size sketch
+    *   merges — independent of row count; the only data-sized work is
+    *   the one groupBy building the per-period sketches. */
+  private val aggThetaRetention = Q.noOracle("agg_theta_retention") { (s, d) =>
+    val byWk = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 604800000000").as("wk"), col("user_id"))
+      .groupBy("wk").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val a = byWk.select(col("wk").as("wk_a"), col("sk").as("sk_a"))
+    val b = byWk.select(col("wk").as("wk_b"), col("sk").as("sk_b"))
+    a.join(b, col("wk_a") <= col("wk_b"))
+      .select(col("wk_a"), col("wk_b"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+          .as("n_both"))
+      .orderBy("wk_a", "wk_b")
+  }
+
+  /** Per-window mergeable heavy hitters (r5): `approx_top_k` sketches
+    * per tumbling hour — the windowed face of [[aggTopkMergeable]].
+    * Each hour's sketch accumulates independently (partial states
+    * merge associatively across partitions), so the same shape runs as
+    * a watermarked streaming agg; the estimate step is a per-window
+    * finalize. Rows-only (sketch output); `ThetaTopkSpec` pins every
+    * reported (window, user, count) against the exact hourly counts
+    * and the count-multiset against the exact hourly top-3.
+    *
+    * @note scale: state per window = one bounded sketch, not the
+    *   per-user count map the exact [[graft.streaming.StreamOps
+    *   .windowTopN]] carries — the trade a 1000-executor deployment
+    *   makes when per-window cardinality explodes. */
+  private val streamTopkWindow = Q.noOracle("stream_topk_window") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(expr("unix_micros(ts) - unix_micros(ts) % 3600000000")
+        .as("ws_us"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_accumulate(user_id, 1024), 3)")
+        .as("top"))
+      .select(col("ws_us"), posexplode(col("top")).as(Seq("rnk0", "t")))
+      .select(col("ws_us"), col("t.item").as("user_id"),
+        col("t.count").as("n"), (col("rnk0") + 1).cast("int").as("rnk"))
+      .orderBy("ws_us", "rnk")
+  }
+
   /** Mergeable heavy-hitters rollup (Spark 4.1 `approx_top_k_*`): per
     * event_type top-k ACCUMULATE states, combined into the global
     * top-5 users without re-reading base data — the frequent-items
@@ -949,5 +1001,6 @@ object ExtendedQueries {
     windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
-    aggThetaSetops, aggTopkMergeable, aggBool, windowLocf, enrichAsync)
+    aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
+    aggBool, windowLocf, enrichAsync)
 }

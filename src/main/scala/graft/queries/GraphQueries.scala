@@ -73,5 +73,45 @@ object GraphQueries {
     GraphOps.triangleStats(edges)
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles)
+  /** One oracle-side LPA round: per (node, neighbor-label) counts,
+    * then top-1 by (count DESC, label ASC) — mirrors the Spark loop
+    * body in [[GraphOps.labelPropagation]]. */
+  private def lpaCte(k: Int): String = {
+    val prev = if (k == 1) "l0" else s"l${k - 1}"
+    s"""l$k AS (
+       |  SELECT node, lbl FROM (
+       |    SELECT u AS node, lbl, cnt,
+       |           row_number() OVER (PARTITION BY u
+       |                              ORDER BY cnt DESC, lbl) AS rn
+       |    FROM (SELECT s.u, p.lbl, count(*) AS cnt
+       |          FROM sym s JOIN $prev p ON p.node = s.v
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Community detection via deterministic synchronous label
+    * propagation ([[GraphOps.labelPropagation]]) over the token
+    * co-occurrence graph — the third [[GraphOps.iterate]]-based key
+    * (after PageRank and the dedup connected components), and the one
+    * whose per-round update is a windowed top-1, not a sum. Labels are
+    * token strings, counts are integers, the tie-break is total — so
+    * the oracle match is exact. */
+  private val labelProp = Q(
+    "graph_label_prop",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |big AS (SELECT DISTINCT t[i+1] AS src, t[i+2] AS dst
+       |        FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM big WHERE src <> dst),
+       |sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+       |${(1 to iters).map(lpaCte).mkString(",\n")}
+       |SELECT node, lbl FROM l$iters ORDER BY node""".stripMargin) { (s, d) =>
+    val edges = TextOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    GraphOps.labelPropagation(edges, iters).orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, labelProp)
 }

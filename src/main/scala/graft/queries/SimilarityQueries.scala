@@ -119,6 +119,18 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** IVF cells over SQ8-quantized lists ([[SimilarityOps.knnIvfSq8]])
+    * — the production vector-store layout: centroid routing prunes,
+    * int8 codes compress the in-cell scan, exact pass re-ranks the
+    * shortlist. Rows-only; recall + exact-cosine gated by
+    * `SimilaritySpec`. */
+  private val knnIvfSq8 = Q.noOracle("llm_knn_ivfsq8") { (s, d) =>
+    SimilarityOps.knnIvfSq8(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, cellIters = 2,
+        nprobe = 8, shortlist = 400, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Per-source corpus centroids ([[SimilarityOps.meanEmbedding]]):
     * grouped float reduction made deterministic by an ordered gather +
     * left fold on BOTH engines (see the op's scaladoc for why decimal
@@ -210,5 +222,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
-    knnSq8, knnIvfPq, embedCentroid, embLsh, multimodalJoin, multimodalFeatures)
+    knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
+    multimodalFeatures)
 }

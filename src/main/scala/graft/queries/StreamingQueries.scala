@@ -504,8 +504,42 @@ object StreamingQueries {
       .orderBy("user_id", "last_id")
   }
 
+  // ----------------------------------------------- end-to-end replay keys
+  /** The REAL streaming code path under the DuckDB oracle (r5): each
+    * key runs a genuine Structured Streaming query via
+    * [[graft.streaming.BoundedReplay]] — file source replayed in 8
+    * event-time-ordered micro-batches (the watermark actually advances
+    * between batches), append-mode timer emission, end-of-replay state
+    * drain through [[graft.streaming.StateFlush]] — and must
+    * hash-match the SAME oracle SQL as its batch twin. Until r5 these
+    * paths were pinned only by specs; now the driver's gate sees them. */
+  private val streamCumulateAppend = Q(
+    "stream_cumulate_append", streamCumulate.oracle.get) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEvents(s, d)(
+        ev => graft.streaming.StreamOps.cumulateAppend(ev))(
+        ckpt => graft.streaming.StateFlush.cumulateAppend(s, ckpt))
+      .orderBy("ws_us", "we_us")
+  }
+
+  private val streamTopnReplay = Q(
+    "stream_topn_replay", streamWindowTopn.oracle.get) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEvents(s, d)(
+        ev => graft.streaming.StreamOps.windowTopN(ev))(
+        ckpt => graft.streaming.StateFlush.windowTopN(s, ckpt))
+      .orderBy("ws_us", "rnk")
+  }
+
+  private val streamFfillReplay = Q(
+    "stream_ffill_replay", forwardFill.oracle.get) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEvents(s, d)(
+        ev => graft.streaming.StreamOps.forwardFill(ev))(
+        ckpt => graft.streaming.StateFlush.forwardFill(s, ckpt))
+      .orderBy("user_id", "h_us")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
-    streamWindowTopn, intervalJoinFull)
+    streamWindowTopn, intervalJoinFull,
+    streamCumulateAppend, streamTopnReplay, streamFfillReplay)
 }

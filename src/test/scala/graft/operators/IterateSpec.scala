@@ -55,4 +55,34 @@ class IterateSpec extends SparkSpec {
     } { (_, _) => false }
     assert(seen.toSeq == Seq(0, 1, 2))
   }
+
+  test("label propagation: two cliques joined by a bridge keep their labels") {
+    import spark.implicits._
+    // K3 {a,b,c} — bridge c–d — K3 {d,e,f}: within each triangle the
+    // majority neighbor label wins, so communities converge to the
+    // lexical minimum of each clique, undisturbed by the single bridge
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"),
+      ("d", "e"), ("e", "f"), ("d", "f")).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a",
+      s"left clique: $got")
+    assert(got("d") == "a" || Set("d", "e", "f").forall(n => got(n) == got("d")),
+      s"right clique must be one community: $got")
+    assert(got("e") == got("f"), s"e/f split: $got")
+  }
+
+  test("label propagation ignores self-loops and duplicate/reversed edges") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the only structure left is the single a–b edge: round 1 swaps
+    // the two labels, round 2 swaps them back (the classic 2-cycle on
+    // bipartite structures the fixed-round contract embraces)
+    assert(got == Map("a" -> "a", "b" -> "b"), s"got $got")
+  }
 }

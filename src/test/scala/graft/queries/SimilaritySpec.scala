@@ -76,6 +76,24 @@ class SimilaritySpec extends SparkSpec {
       s"recall $recall below gate (measured 0.92 at sf0.01, 1.00 at sf0.1)")
   }
 
+  test("IVF-SQ8 (prune + int8 scan + exact rerank) clears the recall gate") {
+    val exact = pairs("llm_knn_cosine")
+    val approx = pairs("llm_knn_ivfsq8")
+    assert(approx.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & approx).size.toDouble / exact.size
+    // SQ8 scan error is near-zero, so recall is bounded by IVF routing
+    // alone — must match llm_knn_ivf's probe quality at the same
+    // nprobe, and the IVF-PQ gate transfers
+    assert(recall >= 0.9, s"recall $recall below gate")
+    // returned cosines are EXACT (rerank touches full vectors)
+    val bf = SparkEntry.queries("llm_knn_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SparkEntry.queries("llm_knn_ivfsq8")(spark, sf).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(c == r.getDouble(2), s"$key cos mismatch"))
+    }
+  }
+
   test("broadcast all-pairs kernel equals the declarative theta join exactly") {
     import graft.operators.SimilarityOps
     import graft.Tables
