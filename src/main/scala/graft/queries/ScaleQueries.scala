@@ -446,8 +446,281 @@ object ScaleQueries {
     s.sql(sqlQ10)
   }
 
+  // ------------------------------------------------------------------
+  // r5: the remaining TPC-H shapes, completing the 22-query family.
+  // The fixture schema has no partsupp table and no l_commitdate /
+  // l_receiptdate / p_container columns, so the partsupp-dependent
+  // queries (Q2/Q11/Q16/Q20, Q9's supplycost term) are re-anchored on a
+  // lineitem-derived supplier×part relation — every JOIN/SUBQUERY SHAPE
+  // of the original is preserved (correlated min, scalar-subquery
+  // threshold, NOT IN anti, nested IN + correlated HAVING), which is
+  // what the planner-behavior coverage is for. Q1's canonical form has
+  // been `agg_pricing_summary` since r1.
+
+  /** TPC-H Q7 (volume shipping): the bidirectional nation-pair filter
+    * — one OR of two AND arms — over the 6-way join, grouped by the
+    * (supplier nation, customer nation, year) triple.
+    *
+    * @note scale: both nation dims broadcast; the orders⋈lineitem
+    *   backbone shuffles once on orderkey and the regroup is on the
+    *   tiny triple key. The OR predicate sits above the joins (it
+    *   references both sides) — what must push down is each arm's
+    *   nation IN-list into the two nation scans, which Catalyst derives
+    *   as `n_name IN (A,B)` on each side. */
+  private val sqlQ7: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(round(sum(volume),4) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |        year(l.l_shipdate) AS l_year,
+      |        CAST(l_extendedprice AS DECIMAL(28,6))
+      |          * (1 - CAST(l_discount AS DECIMAL(28,6))) AS volume
+      |      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |      JOIN customer c ON c.c_custkey = o.o_custkey
+      |      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3')
+      |          OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2'))
+      |        AND year(l.l_shipdate) BETWEEN 1996 AND 1998) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val sqlTpchQ7 = Q("sql_tpch_q7", sqlQ7) { (s, d) =>
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ7)
+  }
+
+  /** TPC-H Q8 (national market share): a ratio-of-sums over the widest
+    * join in the suite (7 tables, nation joined TWICE under different
+    * roles). The share divides two exact decimal sums as doubles —
+    * deterministic because both operands are exact before the one
+    * IEEE division.
+    *
+    * @note scale: part is the selective anchor (`p_type` filter prunes
+    *   ~5/6 of the fact rows via the partkey join); region/nation
+    *   broadcast twice under different aliases — Catalyst dedups the
+    *   scan, not the exchange, which is the right trade. */
+  private val sqlQ8: String =
+    """SELECT o_year,
+      |  CAST(round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
+      |                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |        / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+      |FROM (SELECT year(o.o_orderdate) AS o_year,
+      |        CAST(l_extendedprice AS DECIMAL(28,6))
+      |          * (1 - CAST(l_discount AS DECIMAL(28,6))) AS volume,
+      |        n2.n_name AS nation
+      |      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |      JOIN customer c ON c.c_custkey = o.o_custkey
+      |      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      |        AND year(o.o_orderdate) BETWEEN 1995 AND 1998) all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  private val sqlTpchQ8 = Q("sql_tpch_q8", sqlQ8) { (s, d) =>
+    Seq("part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ8)
+  }
+
+  /** TPC-H Q9 (product-type profit, supplycost term dropped with the
+    * partsupp table): LIKE-filtered part anchor, profit grouped by
+    * (supplier nation, order year) with the canonical `o_year DESC`
+    * inner sort. */
+  private val sqlQ9: String =
+    """SELECT nation, o_year, CAST(round(sum(amount),4) AS DOUBLE) AS sum_profit
+      |FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+      |        CAST(l_extendedprice AS DECIMAL(28,6))
+      |          * (1 - CAST(l_discount AS DECIMAL(28,6))) AS amount
+      |      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |      WHERE p.p_name LIKE '%bolt%') profit
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  private val sqlTpchQ9 = Q("sql_tpch_q9", sqlQ9) { (s, d) =>
+    Seq("part", "lineitem", "supplier", "orders", "nation")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ9)
+  }
+
+  /** TPC-H Q2 (minimum-cost supplier): the correlated-scalar-subquery
+    * classic — for each part, keep only suppliers matching the REGIONAL
+    * minimum cost, where the partsupp cost relation is derived from
+    * lineitem (`min(l_extendedprice)` per supplier×part — exact double
+    * min, no arithmetic, so both engines agree bit-for-bit).
+    *
+    * @note scale: Catalyst decorrelates the subquery into a grouped
+    *   min over the same derived relation joined back on partkey — two
+    *   aggregations over one shuffled relation, not a per-row probe.
+    *   The derived `ps` CTE is referenced twice; at 100 TB you persist
+    *   it (or bucket it by partkey) instead of recomputing. */
+  private val sqlQ2: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+      |FROM part p JOIN ps ON p.p_partkey = ps.ps_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE p.p_size <= 15 AND r.r_name = 'EUROPE'
+      |  AND ps.ps_supplycost = (SELECT min(ps2.ps_supplycost)
+      |                          FROM ps ps2
+      |                          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |                          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |                          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |                          WHERE ps2.ps_partkey = p.p_partkey
+      |                            AND r2.r_name = 'EUROPE')
+      |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      |LIMIT 100""".stripMargin
+
+  private val sqlTpchQ2 = Q("sql_tpch_q2", sqlQ2) { (s, d) =>
+    Seq("lineitem", "part", "supplier", "nation", "region")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ2)
+  }
+
+  /** TPC-H Q11 (important stock): grouped value per part (suppliers
+    * from a nation subset) kept only above a global-total threshold —
+    * the scalar-subquery-in-WHERE shape. Restated cross-multiplied
+    * (`value * 1000 > total`) so both sides stay EXACT decimals; a
+    * `value > total * 0.001` form would compare against a dialect-
+    * dependent decimal×double product (the Q22 lesson).
+    *
+    * @note scale: two aggregations over the same shuffled relation —
+    *   Catalyst plans the scalar subquery as a one-row broadcast into
+    *   the filter, so the threshold costs one extra reduce, not a
+    *   second scan of lineitem (the CTE is shared). */
+  private val sqlQ11: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS value_dec
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      |  GROUP BY l_partkey)
+      |SELECT ps_partkey, CAST(round(value_dec, 4) AS DOUBLE) AS value
+      |FROM ps WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM ps)
+      |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  private val sqlTpchQ11 = Q("sql_tpch_q11", sqlQ11) { (s, d) =>
+    Seq("lineitem", "supplier", "nation")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ11)
+  }
+
+  /** TPC-H Q15 (top supplier): quarter-windowed per-supplier revenue
+    * equi-filtered against its own max — the view-plus-max-subquery
+    * shape. Exact decimal revenue makes the `=` comparison safe on
+    * both engines (a double sum would make ties engine-dependent). */
+  private val sqlQ15: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |             * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |       CAST(round(r.total_rev, 4) AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  private val sqlTpchQ15 = Q("sql_tpch_q15", sqlQ15) { (s, d) =>
+    Seq("lineitem", "supplier")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ15)
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct-supplier counts
+    * per part attribute triple with a `NOT IN` subquery — Spark plans
+    * the null-aware anti join (s_suppkey is non-null, so it degrades to
+    * a plain anti); the supplier×part relation derives from lineitem. */
+  private val sqlQ16: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+      |                            l_suppkey AS ps_suppkey FROM lineitem)
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+      |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+      |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                            WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  private val sqlTpchQ16 = Q("sql_tpch_q16", sqlQ16) { (s, d) =>
+    Seq("lineitem", "part", "supplier")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ16)
+  }
+
+  /** TPC-H Q19 (discounted revenue): the OR-of-conjunctions predicate
+    * — three brand/size/quantity arms across two tables. The join-key
+    * IsNotNull and the derivable `p_size BETWEEN 1 AND 25` envelope
+    * push to the scans; the residual OR evaluates post-join in one
+    * codegen stage. Global agg ⇒ one row, no grouping shuffle. */
+  private val sqlQ19: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+      |                 * (1 - CAST(l_discount AS DECIMAL(28,6)))), 4) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand IN ('Brand#1','Brand#2','Brand#3')
+      |       AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+      |   OR (p.p_brand IN ('Brand#4','Brand#5')
+      |       AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)""".stripMargin
+
+  private val sqlTpchQ19 = Q("sql_tpch_q19", sqlQ19) { (s, d) =>
+    Seq("lineitem", "part").foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ19)
+  }
+
+  /** TPC-H Q20 (potential part promotion): the deepest nesting in the
+    * suite — an IN whose subquery GROUPs and keeps supplier×part cells
+    * via a HAVING against a CORRELATED scalar subquery (this cell's
+    * share of the part's total quantity ≥ 50%, cross-multiplied to
+    * stay in exact decimals), inside which an uncorrelated IN prunes
+    * to LIKE-matched parts.
+    *
+    * @note scale: Catalyst decorrelates the HAVING subquery to a
+    *   grouped-total join on partkey — so the whole pyramid flattens
+    *   to two aggregations + two semi joins over one lineitem scan
+    *   each; nothing is per-row. */
+  private val sqlQ20: String =
+    """SELECT s.s_suppkey, s.s_name, n.n_name
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_acctbal > 0
+      |  AND s.s_suppkey IN (
+      |    SELECT l.l_suppkey FROM lineitem l
+      |    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+      |                          WHERE p_name LIKE 'red%')
+      |      AND year(l.l_shipdate) BETWEEN 1996 AND 1998
+      |    GROUP BY l.l_suppkey, l.l_partkey
+      |    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,6))) * 5 >
+      |      (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,6)))
+      |       FROM lineitem l2
+      |       WHERE l2.l_partkey = l.l_partkey
+      |         AND year(l2.l_shipdate) BETWEEN 1996 AND 1998))
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  private val sqlTpchQ20 = Q("sql_tpch_q20", sqlQ20) { (s, d) =>
+    Seq("supplier", "nation", "lineitem", "part")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlQ20)
+  }
+
   val all: Seq[Q] = Seq(joinSkewSalted, sqlEntry, sqlLateralTopn, sqlTpchQ5,
     sqlRecursiveBom, joinBloomPrefilter, sqlTpchQ17, sqlExistsDecorrelate,
     sqlTpchQ13, sqlTpchQ21, sqlTpchQ4, sqlTpchQ12, sqlTpchQ14, sqlTpchQ18,
-    sqlTpchQ22, sqlTpchQ3, sqlTpchQ6, sqlTpchQ10)
+    sqlTpchQ22, sqlTpchQ3, sqlTpchQ6, sqlTpchQ10, sqlTpchQ2, sqlTpchQ7,
+    sqlTpchQ8, sqlTpchQ9, sqlTpchQ11, sqlTpchQ15, sqlTpchQ16, sqlTpchQ19,
+    sqlTpchQ20)
 }
