@@ -23,6 +23,7 @@ import sys
 
 ABS_FLOOR_SEC = 0.25  # ratio on a 0.1 s key is noise by construction
 DRIFT_RATIO = 1.3     # slow-drift alarm: current vs the key's history median
+QUIET_STEAL_MAX = 500  # jiffies; noisier runs are diffed but not recorded
 
 
 def read_steal():
@@ -63,8 +64,9 @@ def drift_check(history_path, cur, label):
 
     The 2x single-round ratio misses a key that gains 25% every round;
     comparing against the MEDIAN of all recorded rounds catches the
-    compounding. Entries record only quiet-ish runs (caller decides by
-    writing or not); reading tolerates a missing file.
+    compounding. Steal-polluted runs (steal_jiffies > QUIET_STEAL_MAX)
+    are diffed but NOT appended, so host noise can't poison the
+    history median; reading tolerates a missing file.
     """
     hist = []
     try:
@@ -76,16 +78,20 @@ def drift_check(history_path, cur, label):
     for k, sec in cur["queries"].items():
         past = sorted(h["queries"][k] for h in hist if k in h.get("queries", {}))
         if len(past) >= 2 and sec > ABS_FLOOR_SEC:
-            med = past[len(past) // 2]
+            mid = len(past) // 2
+            med = (past[mid] if len(past) % 2 == 1
+                   else (past[mid - 1] + past[mid]) / 2.0)
             if med > 0 and sec > DRIFT_RATIO * med:
                 drifts.append({"key": k, "history_median_sec": round(med, 3),
                                "run_sec": sec,
                                "ratio": round(sec / med, 2),
                                "n_history_rounds": len(past)})
-    with open(history_path, "a") as f:
-        f.write(json.dumps({"label": label, "total": cur.get("total"),
-                            "steal_jiffies": cur.get("steal_jiffies"),
-                            "queries": cur["queries"]}) + "\n")
+    steal = cur.get("steal_jiffies")
+    if steal is None or steal <= QUIET_STEAL_MAX:
+        with open(history_path, "a") as f:
+            f.write(json.dumps({"label": label, "total": cur.get("total"),
+                                "steal_jiffies": steal,
+                                "queries": cur["queries"]}) + "\n")
     return drifts
 
 

@@ -592,7 +592,12 @@ object ScaleQueries {
     * the scalar-subquery-in-WHERE shape. Restated cross-multiplied
     * (`value * 1000 > total`) so both sides stay EXACT decimals; a
     * `value > total * 0.001` form would compare against a dialect-
-    * dependent decimal×double product (the Q22 lesson).
+    * dependent decimal×double product (the Q22 lesson). The per-part
+    * sum is capped back to DECIMAL(28,6) (22 integer digits — far
+    * above any real per-part value even at 100 TB) so the ×1000
+    * product types at DECIMAL(33,6) ≤ 38 and can never hit the
+    * precision ceiling that would null the filter under non-ANSI
+    * decimal arithmetic.
     *
     * @note scale: two aggregations over the same shuffled relation —
     *   Catalyst plans the scalar subquery as a one-row broadcast into
@@ -601,7 +606,8 @@ object ScaleQueries {
   private val sqlQ11: String =
     """WITH ps AS (
       |  SELECT l_partkey AS ps_partkey,
-      |         sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS value_dec
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+      |              AS DECIMAL(28,6)) AS value_dec
       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
       |  WHERE n.n_name IN ('NATION_3', 'NATION_7')

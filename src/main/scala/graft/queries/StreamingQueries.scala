@@ -507,7 +507,7 @@ object StreamingQueries {
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
-    * [[graft.streaming.BoundedReplay]] — file source replayed in 8
+    * [[graft.streaming.BoundedReplay]] — file source replayed in 5
     * event-time-ordered micro-batches (the watermark actually advances
     * between batches), append-mode timer emission, end-of-replay state
     * drain through [[graft.streaming.StateFlush]] — and must

@@ -83,15 +83,18 @@ object BoundedReplay {
       (0 until chunks).foreach { i =>
         val dir = stage.resolve(s"ck=$i")
         if (Files.isDirectory(dir)) {
-          val files = Files.list(dir).iterator()
-          var j = 0
-          while (files.hasNext) {
-            val f = files.next()
-            if (f.getFileName.toString.endsWith(".parquet")) {
-              Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
-              j += 1
+          val listing = Files.list(dir)
+          try {
+            val files = listing.iterator()
+            var j = 0
+            while (files.hasNext) {
+              val f = files.next()
+              if (f.getFileName.toString.endsWith(".parquet")) {
+                Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
+                j += 1
+              }
             }
-          }
+          } finally listing.close()
           // files of one chunk per trigger → one micro-batch, in time order
           q.processAllAvailable()
         }

@@ -18,14 +18,19 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, S
   *    operator-side bookkeeping — the 100 TB state-lifecycle story.
   *
   * Timers: `registerTimer` replaces `setTimeoutTimestamp` (several may
-  * be live per key — re-registration is how the clamp-above-watermark
-  * dance works); a fired timer whose target the watermark has not
+  * be live per key); a fired timer whose target the watermark has not
   * actually reached re-arms instead of emitting, so clamped early
   * timers are harmless, exactly like the fMGWS straggler-window clamp.
+  * Each processor tracks its one live timer in an `armed` [[ValueState]]
+  * and re-registers ONLY when the clamped target moves (deleting the
+  * superseded expiry) — without this, every micro-batch would park one
+  * more no-op timer in RocksDB timer state until it fires.
   */
 object WindowProcessors {
 
   private val HourUs = 3600L * 1000000L
+
+  private val NoTimer = Long.MinValue
 
   /** [[StreamOps.windowTopN]] on transformWithState: key = window
     * start, MapState user→count, one-shot top-k emission at
@@ -33,12 +38,28 @@ object WindowProcessors {
   class WindowTopNProcessor(k: Int, delayMs: Long)
       extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), WinTopRow] {
     @transient private var counts: MapState[Long, Long] = _
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[Long, Long](
         "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def fireAtMs(ws: Long): Long = (ws + HourUs) / 1000L + delayMs
+
+    /** Register at `target` only if it differs from the live timer;
+      * the superseded expiry is deleted so timer state stays at one
+      * entry per key instead of one per micro-batch. */
+    private def arm(target: Long): Unit = {
+      val prev = if (armed.exists()) armed.get() else NoTimer
+      if (prev != target) {
+        if (prev != NoTimer) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(target)
+        armed.update(target)
+      }
+    }
 
     override def handleInputRows(ws: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[WinTopRow] = {
@@ -46,18 +67,18 @@ object WindowProcessors {
         val cur = if (counts.containsKey(uid)) counts.getValue(uid) else 0L
         counts.updateValue(uid, cur + 1L)
       }
-      getHandle.registerTimer(math.max(fireAtMs(ws),
-        timerValues.getCurrentWatermarkInMs() + 1L))
+      arm(math.max(fireAtMs(ws), timerValues.getCurrentWatermarkInMs() + 1L))
       Iterator.empty
     }
 
     override def handleExpiredTimer(ws: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[WinTopRow] = {
+      if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs())
+        armed.clear() // the live timer just fired; nothing is pending now
       if (!counts.exists()) return Iterator.empty
       if (timerValues.getCurrentWatermarkInMs() < fireAtMs(ws)) {
         // clamped early timer: the real horizon is still ahead — re-arm
-        getHandle.registerTimer(math.max(fireAtMs(ws),
-          timerValues.getCurrentWatermarkInMs() + 1L))
+        arm(math.max(fireAtMs(ws), timerValues.getCurrentWatermarkInMs() + 1L))
         return Iterator.empty
       }
       val m = counts.iterator().map(p => (p._1, p._2)).toSeq
@@ -90,6 +111,7 @@ object WindowProcessors {
       extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), CumRow] {
     @transient private var steps: MapState[Long, (Long, Long)] = _
     @transient private var emitted: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       steps = getHandle.getMapState[Long, (Long, Long)]("steps",
@@ -97,6 +119,18 @@ object WindowProcessors {
         TTLConfig.NONE)
       emitted = getHandle.getValueState[Long]("emitted",
         Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** See [[WindowTopNProcessor.arm]]: one live timer per key. */
+    private def arm(target: Long): Unit = {
+      val prev = if (armed.exists()) armed.get() else NoTimer
+      if (prev != target) {
+        if (prev != NoTimer) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(target)
+        armed.update(target)
+      }
     }
 
     /** Emit every grid end the watermark has passed; returns rows and
@@ -118,12 +152,13 @@ object WindowProcessors {
           BigDecimal(s6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       val upTo = if (due.nonEmpty) due.last else emittedUpTo
-      if (upTo >= weLast) { steps.clear(); emitted.clear() }
-      else {
+      if (upTo >= weLast) {
+        steps.clear(); emitted.clear()
+        if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+      } else {
         emitted.update(upTo)
         val next = math.max(if (upTo == Long.MinValue) first else upTo + stepUs, first)
-        getHandle.registerTimer(math.max(next / 1000L,
-          tv.getCurrentWatermarkInMs() + 1L))
+        arm(math.max(next / 1000L, tv.getCurrentWatermarkInMs() + 1L))
       }
       rows.iterator
     }
@@ -142,8 +177,11 @@ object WindowProcessors {
     }
 
     override def handleExpiredTimer(ws: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[CumRow] =
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CumRow] = {
+      if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs())
+        armed.clear() // the live timer just fired; nothing is pending now
       emitDue(ws, timerValues)
+    }
   }
 
   /** [[StreamOps.cumulateAppend]] through transformWithState (requires
