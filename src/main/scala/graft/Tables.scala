@@ -47,11 +47,41 @@ object Tables {
     StructField("props", StringType)
   ))
 
-  /** Events with `ts` as TimestampType at µs precision (floor(ns/1000),
-    * matching DuckDB `epoch_us`). Session TZ is pinned UTC, so wall-clock
-    * functions (`date_trunc` etc.) agree with DuckDB's tz-less timestamps.
+  /** Events with `ts` as TimestampType at µs precision (matching DuckDB
+    * `epoch_us`). Session TZ is pinned UTC, so wall-clock functions
+    * (`date_trunc` etc.) agree with DuckDB's tz-less timestamps.
+    *
+    * The fixture's `ts` encoding has varied across driver regenerations:
+    * parquet `timestamp[ns]` (which Spark 4.x refuses to infer from the
+    * footer — `PARQUET_TYPE_ILLEGAL`) and plain `timestamp[us]`. Probe the
+    * footer first: if inference succeeds and `ts` is already a timestamp
+    * (TS or NTZ), read natively; only on ns files fall back to the
+    * explicit LongType schema + INTEGER `div 1000` (ns epochs ~1.7e18
+    * exceed double's 2^53 exact range, so float division would corrupt
+    * timestamps by hundreds of ns).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    nativeEventsSchema(spark, path) match {
+      case Some(_) =>
+        // session TZ is pinned UTC, so an NTZ -> TS cast is value-identity
+        spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
+
+  /** Footer-inferred schema when `ts` is already a parquet timestamp
+    * (µs/ms, TS or NTZ); None when the footer is ns-encoded (inference
+    * throws) or `ts` surfaces as a non-timestamp type. Probed once per
+    * call site — an O(1 footer) read, not a directory listing. */
+  private[graft] def nativeEventsSchema(
+      spark: SparkSession, path: String): Option[StructType] =
+    scala.util.Try(spark.read.parquet(path).schema).toOption.filter { s =>
+      s.fieldNames.contains("ts") && (s("ts").dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+    }
 }
