@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parameterized embedding-similarity operators — the library surface
@@ -25,10 +24,43 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
       .filter(col("nrm") > 0)
 
+  /** Two-phase per-query top-k over a scored candidate table
+    * `(qid, nbr, <scoreName>)` → `(qid, nbr, <scoreName>, rk)` — shared
+    * ranking tail of the whole kNN family.
+    *
+    * Phase 1 (map side): [[graft.functions.TopKByScore]] trims each
+    * partition's candidates to its local top-k per query BEFORE the
+    * exchange; phase 2 merges the ≤ partitions·k survivors per query.
+    * Replaces `row_number().over(partitionBy(qid))`, whose exchange
+    * carried EVERY scored pair (n·q rows to keep q·k at 100 TB). Order
+    * `(score DESC, nbr ASC)` is strict, so ranks equal the window form
+    * row-for-row and oracle parity is unchanged (PlanShapeSpec gates
+    * the window-free plan). */
+  private[graft] def topKScored(scored: DataFrame, k: Int,
+      scoreName: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKByScore(k)
+    scored
+      .select(col("qid").cast("long"), col("nbr").cast("long"),
+        col(scoreName).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nbr, s) => (nbr, s) }
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (qid, items) =>
+        items.iterator.zipWithIndex.map { case ((nbr, s), i) => (qid, nbr, s, i + 1) }
+      }
+      .toDF("qid", "nbr", scoreName, "rk")
+      .withColumn("rk", col("rk").cast("int"))
+  }
+
   /** Exact top-k cosine neighbors for the query rows selected by
     * `isQuery`: `(qid, nbr, cos, rk)`.
     * @note scale: broadcasts the query set, linear-scans the partitioned
-    *   corpus — no corpus shuffle; this is the in-cell kernel of
+    *   corpus — no corpus shuffle; scored pairs rank through the
+    *   [[topKScored]] partial top-k, so the only exchange carries
+    *   ≤ partitions·q·k entries. This is the in-cell kernel of
     *   [[knnIvf]]. */
   def knnCosine(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       k: Int = 10, idCol: String = "vec_id",
@@ -36,11 +68,10 @@ object SimilarityOps {
     val n = normed(df, idCol, vecCol)
     val q = n.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    n.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+    val scored = n.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+    topKScored(scored, k, "cos")
   }
 
   /** Int8 scalar-quantized (SQ8) top-k cosine — the storage-tier ANN
@@ -77,17 +108,22 @@ object SimilarityOps {
     val q = q8.filter(isQuery)
       .select(col("vec_id").as("qid"), col("qd").as("qqd"), col("s").as("qs"),
         col("v").as("qv"), col("nrm").as("qn"))
-    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
-    val short = q8.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
-      .withColumn("approx",
-        col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
-      .withColumn("ark", row_number().over(wA)).filter(col("ark") <= shortlist)
-    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    short
-      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
-      .withColumn("rk", row_number().over(wE)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("nbr"), col("cos"),
-        col("rk").cast("int").as("rk"))
+    val shortIds = topKScored(
+      q8.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
+        .select(col("qid"), col("vec_id").as("nbr"), col("approx")),
+      shortlist, "approx").select("qid", "nbr")
+    // shortlist fetch: broadcast the q·shortlist winning ids back onto
+    // the full-vector tier — the "fetch from the id-keyed column
+    // family" step of a real vector store
+    val exact = n.select(col("vec_id").as("nbr"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(shortIds), "nbr")
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .withColumn("cos", round(expr("vec_dot(nv, qv)") / (col("nn") * col("qn")), 6))
+      .select(col("qid"), col("nbr"), col("cos"))
+    topKScored(exact, k, "cos")
   }
 
   /** All vector pairs with cosine > `minCosine`: `(ai, bi, cos)`.
@@ -506,18 +542,23 @@ object SimilarityOps {
         lit(1e-12)) / 127.0)
       .withColumn("qqd",
         expr("transform(qv, x -> CAST(CAST(round(x / qs) AS TINYINT) AS DOUBLE))"))
-    val wA = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
-    val short = q8.join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("approx",
-        col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
-      .withColumn("ark", row_number().over(wA)).filter(col("ark") <= shortlist)
-    val wE = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    short
-      .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
-      .withColumn("rk", row_number().over(wE)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("nbr"), col("cos"),
-        col("rk").cast("int").as("rk"))
+    val shortIds = topKScored(
+      q8.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
+        .select(col("qid"), col("vec_id").as("nbr"), col("approx")),
+      shortlist, "approx").select("qid", "nbr")
+    // shortlist fetch against the full-vector tier (typed is cached),
+    // then the final exact-ordered top-k through the partial aggregate
+    val qside = typed.filter(isQuery)
+      .toDF("qid", "qv", "qn").select("qid", "qv", "qn")
+    val exact = typed.toDF("nbr", "nv", "nn")
+      .join(broadcast(shortIds), "nbr")
+      .join(broadcast(qside), "qid")
+      .withColumn("cos", round(expr("vec_dot(nv, qv)") / (col("nn") * col("qn")), 6))
+      .select(col("qid"), col("nbr"), col("cos"))
+    topKScored(exact, k, "cos")
   }
 
   /** Per-stratum per-dimension mean embedding — the corpus centroid
@@ -693,25 +734,19 @@ object SimilarityOps {
     * the top `rerank` candidates per query first. */
   private def rankShortlist(adc: DataFrame,
       unit: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
-      isQuery: org.apache.spark.sql.Column, k: Int, rerank: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nbr"))
-    if (rerank <= 0)
-      adc.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-        .select(col("qid"), col("nbr"), col("score"), col("rk").cast("int").as("rk"))
+      isQuery: org.apache.spark.sql.Column, k: Int, rerank: Int): DataFrame =
+    if (rerank <= 0) topKScored(adc, k, "score")
     else {
       // exact rescoring of the ADC shortlist: nq·rerank rows join back
       // to the corpus on the id — a broadcast-sized probe side
-      val short = adc
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= rerank)
-        .select(col("qid"), col("nbr"))
+      val short = topKScored(adc, rerank, "score").select("qid", "nbr")
       val qvecs = broadcast(unit.filter(isQuery)
         .toDF("qid", "qv").select(col("qid"), col("qv")))
-      short.join(unit.toDF("nbr", "nv"), "nbr").join(qvecs, "qid")
+      val exact = unit.toDF("nbr", "nv").join(broadcast(short), "nbr").join(qvecs, "qid")
         .withColumn("score", round(expr("vec_dot(nv, qv)"), 6))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-        .select(col("qid"), col("nbr"), col("score"), col("rk").cast("int").as("rk"))
+        .select(col("qid"), col("nbr"), col("score"))
+      topKScored(exact, k, "score")
     }
-  }
 
   /** Index of the code with minimum L2 distance to the subvector of
     * `v` starting at `off`; ties keep the lowest code index. */
@@ -802,10 +837,10 @@ object SimilarityOps {
           .map { case (cid, _) => (qid, vSeq, qn, cid) }
       }
     }.toDF("qid", "qv", "qn", "cid")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), "cid").filter(col("vec_id") =!= col("qid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id").as("nbr"), col("cos"), col("rk").cast("int").as("rk"))
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+    topKScored(scored, k, "cos")
   }
 }

@@ -61,8 +61,7 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
-  private val dedupSimhash = Q(
-    "llm_dedup_simhash",
+  private val oSimhashSql =
     s"""WITH $oShingles,
        |th AS (SELECT doc_id, ${graft.functions.Hashes.oPolyHash("sh")} AS h FROM sh),
        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -73,8 +72,18 @@ object DedupQueries {
        |SELECT a.doc_id AS ai, b.doc_id AS bi,
        |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hd
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.s, b.s)) <= 10 ORDER BY ai, bi""".stripMargin) { (s, d) =>
+       |WHERE bit_count(xor(a.s, b.s)) <= 10 ORDER BY ai, bi""".stripMargin
+
+  private val dedupSimhash = Q("llm_dedup_simhash", oSimhashSql) { (s, d) =>
     DedupOps.simhashNearDups(Tables.documents(s, d), maxHamming = 10)
+      .orderBy("ai", "bi")
+  }
+
+  /** The SAME pair set through the banded (pigeonhole) scale path — the
+    * form a 100 TB corpus runs, now under the hash oracle rather than
+    * only spec-pinned equal to the kernel. */
+  private val dedupSimhashBanded = Q("llm_dedup_simhash_banded", oSimhashSql) { (s, d) =>
+    DedupOps.simhashNearDupsBanded(Tables.documents(s, d), maxHamming = 10)
       .orderBy("ai", "bi")
   }
 
@@ -219,6 +228,6 @@ object DedupQueries {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupFuzzy, pipelineClean,
-    dedupCluster, dedupKeepBest, dupSpans)
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
+    dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans)
 }

@@ -39,15 +39,25 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
-  private val embCos = Q(
-    "llm_dedup_embcos",
+  private val oEmbCosSql =
     s"""WITH $oNormed,
        |p AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
        |        round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
        |              / (a.nrm * b.nrm), 6) AS cos
        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-       |SELECT ai, bi, cos FROM p WHERE cos > 0.45 ORDER BY ai, bi""".stripMargin) { (s, d) =>
+       |SELECT ai, bi, cos FROM p WHERE cos > 0.45 ORDER BY ai, bi""".stripMargin
+
+  private val embCos = Q("llm_dedup_embcos", oEmbCosSql) { (s, d) =>
     SimilarityOps.cosineNearDups(Tables.embeddings(s, d), minCosine = 0.45)
+      .orderBy("ai", "bi")
+  }
+
+  /** The SAME pair set through the triangular block grid — the
+    * beyond-broadcast scale form, now under the hash oracle rather than
+    * only spec-pinned equal to the broadcast kernel. */
+  private val embCosBlocked = Q("llm_dedup_embcos_blocked", oEmbCosSql) { (s, d) =>
+    SimilarityOps.cosineNearDupsBlocked(Tables.embeddings(s, d),
+        minCosine = 0.45, nBlocks = 8)
       .orderBy("ai", "bi")
   }
 
@@ -221,7 +231,7 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, knnIvf, knnIvfProbeAll, knnPq,
-    knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
+  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfProbeAll,
+    knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

@@ -47,6 +47,18 @@ class PlanShapeSpec extends SparkSpec {
       "the as-of node must not fall back to a standard join")
   }
 
+  test("kNN family ranks via partial top-k aggregate, not a window shuffle") {
+    // the exchange above the score stage must carry partition-local
+    // top-k buffers (ObjectHashAggregate partial), never the full
+    // scored pair set ranked by row_number
+    for (k <- Seq("llm_knn_cosine", "llm_knn_sq8", "llm_knn_ivf",
+        "llm_knn_pq", "llm_knn_ivfsq8")) {
+      val p = plan(k)
+      assert(!p.contains("Window"), s"$k still ranks through a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$k lacks the partial top-k:\n$p")
+    }
+  }
+
   test("aggregations run two-phase (partial then final)") {
     val p = plan("agg_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
