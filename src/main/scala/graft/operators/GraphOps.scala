@@ -144,25 +144,56 @@ object GraphOps {
   }
 
   /** Global triangle count (plus node/edge counts) of the undirected
-    * simple graph underlying `edges`: self-loops dropped, each edge
-    * canonicalized to `(min, max)` and deduped, then the classic
-    * two-join closure counts each triangle exactly once via the
-    * `a < b < c` orientation.
+    * simple graph underlying `edges`, via DEGREE ORIENTATION (the
+    * node-iterator bound): self-loops dropped, each edge canonicalized
+    * and deduped, then re-oriented from the lower-(degree, id) endpoint
+    * to the higher. Every triangle has exactly one apex with two
+    * out-edges, and its closing edge is oriented one way — so the
+    * wedge join followed by the closing-edge join counts each triangle
+    * exactly once with NO pair-dedup filter.
     *
-    * @note scale: on a skewed web graph the e1⋈e2 fan-out is bounded by
-    *   Σ d(v)² on the JOIN KEY side; production triangle counting
-    *   orients edges from the lower-degree endpoint first (node
-    *   iterator), bounding work by Σ d(v)^{3/2}. Degree orientation is
-    *   one extra join against a degree table — same plan shape, so the
-    *   canonical-orientation form here is the right fixture-scale
-    *   stand-in. Both closure joins shuffle on a single key column and
-    *   AQE skew-splits hot vertices. */
+    * @note scale: orienting by degree bounds every vertex's out-degree
+    *   by √(2·|E|)-ish, so the wedge fan-out is Σ d(v)^{3/2} instead of
+    *   the canonical orientation's Σ d(v)² — on a skewed web graph the
+    *   difference between a hot-vertex blowup and a flat join. Cost is
+    *   one degree aggregation + two broadcast-or-shuffle joins against
+    *   the degree table; the closure joins still shuffle on one key
+    *   column each and AQE skew-splits whatever heat remains.
+    *   [[triangleStatsCanonical]] keeps the a<b closure as the
+    *   equality cross-check (`TextGraphOpsSpec`). */
   def triangleStats(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val und = edges.filter(col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct().persist()
+    val und = undirected(edges, srcCol, dstCol).persist()
+    val nn = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    // strict total order (degree, id): id is unique per node
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") =!= col("w"))
+    val closing = oriented.select(col("u").as("cv"), col("v").as("cw"))
+    val nt = wedges
+      .join(closing, col("v") === col("cv") && col("w") === col("cw"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(ne).crossJoin(nt)
+  }
+
+  /** Canonical `a < b < c` two-join closure — the pre-orientation form,
+    * kept as the cross-check for [[triangleStats]] (Σ d(v)² fan-out, so
+    * fixture-scale only). */
+  def triangleStatsCanonical(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol).persist()
     val nn = und.select(explode(array(col("a"), col("b"))).as("n"))
       .distinct().agg(count(lit(1)).as("n_nodes"))
     val ne = und.agg(count(lit(1)).as("n_edges"))
@@ -173,4 +204,12 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     nn.crossJoin(ne).crossJoin(nt)
   }
+
+  /** Self-loop-free, canonicalized, deduped undirected edge set. */
+  private def undirected(edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
 }

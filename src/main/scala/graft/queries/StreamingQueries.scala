@@ -504,6 +504,41 @@ object StreamingQueries {
       .orderBy("user_id", "last_id")
   }
 
+  // ------------------------------------------------------- CEP Kleene B+
+  /** Kleene CEP pattern ([[graft.streaming.CepOps.cepKleene]] — Flink
+    * `A next B.oneOrMore().consecutive().greedy() next C within Δt`,
+    * skip past last row): a view, a maximal contiguous run of clicks,
+    * then the purchase that terminates it, all inside 6 h. The oracle
+    * restates the gaps-and-islands run grouping; `CepKleeneSpec` pins
+    * the streaming automaton replay equal. */
+  private val cepKleene = Q(
+    "cep_kleene",
+    """WITH e AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+      |             CASE WHEN event_type = 'view' THEN 'A'
+      |                  WHEN event_type = 'click' THEN 'B'
+      |                  WHEN event_type = 'purchase' THEN 'C' END AS cls
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts, id) AS pos FROM e),
+      |b AS (SELECT k, grp, min(pos) AS bstart, max(pos) AS bend,
+      |             count(*) AS n_b, min_by(id, pos) AS first_b_id,
+      |             max_by(id, pos) AS last_b_id
+      |      FROM (SELECT *, pos - row_number() OVER (PARTITION BY k ORDER BY pos) AS grp
+      |            FROM r WHERE cls = 'B')
+      |      GROUP BY k, grp)
+      |SELECT b.k AS user_id, a.id AS a_id, CAST(n_b AS BIGINT) AS n_b,
+      |       first_b_id, last_b_id, c.id AS c_id,
+      |       epoch_us(c.ts) - epoch_us(a.ts) AS span_us
+      |FROM b JOIN r a ON a.k = b.k AND a.pos = b.bstart - 1 AND a.cls = 'A'
+      |       JOIN r c ON c.k = b.k AND c.pos = b.bend + 1 AND c.cls = 'C'
+      |WHERE c.ts <= a.ts + INTERVAL 360 MINUTE
+      |ORDER BY user_id, a_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepKleene(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", within = "360 minutes")
+      .orderBy("user_id", "a_id")
+  }
+
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
@@ -541,5 +576,5 @@ object StreamingQueries {
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
-    streamCumulateAppend, streamTopnReplay, streamFfillReplay)
+    streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene)
 }

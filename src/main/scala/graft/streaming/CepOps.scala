@@ -112,6 +112,68 @@ object CepOps {
         unix_micros(col("a_ts")).as("a_ts_us"))
   }
 
+  /** Kleene pattern `A B+ C` with AFTER MATCH SKIP PAST LAST ROW
+    * (Flink CEP `begin(A).next(B).oneOrMore().consecutive().greedy()
+    * .next(C).within(Δt)` with `AfterMatchSkipStrategy.skipPastLastEvent`
+    * — also SQL `MATCH_RECOGNIZE PATTERN (A B+ C)` over the relevant
+    * events): per key, an `A` event immediately followed by a MAXIMAL
+    * run of `B` events, terminated by the `C` event immediately after
+    * the run, with the whole span inside `within`. Contiguity is over
+    * the A/B/C-classified substream (events matching none of the
+    * predicates are transparent, Flink's relaxed contiguity for
+    * non-relevant events); an intervening A or C breaks/terminates a
+    * run. Greedy + maximal runs make matches DISJOINT — each B run is
+    * consumed by at most one match, which IS skip-past-last-row.
+    *
+    * When an event satisfies several predicates, classification
+    * precedence is A > B > C (documented, both engines share it).
+    * Returns `(key, a_id, n_b, first_b_id, last_b_id, c_id, span_us)`.
+    *
+    * Planned as gaps-and-islands: position-rank the classified
+    * substream, group consecutive B positions into runs
+    * (`pos − row_number()` over B rows), then anchor each run with the
+    * A at `start−1` and the C at `end+1`. The streaming twin
+    * ([[StreamOps.cepKleeneStream]]) is the O(1)-state automaton form
+    * of the same scan; `CepKleeneSpec` pins replay equality.
+    *
+    * @note scale: both window passes and both anchor joins share ONE
+    *   hash partitioning on the key — a single shuffle; run state
+    *   inside the sort is one counter. No self-join of the full event
+    *   stream, no per-key history scan. */
+  def cepKleene(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      predA: Column, predB: Column, predC: Column, within: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev
+      .withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).as("ts"), col(idCol).as("id"),
+        col("__cls").as("cls"))
+    val wPos = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
+    val r = e.withColumn("pos", row_number().over(wPos))
+    val wB = Window.partitionBy(col("k")).orderBy(col("pos"))
+    val bruns = r.filter(col("cls") === "B")
+      .withColumn("grp", col("pos") - row_number().over(wB))
+      .groupBy("k", "grp")
+      .agg(min("pos").as("bstart"), max("pos").as("bend"),
+        count(lit(1)).as("n_b"),
+        min_by(col("id"), col("pos")).as("first_b_id"),
+        max_by(col("id"), col("pos")).as("last_b_id"))
+    val aSide = r.filter(col("cls") === "A")
+      .select(col("k").as("ak"), col("pos").as("apos"),
+        col("id").as("a_id"), col("ts").as("a_ts"))
+    val cSide = r.filter(col("cls") === "C")
+      .select(col("k").as("ck"), col("pos").as("cpos"),
+        col("id").as("c_id"), col("ts").as("c_ts"))
+    bruns
+      .join(aSide, col("k") === col("ak") && col("apos") === col("bstart") - 1)
+      .join(cSide, col("k") === col("ck") && col("cpos") === col("bend") + 1)
+      .filter(col("c_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
+        col("first_b_id"), col("last_b_id"), col("c_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("a_ts"))).as("span_us"))
+  }
+
   /** Quantified pattern `A{n}` with *strict* contiguity (Flink CEP
     * `times(n).consecutive()`): every run of `n` `predicate`-matching
     * events of one key with NO other event of that key — matching or

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** MATCH_RECOGNIZE-flavored pattern builder — the SQL-ish face Flink
+  * users get via `MATCH_RECOGNIZE` / the CEP `Pattern` API, compiled
+  * onto this library's existing operators rather than a new engine:
+  *
+  *  - `begin(A).next(B).next(C)…` (each step `within` its
+  *    predecessor, steps optionally `.optional()`) →
+  *    [[CepOps.cepPattern]] (chained interval joins, streaming-capable)
+  *  - `begin(A).next(B).oneOrMore().next(C).within(Δ)` →
+  *    [[CepOps.cepKleene]] (greedy consecutive B+, skip past last row;
+  *    streaming twin [[StreamOps.cepKleeneStream]])
+  *  - `begin(A).notFollowedBy(B).within(Δ)` → [[CepOps.cepAbsence]]
+  *  - `begin(A).times(n).consecutive().within(Δ)` → [[CepOps.cepTimes]]
+  *
+  * The builder is immutable; `over(ev, key, ts, id)` validates the
+  * shape and dispatches. Output schema is the target operator's —
+  * pinned equal to the direct calls by `PatternDslSpec`.
+  *
+  * {{{
+  * Pattern.begin("click", col("event_type") === "click")
+  *   .next("error", col("event_type") === "error", within = "360 minutes", optional = true)
+  *   .next("purchase", col("event_type") === "purchase", within = "360 minutes")
+  *   .over(events, "user_id", "ts", "event_id")
+  * }}}
+  *
+  * @note scale: zero cost of its own — each shape compiles to the
+  *   documented plan of its target operator (one keyed shuffle per
+  *   join/window stage; see the operators' scale notes).
+  */
+object Pattern {
+  def begin(name: String, pred: Column): PatternBuilder =
+    new PatternBuilder(Vector(DslStep(name, pred, "0 minutes",
+      optional = false, oneOrMore = false)), None, None, consecutive = false, None)
+}
+
+private[streaming] final case class DslStep(name: String, pred: Column,
+    within: String, optional: Boolean, oneOrMore: Boolean)
+
+final class PatternBuilder private[streaming] (
+    steps: Vector[DslStep],
+    absent: Option[(String, Column)],
+    nTimes: Option[Int],
+    consecutive: Boolean,
+    globalWithin: Option[String]) {
+
+  private def copy(steps: Vector[DslStep] = steps,
+      absent: Option[(String, Column)] = absent,
+      nTimes: Option[Int] = nTimes,
+      consecutive: Boolean = consecutive,
+      globalWithin: Option[String] = globalWithin) =
+    new PatternBuilder(steps, absent, nTimes, consecutive, globalWithin)
+
+  /** Append a required (or `optional = true`) step bound `within` the
+    * previous matched step. */
+  def next(name: String, pred: Column, within: String = "0 minutes",
+      optional: Boolean = false): PatternBuilder = {
+    require(absent.isEmpty, "notFollowedBy must be the final element")
+    copy(steps = steps :+ DslStep(name, pred, within, optional, oneOrMore = false))
+  }
+
+  /** Mark the LAST added step as a greedy consecutive Kleene plus
+    * (B+). Only the A B+ C shape compiles (middle step of three). */
+  def oneOrMore(): PatternBuilder = {
+    require(steps.nonEmpty, "oneOrMore needs a step to quantify")
+    copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
+  }
+
+  /** The begin step must repeat exactly `n` times. */
+  def times(n: Int): PatternBuilder = copy(nTimes = Some(n))
+
+  /** Strict contiguity for [[times]] (no other event of the key in
+    * between). */
+  def consecutive(): PatternBuilder = copy(consecutive = true)
+
+  /** No `pred`-matching event may follow the begin step inside the
+    * `within` bound. */
+  def notFollowedBy(name: String, pred: Column): PatternBuilder = {
+    require(steps.size == 1 && nTimes.isEmpty,
+      "notFollowedBy supports the single-anchor absence shape")
+    copy(absent = Some((name, pred)))
+  }
+
+  /** Whole-match time bound (Kleene / times / absence shapes). */
+  def within(d: String): PatternBuilder = copy(globalWithin = Some(d))
+
+  /** Validate the assembled shape and run it over `ev`. */
+  def over(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = (absent, nTimes) match {
+    case (Some((_, abs)), None) =>
+      val w = globalWithin.getOrElse(
+        sys.error("absence pattern needs .within(...)"))
+      CepOps.cepAbsence(ev, keyCol, tsCol, idCol, steps.head.pred, abs, w)
+    case (None, Some(n)) =>
+      require(consecutive,
+        "times(n) relaxed contiguity is cepPattern with n identical steps; " +
+          "the DSL compiles the .consecutive() form")
+      val w = globalWithin.getOrElse(
+        sys.error("times pattern needs .within(...)"))
+      CepOps.cepTimes(ev, keyCol, tsCol, idCol, steps.head.pred, n, w)
+    case (None, None) if steps.exists(_.oneOrMore) =>
+      require(steps.size == 3 && steps(1).oneOrMore &&
+        !steps.head.oneOrMore && !steps.last.oneOrMore &&
+        steps.forall(!_.optional),
+        "oneOrMore compiles the A B+ C shape (middle step quantified)")
+      val w = globalWithin.getOrElse(
+        sys.error("Kleene pattern needs .within(...)"))
+      CepOps.cepKleene(ev, keyCol, tsCol, idCol,
+        steps(0).pred, steps(1).pred, steps(2).pred, w)
+    case (None, None) =>
+      CepOps.cepPattern(ev, keyCol, tsCol, idCol,
+        steps.map(s => PatternStep(s.name, s.pred, s.within, s.optional)))
+    case _ => sys.error("unsupported pattern combination")
+  }
+}

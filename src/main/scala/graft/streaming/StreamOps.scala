@@ -20,6 +20,16 @@ case class CandPair(ai: Long, bi: Long, est_jac: Double, band: Int)
   * already-emitted sub-window ends. */
 case class CumState(steps: Map[Long, (Long, Long)], emittedUpTo: Long)
 case class CumRow(ws_us: Long, we_us: Long, n: Long, sum_value: Double)
+/** Kleene-pattern automaton rows ([[StreamOps.cepKleeneStream]]):
+  * `prev` is the class of the key's last relevant event; `aId/aTsUs`
+  * are valid when prev == "A"; the run fields hold the in-progress
+  * anchored B+ run. O(1) per key by construction. */
+case class KleeneEvent(k: Long, ts_us: Long, event_id: Long, cls: String)
+case class KleeneState(prev: String, aId: Long, aTsUs: Long,
+    runActive: Boolean, runAId: Long, runATsUs: Long,
+    firstB: Long, lastB: Long, nB: Long)
+case class KleeneMatch(user_id: Long, a_id: Long, n_b: Long,
+    first_b_id: Long, last_b_id: Long, c_id: Long, span_us: Long)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
   * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
@@ -78,12 +88,22 @@ object StreamOps {
   private val HourUs = 3600L * 1000000L
 
   /** Bounded-replay streaming source over the driver's events.parquet
-    * (SURVEY §2.1 S2). Glob-filtered so only the events file is read. */
+    * (SURVEY §2.1 S2). Glob-filtered so only the events file is read.
+    * The fixture's `ts` encoding varies across driver regenerations
+    * (ns vs native µs) — probe the footer via [[Tables.nativeEventsSchema]]
+    * and pick the matching read schema, exactly as the batch reader does. */
   def source(spark: SparkSession, sfDir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(Tables.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
+    val path = s"$sfDir/events.parquet"
+    val (schema, fixTs) = Tables.nativeEventsSchema(spark, path) match {
+      case Some(nat) =>
+        (nat, (df: DataFrame) => df.withColumn("ts", col("ts").cast("timestamp")))
+      case None =>
+        (Tables.eventsRawSchema,
+          (df: DataFrame) => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    }
+    val r = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
-    r2.parquet(sfDir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fixTs(r2.parquet(sfDir))
   }
 
   /** Deterministic hash-sample of a stream (same membership function as
@@ -396,6 +416,93 @@ object StreamOps {
         col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_ts_us"),
         unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
+  /** T1 divergence shim, surfaced on the facade as
+    * `Graft.streams.perKeyLateness`: Flink-style PER-KEY lateness.
+    *
+    * WHERE THIS DIVERGES FROM FLINK — read before relying on it:
+    * Spark's event-time watermark is per-QUERY (a global min across
+    * partitions): one slow key drags the whole query's watermark, and
+    * a fast key's progress can get a slow key's fresh events dropped.
+    * Flink judges lateness against the key group's own progress. This
+    * operator reproduces Flink's per-key judgment as a stateful FILTER
+    * (each key keeps its own high-water mark; an event is late iff it
+    * lags ITS KEY's max event time by > `delayUs`) — but it does NOT
+    * replace the query watermark: downstream windowed aggregations
+    * still evict state on Spark's global watermark, so pair this with
+    * a `withWatermark` delay ≥ the per-key delay or closed windows can
+    * still reject survivors of this filter. Within a micro-batch,
+    * arrival order is pinned to (ts, event_id), so in-batch reordering
+    * never marks an event late — lateness manifests at batch
+    * boundaries, exactly like Spark's own watermark advancement.
+    *
+    * @note scale: one long of state per key, one shuffle on the key
+    *   ([[PerKeyWatermarkProcessor]]; TTL the state if the keyspace
+    *   churns). */
+  def perKeyLateness(ev: DataFrame,
+      delayUs: Long = 10L * 60 * 1000000): Dataset[FillEvent] =
+    PerKeyWatermark(ev, delayUs)
+
+  /** T8 Kleene: streaming twin of [[CepOps.cepKleene]] (`A B+ C` with
+    * skip-past-last-row) as a per-key O(1)-state automaton
+    * (`flatMapGroupsWithState`): track the class of the last relevant
+    * event, anchor a B+ run when a B immediately follows an A, extend
+    * it on further Bs, and EMIT on the C that terminates it (the C
+    * itself proves the run maximal — no watermark wait, no flush gap:
+    * a run the stream never terminates is also unmatched in the batch
+    * form, so replay output equals the batch twin EXACTLY).
+    *
+    * Same per-key in-order arrival contract as [[forwardFill]]: events
+    * of one key arrive in (ts, event_id) order across micro-batches
+    * (the event-time-ordered replay/backfill contract; each batch is
+    * sorted here). A production out-of-order deployment would buffer a
+    * watermark-delay of events per key first — the automaton itself is
+    * unchanged.
+    *
+    * @note scale: one shuffle on the key; state is ONE fixed-width row
+    *   per key regardless of history length (contrast Flink CEP's
+    *   NFA partial-match buffers, which grow with the run). */
+  def cepKleeneStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      withinUs: Long): Dataset[KleeneMatch] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"), col("__cls").as("cls"))
+      .as[KleeneEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[KleeneState, KleeneMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var st = state.getOption.getOrElse(
+          KleeneState("", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[KleeneMatch]
+        it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          e.cls match {
+            case "A" => // kills any open run (A is not a valid terminator)
+              st = KleeneState("A", e.event_id, e.ts_us,
+                runActive = false, 0L, 0L, 0L, 0L, 0L)
+            case "B" =>
+              st =
+                if (st.runActive)
+                  st.copy(prev = "B", lastB = e.event_id, nB = st.nB + 1)
+                else if (st.prev == "A") // anchor: B immediately after A
+                  KleeneState("B", 0L, 0L, runActive = true,
+                    st.aId, st.aTsUs, e.event_id, e.event_id, 1L)
+                else st.copy(prev = "B") // unanchored B — transparent run
+            case _ => // "C"
+              if (st.runActive && e.ts_us <= st.runATsUs + withinUs)
+                out += KleeneMatch(key, st.runAId, st.nB, st.firstB,
+                  st.lastB, e.event_id, e.ts_us - st.runATsUs)
+              st = KleeneState("C", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
   }
 
   /** T7: keyed stateful forward-fill (`flatMapGroupsWithState`): per user,

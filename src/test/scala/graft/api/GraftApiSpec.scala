@@ -41,6 +41,16 @@ class GraftApiSpec extends SparkSpec {
       "fixture must contain shared spans")
   }
 
+  test("per-key lateness is surfaced on the streams facade") {
+    // in-batch (ts, event_id) order is pinned, so a single batch can
+    // never self-mark late — full passthrough; the cross-batch drop
+    // semantics are pinned by PerKeyWatermarkSpec
+    val ev = Tables.events(spark, sf).limit(100)
+    val out = Graft.streams.perKeyLateness(ev).toDF()
+    assert(out.count() == 100)
+    assert(out.columns.toSeq == Seq("user_id", "ts_us", "event_id", "value"))
+  }
+
   test("similarity ops accept custom column names") {
     val emb = Tables.embeddings(spark, sf)
       .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "vec")

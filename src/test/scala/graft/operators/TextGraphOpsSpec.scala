@@ -79,4 +79,22 @@ class TextGraphOpsSpec extends SparkSpec {
     val r = GraphOps.triangleStats(edges).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 6L, 4L)))
   }
+
+  test("degree-oriented triangle count equals the canonical closure") {
+    import spark.implicits._
+    // K4 plus a pendant chain and a detached triangle — mixed degrees
+    // so the orientation actually reorders edges
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f"), ("x", "y"), ("y", "z"), ("z", "x"))
+      .toDF("src", "dst")
+    val o = GraphOps.triangleStats(edges).collect().head
+    val c = GraphOps.triangleStatsCanonical(edges).collect().head
+    assert(o.toSeq == c.toSeq && o.getLong(2) == 5L)
+    // and on the real word-bigram fixture graph (mixed real degrees)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fixtureEdges = TextOps.bigrams(docs.select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    assert(GraphOps.triangleStats(fixtureEdges).collect().head.toSeq ==
+      GraphOps.triangleStatsCanonical(fixtureEdges).collect().head.toSeq)
+  }
 }
