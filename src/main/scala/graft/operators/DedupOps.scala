@@ -174,23 +174,33 @@ object DedupOps {
     * the signature's bit range is partitioned into `maxHamming + 1`
     * bands, and by pigeonhole a pair at Hamming distance ≤ maxHamming
     * leaves at least one band untouched, so every qualifying pair
-    * collides on some band's exact value. Candidates are the band-value
-    * equi-join; the popcount verify then drops the false positives.
+    * collides on some band's exact value.
     *
-    * @note scale: one shuffle on (band, band-value) — ~(maxHamming+1)·N
-    *   rows of three longs — then a candidate-sized verify join; nothing
-    *   is broadcast and no partition ever sees the whole corpus. Band
-    *   selectivity grows with signature width: at 57 bits / 11 bands a
-    *   band is only ~5 bits, so small corpora bucket coarsely (this is
-    *   measurable on the test fixtures), while the wide signatures a
-    *   production corpus would use (128/256-bit, multi-word) make bands
-    *   ≥ 12 bits and buckets sparse. */
+    * Verification happens IN-BUCKET: signatures ride the band shuffle,
+    * each (band, value) bucket runs a fused popcount loop over its own
+    * rows, and a qualifying pair is emitted only by the FIRST band in
+    * which the two signatures collide (the lowest all-zero-XOR band) —
+    * cross-band duplicates die locally, no candidate materialization,
+    * no `distinct`, no signature re-join. An earlier revision
+    * materialized the candidate equi-join and deduped it; the 10×
+    * stress probe showed that form going quadratic in join machinery
+    * (6.6 s → 483 s) where this one moves only popcounts.
+    *
+    * @note scale: one shuffle of (maxHamming+1)·N three-long rows;
+    *   per-bucket work is quadratic in bucket size, which is N/(2^w)
+    *   for band width w — the inherent exact-banding trade. At 57 bits
+    *   / 11 bands, w ≈ 5, so buckets are coarse (N/32; fixture-scale
+    *   measurable); the 128/256-bit multi-word signatures a production
+    *   corpus would use give w ≥ 11 and sparse buckets. A hot bucket
+    *   is one task — AQE skew-split or widen the signature before
+    *   scaling the corpus 100×. */
   def simhashNearDupsBanded(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 10, n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val simSig = udaf(SketchAggregators.SimHashSig, Encoders.scalaLong)
     val sim = hashedShingles(df, idCol, textCol, n)
       .groupBy("doc_id").agg(simSig(col("h")).as("s"))
-      .persist() // signature build feeds both the bands and the verify
     // Bands must PARTITION the 57 real signature bits, every band
     // nonempty — a uniform ceil-width grid would leave the top band all
     // zeros (a full-corpus bucket). Variable widths: `rem` bands get an
@@ -200,24 +210,41 @@ object DedupOps {
     val base = bits / nBands
     val rem = bits % nBands
     require(base >= 1, s"maxHamming=$maxHamming needs more bands than $bits bits")
-    val widths = Seq.tabulate(nBands)(b => if (b < rem) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _).init
+    val widths = Array.tabulate(nBands)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init.toArray
     val bandExprs = offsets.zip(widths).map { case (off, w) =>
       expr(s"shiftright(s, $off) & ${(1L << w) - 1}")
     }
-    val bands = sim
-      .select(col("doc_id"), posexplode(array(bandExprs: _*)))
-      .toDF("doc_id", "band", "bv")
-    val cands = bands.as("a").hint("shuffle_hash")
-      .join(bands.as("b"), col("a.band") === col("b.band") &&
-        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi")).distinct()
-    cands
-      .join(sim.as("sa"), col("ai") === col("sa.doc_id"))
-      .join(sim.as("sb"), col("bi") === col("sb.doc_id"))
-      .select(col("ai"), col("bi"),
-        expr("bit_count(sa.s ^ sb.s)").cast("int").as("hd"))
-      .filter(col("hd") <= maxHamming)
+    sim.select(col("doc_id"), col("s"), posexplode(array(bandExprs.toSeq: _*)))
+      .toDF("doc_id", "s", "band", "bv")
+      .as[(Long, Long, Int, Long)]
+      .groupByKey { case (_, _, band, bv) => (band, bv) }
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)]) =>
+        val band = key._1
+        val arr = it.map { case (id, s, _, _) => (id, s) }.toArray
+        java.util.Arrays.sort(arr, Ordering.by((t: (Long, Long)) => t._1))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var i = 0
+        while (i < arr.length) {
+          val (ai, as) = arr(i)
+          var j = i + 1
+          while (j < arr.length) {
+            val x = as ^ arr(j)._2
+            val hd = java.lang.Long.bitCount(x)
+            if (hd <= maxHamming) {
+              // lowest band with zero XOR bits = first colliding band;
+              // pigeonhole guarantees one exists for hd <= maxHamming
+              var fb = 0
+              while (fb < nBands &&
+                ((x >>> offsets(fb)) & ((1L << widths(fb)) - 1)) != 0L) fb += 1
+              if (fb == band) out += ((ai, arr(j)._1, hd))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }.toDF("ai", "bi", "hd")
   }
 
   /** Declarative theta-join form of [[simhashNearDups]]'s pair stage —
