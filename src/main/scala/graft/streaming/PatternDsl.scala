@@ -37,7 +37,7 @@ object Pattern {
 }
 
 private[streaming] final case class DslStep(name: String, pred: Column,
-    within: String, optional: Boolean, oneOrMore: Boolean)
+    within: String, optional: Boolean, oneOrMore: Boolean, minTimes: Int = 1)
 
 final class PatternBuilder private[streaming] (
     steps: Vector[DslStep],
@@ -66,6 +66,15 @@ final class PatternBuilder private[streaming] (
   def oneOrMore(): PatternBuilder = {
     require(steps.nonEmpty, "oneOrMore needs a step to quantify")
     copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
+  }
+
+  /** Flink `timesOrMore(n)`: the LAST added step must repeat at least
+    * `n` consecutive times — the Kleene form with a minimum run
+    * length (compiled as cepKleene + an `n_b >= n` filter, which is
+    * exact because n_b counts the whole maximal run). */
+  def timesOrMore(n: Int): PatternBuilder = {
+    require(steps.nonEmpty && n >= 1, "timesOrMore needs a step and n >= 1")
+    copy(steps = steps.init :+ steps.last.copy(oneOrMore = true, minTimes = n))
   }
 
   /** The begin step must repeat exactly `n` times. */
@@ -107,8 +116,11 @@ final class PatternBuilder private[streaming] (
         "oneOrMore compiles the A B+ C shape (middle step quantified)")
       val w = globalWithin.getOrElse(
         sys.error("Kleene pattern needs .within(...)"))
-      CepOps.cepKleene(ev, keyCol, tsCol, idCol,
+      val k = CepOps.cepKleene(ev, keyCol, tsCol, idCol,
         steps(0).pred, steps(1).pred, steps(2).pred, w)
+      if (steps(1).minTimes > 1)
+        k.filter(org.apache.spark.sql.functions.col("n_b") >= steps(1).minTimes)
+      else k
     case (None, None) =>
       CepOps.cepPattern(ev, keyCol, tsCol, idCol,
         steps.map(s => PatternStep(s.name, s.pred, s.within, s.optional)))

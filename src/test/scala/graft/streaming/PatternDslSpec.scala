@@ -38,6 +38,23 @@ class PatternDslSpec extends SparkSpec {
     assert(rows(dsl) == rows(direct) && dsl.count() > 0)
   }
 
+  test("timesOrMore(n) is the Kleene form with a minimum run length") {
+    val dsl = Pattern.begin("view", col("event_type") === "view")
+      .next("click", col("event_type") === "click").timesOrMore(2)
+      .next("purchase", col("event_type") === "purchase")
+      .within("360 minutes")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepKleene(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 minutes")
+      .filter(col("n_b") >= 2)
+    assert(rows(dsl) == rows(direct))
+    assert(dsl.count() < CepOps.cepKleene(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 minutes").count(),
+      "fixture must contain single-B runs for the bound to bite")
+  }
+
   test("notFollowedBy() compiles to cepAbsence") {
     val dsl = Pattern.begin("click", col("event_type") === "click")
       .notFollowedBy("purchase", col("event_type") === "purchase")
