@@ -539,6 +539,38 @@ object StreamingQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** Kleene with a stop condition ([[graft.streaming.CepOps.cepKleeneUntil]]
+    * — Flink `oneOrMore().until(U)`): a view, a maximal run of clicks,
+    * STOPPED by an error — the error terminates the loop but is not
+    * part of the match, and `within` bounds view→last-click. */
+  private val cepKleeneUntil = Q(
+    "cep_kleene_until",
+    """WITH e AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+      |             CASE WHEN event_type = 'view' THEN 'A'
+      |                  WHEN event_type = 'click' THEN 'B'
+      |                  WHEN event_type = 'error' THEN 'C' END AS cls
+      |           FROM events WHERE event_type IN ('view', 'click', 'error')),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts, id) AS pos FROM e),
+      |b AS (SELECT k, grp, min(pos) AS bstart, max(pos) AS bend,
+      |             count(*) AS n_b, min_by(id, pos) AS first_b_id,
+      |             max_by(id, pos) AS last_b_id, max_by(ts, pos) AS lastb_ts
+      |      FROM (SELECT *, pos - row_number() OVER (PARTITION BY k ORDER BY pos) AS grp
+      |            FROM r WHERE cls = 'B')
+      |      GROUP BY k, grp)
+      |SELECT b.k AS user_id, a.id AS a_id, CAST(n_b AS BIGINT) AS n_b,
+      |       first_b_id, last_b_id,
+      |       epoch_us(lastb_ts) - epoch_us(a.ts) AS span_us
+      |FROM b JOIN r a ON a.k = b.k AND a.pos = b.bstart - 1 AND a.cls = 'A'
+      |       JOIN r c ON c.k = b.k AND c.pos = b.bend + 1 AND c.cls = 'C'
+      |WHERE lastb_ts <= a.ts + INTERVAL 360 MINUTE
+      |ORDER BY user_id, a_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepKleeneUntil(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "error", within = "360 minutes")
+      .orderBy("user_id", "a_id")
+  }
+
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
@@ -576,5 +608,6 @@ object StreamingQueries {
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
-    streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene)
+    streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
+    cepKleeneUntil)
 }

@@ -141,7 +141,39 @@ object CepOps {
     *   inside the sort is one counter. No self-join of the full event
     *   stream, no per-key history scan. */
   def cepKleene(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
-      predA: Column, predB: Column, predC: Column, within: String): DataFrame = {
+      predA: Column, predB: Column, predC: Column, within: String): DataFrame =
+    kleeneMatches(ev, keyCol, tsCol, idCol, predA, predB, predC, within)
+      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
+        col("first_b_id"), col("last_b_id"), col("c_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("a_ts"))).as("span_us"))
+
+  /** Flink `begin(A).next(B).oneOrMore().consecutive().until(U)`: the
+    * B+ loop runs until a `predU` event stops it — the until-event
+    * TERMINATES the loop but is NOT part of the match, which is Flink's
+    * `until` contract (contrast [[cepKleene]], where the closing step
+    * IS matched). The match is the A anchor plus the maximal run, the
+    * span ends at the LAST B, and `within` bounds A→last-B. Returns
+    * `(key, a_id, n_b, first_b_id, last_b_id, span_us)`.
+    *
+    * Same gaps-and-islands machinery and skip-past-last-row disjointness
+    * as [[cepKleene]] — only the emission differs. */
+  def cepKleeneUntil(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predU: Column,
+      within: String): DataFrame =
+    kleeneMatches(ev, keyCol, tsCol, idCol, predA, predB, predU, within,
+      boundToTerminator = false)
+      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
+        col("first_b_id"), col("last_b_id"),
+        (unix_micros(col("lastb_ts")) - unix_micros(col("a_ts"))).as("span_us"))
+
+  /** Shared islands core of [[cepKleene]]/[[cepKleeneUntil]]: maximal
+    * consecutive runs of the loop class anchored by A at `bstart-1` and
+    * the terminator class at `bend+1`. `boundToTerminator` selects
+    * whether `within` bounds A→terminator (kleene) or A→last-B (until,
+    * where the terminator is outside the match). */
+  private def kleeneMatches(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      within: String, boundToTerminator: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = ev
       .withColumn("__cls",
@@ -158,20 +190,19 @@ object CepOps {
       .agg(min("pos").as("bstart"), max("pos").as("bend"),
         count(lit(1)).as("n_b"),
         min_by(col("id"), col("pos")).as("first_b_id"),
-        max_by(col("id"), col("pos")).as("last_b_id"))
+        max_by(col("id"), col("pos")).as("last_b_id"),
+        max_by(col("ts"), col("pos")).as("lastb_ts"))
     val aSide = r.filter(col("cls") === "A")
       .select(col("k").as("ak"), col("pos").as("apos"),
         col("id").as("a_id"), col("ts").as("a_ts"))
     val cSide = r.filter(col("cls") === "C")
       .select(col("k").as("ck"), col("pos").as("cpos"),
         col("id").as("c_id"), col("ts").as("c_ts"))
+    val bound = if (boundToTerminator) col("c_ts") else col("lastb_ts")
     bruns
       .join(aSide, col("k") === col("ak") && col("apos") === col("bstart") - 1)
       .join(cSide, col("k") === col("ck") && col("cpos") === col("bend") + 1)
-      .filter(col("c_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
-      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
-        col("first_b_id"), col("last_b_id"), col("c_id"),
-        (unix_micros(col("c_ts")) - unix_micros(col("a_ts"))).as("span_us"))
+      .filter(bound <= col("a_ts") + expr(s"INTERVAL $within"))
   }
 
   /** Quantified pattern `A{n}` with *strict* contiguity (Flink CEP

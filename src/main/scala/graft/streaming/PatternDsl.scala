@@ -44,14 +44,16 @@ final class PatternBuilder private[streaming] (
     absent: Option[(String, Column)],
     nTimes: Option[Int],
     consecutive: Boolean,
-    globalWithin: Option[String]) {
+    globalWithin: Option[String],
+    untilPred: Option[Column] = None) {
 
   private def copy(steps: Vector[DslStep] = steps,
       absent: Option[(String, Column)] = absent,
       nTimes: Option[Int] = nTimes,
       consecutive: Boolean = consecutive,
-      globalWithin: Option[String] = globalWithin) =
-    new PatternBuilder(steps, absent, nTimes, consecutive, globalWithin)
+      globalWithin: Option[String] = globalWithin,
+      untilPred: Option[Column] = untilPred) =
+    new PatternBuilder(steps, absent, nTimes, consecutive, globalWithin, untilPred)
 
   /** Append a required (or `optional = true`) step bound `within` the
     * previous matched step. */
@@ -75,6 +77,15 @@ final class PatternBuilder private[streaming] (
   def timesOrMore(n: Int): PatternBuilder = {
     require(steps.nonEmpty && n >= 1, "timesOrMore needs a step and n >= 1")
     copy(steps = steps.init :+ steps.last.copy(oneOrMore = true, minTimes = n))
+  }
+
+  /** Flink `until`: stop the oneOrMore loop at the first `pred` event
+    * — the stopper terminates the loop but is NOT part of the match
+    * ([[CepOps.cepKleeneUntil]]). Must follow a quantified step. */
+  def until(name: String, pred: Column): PatternBuilder = {
+    require(steps.nonEmpty && steps.last.oneOrMore,
+      "until(...) must follow oneOrMore()/timesOrMore(n)")
+    copy(untilPred = Some(pred))
   }
 
   /** The begin step must repeat exactly `n` times. */
@@ -109,6 +120,16 @@ final class PatternBuilder private[streaming] (
       val w = globalWithin.getOrElse(
         sys.error("times pattern needs .within(...)"))
       CepOps.cepTimes(ev, keyCol, tsCol, idCol, steps.head.pred, n, w)
+    case (None, None) if untilPred.isDefined =>
+      require(steps.size == 2 && steps(1).oneOrMore && !steps.head.oneOrMore,
+        "until compiles the A B+ until(U) shape")
+      val w = globalWithin.getOrElse(
+        sys.error("until pattern needs .within(...)"))
+      val k = CepOps.cepKleeneUntil(ev, keyCol, tsCol, idCol,
+        steps(0).pred, steps(1).pred, untilPred.get, w)
+      if (steps(1).minTimes > 1)
+        k.filter(org.apache.spark.sql.functions.col("n_b") >= steps(1).minTimes)
+      else k
     case (None, None) if steps.exists(_.oneOrMore) =>
       require(steps.size == 3 && steps(1).oneOrMore &&
         !steps.head.oneOrMore && !steps.last.oneOrMore &&

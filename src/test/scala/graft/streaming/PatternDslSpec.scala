@@ -55,6 +55,20 @@ class PatternDslSpec extends SparkSpec {
       "fixture must contain single-B runs for the bound to bite")
   }
 
+  test("until() compiles to cepKleeneUntil (stopper outside the match)") {
+    val dsl = Pattern.begin("view", col("event_type") === "view")
+      .next("click", col("event_type") === "click").oneOrMore()
+      .until("error", col("event_type") === "error")
+      .within("360 minutes")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepKleeneUntil(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "error", "360 minutes")
+    assert(rows(dsl) == rows(direct) && dsl.count() > 0)
+    // the stopper is not part of the match: no c_id column, span ends at last B
+    assert(!dsl.columns.contains("c_id"))
+  }
+
   test("notFollowedBy() compiles to cepAbsence") {
     val dsl = Pattern.begin("click", col("event_type") === "click")
       .notFollowedBy("purchase", col("event_type") === "purchase")
