@@ -48,6 +48,33 @@ object Bench {
           .map(_.trim.split("\\s+")(8).toLong).getOrElse(0L)
         finally src.close()
       } catch { case _: Throwable => 0L }
+    // Host-speed calibration: a fixed single-thread integer loop whose
+    // time depends only on how fast this VM actually runs (frequency /
+    // cache / neighbor pressure), never on Spark or data. Future rounds
+    // divide key times by (calib_sec / its historical value) before
+    // comparing totals across rounds — the r7 lesson: the host drifted
+    // ~2.2x slower at IDENTICAL plans, which per-key ratios against an
+    // old row cannot distinguish from a code regression without this.
+    def calibrate(): Double = {
+      def pass(): Long = {
+        var x = 0x9E3779B97F4A7C15L
+        var s2 = 0L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          s2 += x
+          i += 1
+        }
+        s2
+      }
+      pass() // warm the JIT
+      val t0 = System.nanoTime()
+      val sink = pass()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink == 42L) System.err.println("impossible") // keep the loop live
+      dt
+    }
+    val calib = calibrate()
     val steal0 = stealJiffies()
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
       name -> timeOne(name, fn)
@@ -85,10 +112,10 @@ object Bench {
     val qs = jmap(headline.flatMap(k => results.get(k).map(k -> _)))
     // print the driver-parsed line FIRST — a failed bookkeeping write
     // must not discard the whole multi-minute run
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"calib_sec":${r3(calib)},"queries":$qs,"sf":$sfNum}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"total":$total,"sf":$sfNum,"n_queries":${results.size},"failed":$nFail,"steal_jiffies":$stealD,"queries":${jmap(results)}}""")
+      s"""{"total":$total,"sf":$sfNum,"n_queries":${results.size},"failed":$nFail,"steal_jiffies":$stealD,"calib_sec":${r3(calib)},"queries":${jmap(results)}}""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }

@@ -27,9 +27,13 @@ case class CumRow(ws_us: Long, we_us: Long, n: Long, sum_value: Double)
 case class KleeneEvent(k: Long, ts_us: Long, event_id: Long, cls: String)
 case class KleeneState(prev: String, aId: Long, aTsUs: Long,
     runActive: Boolean, runAId: Long, runATsUs: Long,
-    firstB: Long, lastB: Long, nB: Long)
+    firstB: Long, lastB: Long, nB: Long, lastBTsUs: Long = 0L)
 case class KleeneMatch(user_id: Long, a_id: Long, n_b: Long,
     first_b_id: Long, last_b_id: Long, c_id: Long, span_us: Long)
+/** [[StreamOps.cepKleeneUntilStream]] output — no terminator id: the
+  * until-event stops the loop but is outside the match. */
+case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
+    first_b_id: Long, last_b_id: Long, span_us: Long)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
   * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
@@ -488,15 +492,64 @@ object StreamOps {
             case "B" =>
               st =
                 if (st.runActive)
-                  st.copy(prev = "B", lastB = e.event_id, nB = st.nB + 1)
+                  st.copy(prev = "B", lastB = e.event_id, nB = st.nB + 1,
+                    lastBTsUs = e.ts_us)
                 else if (st.prev == "A") // anchor: B immediately after A
                   KleeneState("B", 0L, 0L, runActive = true,
-                    st.aId, st.aTsUs, e.event_id, e.event_id, 1L)
+                    st.aId, st.aTsUs, e.event_id, e.event_id, 1L, e.ts_us)
                 else st.copy(prev = "B") // unanchored B — transparent run
             case _ => // "C"
               if (st.runActive && e.ts_us <= st.runATsUs + withinUs)
                 out += KleeneMatch(key, st.runAId, st.nB, st.firstB,
                   st.lastB, e.event_id, e.ts_us - st.runATsUs)
+              st = KleeneState("C", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of [[CepOps.cepKleeneUntil]]: the SAME automaton as
+    * [[cepKleeneStream]] with emission on the until-event instead of a
+    * matched terminator — the stopper proves the run maximal and stays
+    * outside the match, so the span ends at the last loop event. Zero
+    * flush gap for the same reason as the kleene form. */
+  def cepKleeneUntilStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predU: Column,
+      withinUs: Long): Dataset[KleeneUntilMatch] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predU, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"), col("__cls").as("cls"))
+      .as[KleeneEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[KleeneState, KleeneUntilMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var st = state.getOption.getOrElse(
+          KleeneState("", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[KleeneUntilMatch]
+        it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          e.cls match {
+            case "A" =>
+              st = KleeneState("A", e.event_id, e.ts_us,
+                runActive = false, 0L, 0L, 0L, 0L, 0L)
+            case "B" =>
+              st =
+                if (st.runActive)
+                  st.copy(prev = "B", lastB = e.event_id, nB = st.nB + 1,
+                    lastBTsUs = e.ts_us)
+                else if (st.prev == "A")
+                  KleeneState("B", 0L, 0L, runActive = true,
+                    st.aId, st.aTsUs, e.event_id, e.event_id, 1L, e.ts_us)
+                else st.copy(prev = "B")
+            case _ => // the until stopper: emit, run consumed, stopper outside
+              if (st.runActive && st.lastBTsUs <= st.runATsUs + withinUs)
+                out += KleeneUntilMatch(key, st.runAId, st.nB, st.firstB,
+                  st.lastB, st.lastBTsUs - st.runATsUs)
               st = KleeneState("C", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L)
           }
         }

@@ -38,6 +38,22 @@ class CepKleeneSpec extends SparkSpec {
     assert(rows(streamed) == b)
   }
 
+  test("until-form streamed replay equals the batch form (stopper outside the match)") {
+    import spark.implicits._
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepKleeneUntilStream(ev, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "error", withinUs = withinUs))(
+      _ => spark.emptyDataset[KleeneUntilMatch])
+    val batch = CepOps.cepKleeneUntil(graft.Tables.events(spark, sf),
+      "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "error", within = "360 minutes")
+    val b = rows(batch)
+    assert(b.nonEmpty, "fixture must contain at least one A B+ until match")
+    assert(rows(streamed.toDF()) == b)
+  }
+
   test("matches are disjoint (skip past last row) and runs maximal") {
     val m = batchForm.collect()
     // no event id appears in two matches (disjoint consumption)

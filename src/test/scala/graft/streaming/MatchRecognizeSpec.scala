@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The MATCH_RECOGNIZE string face compiles each supported PATTERN
+  * shape to the same rows as the direct operator call. */
+class MatchRecognizeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def ev = Tables.events(spark, sf)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toSeq.mkString("|")).sorted
+
+  test("PATTERN (A B+ C) compiles to cepKleene") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (A B+ C)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+    val direct = CepOps.cepKleene(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 MINUTE")
+    assert(rows(mr) == rows(direct) && mr.count() > 0)
+  }
+
+  test("PATTERN (A B? C) compiles to cepPattern with a whole-match bound") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (A B? C)
+        |DEFINE A AS event_type = 'click',
+        |       B AS event_type = 'error',
+        |       C AS event_type = 'purchase'
+        |WITHIN 360 minutes""".stripMargin)
+    val direct = CepOps.cepPattern(ev, "user_id", "ts", "event_id", Seq(
+        PatternStep("A", col("event_type") === "click"),
+        PatternStep("B", col("event_type") === "error", "360 minutes", optional = true),
+        PatternStep("C", col("event_type") === "purchase", "360 minutes")))
+      .filter(col("total_us") <= 360L * 60 * 1000000)
+    assert(rows(mr) == rows(direct) && mr.count() > 0)
+  }
+
+  test("PATTERN (A{3}) compiles to cepTimes") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (A{3}) DEFINE A AS event_type = 'click'
+        |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    val direct = CepOps.cepTimes(ev, "user_id", "ts", "event_id",
+      col("event_type") === "click", 3, "12 HOUR")
+    assert(rows(mr) == rows(direct))
+  }
+
+  test("malformed clauses fail fast") {
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        "PATTERN (A B+ C) DEFINE A AS event_type = 'view' WITHIN 1 hour")
+    } // B, C undefined
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN (A B+ C+) DEFINE A AS true, B AS true, C AS true
+          |WITHIN 1 hour""".stripMargin)
+    } // unsupported double quantifier
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN (A B+ C)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click',
+          |       C AS event_type = 'purchase'""".stripMargin)
+    } // missing WITHIN
+  }
+}
