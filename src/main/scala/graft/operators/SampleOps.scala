@@ -64,4 +64,68 @@ object SampleOps {
         org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
           .orderBy(idHash(col(idCol), salt), col(idCol))))
       .filter(col("__rk") <= n).drop("__rk")
+
+  /** Temperature-scaled mixture resampling (τ = 0.5) — the standard
+    * training-mixture reweighting: stratum weights ∝ n^τ flatten the
+    * natural distribution (τ=1 keeps it, τ=0 is uniform), so
+    * low-resource sources are upsampled relative to their mass. With
+    * τ = 0.5 the per-stratum keep-rate is
+    * `min(1, targetFrac·N / Σ√n_j · √n_i / n_i)`, which preserves the
+    * expected total at `targetFrac·N` (modulo the min-1 clamp).
+    *
+    * τ is FIXED at 0.5: the weight is then `sqrt(n)` — an IEEE
+    * correctly-rounded operation, so Spark and any other engine compute
+    * bit-identical rates and the hash-membership sample is
+    * cross-engine exact. A general `pow(n, τ)` is NOT correctly
+    * rounded (SURVEY §8: engines differ in the last ulp) and would
+    * poison exact reproducibility for the sake of a parameter — pick
+    * τ ∈ {0.5, 1} variants instead of passing floats through pow.
+    * The cross-stratum weight sum is an ORDERED fold (strata sorted by
+    * name), not a parallel SUM, for the same bit-exactness reason.
+    *
+    * @note scale: the counts/rates table is strata-sized (metadata);
+    *   the corpus pass is the same narrow broadcast-join + hash filter
+    *   as [[mixtureSample]]. One aggregation shuffle over the corpus
+    *   for the counts. */
+  def temperatureMixture(df: DataFrame, targetFrac: Double,
+      stratumCol: String = "source", idCol: String = "doc_id",
+      salt: Long = 0L): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+    val tot = counts
+      .agg(sort_array(collect_list(struct(col(stratumCol).as("s"),
+          col("n").cast("double").as("nd")))).as("xs"),
+        sum(col("n")).cast("double").as("bigN"))
+      .select(col("bigN"),
+        expr("aggregate(xs, 0D, (a, x) -> a + sqrt(x.nd))").as("W"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0), lit(targetFrac) * col("bigN") / col("W")
+          * sqrt(col("n").cast("double")) / col("n").cast("double")))
+      .select(col(stratumCol), col("rate"))
+    mixtureSample(df, rates, stratumCol, idCol, salt)
+  }
+
+  /** Deterministic epoch shuffle — the "global shuffle before
+    * training" export: every row gets a pseudo-random but REPRODUCIBLE
+    * position `(shard, pos)` derived from `idHash(id, epoch)`, so an
+    * epoch's read order is decided by (id, epoch) alone — rerunning,
+    * resharding or re-deriving the corpus yields the identical order,
+    * and a different epoch salt yields an independent one. Returns the
+    * input plus `(shard, pos)`; pos is 1-based within the shard,
+    * ordered by (hash, id).
+    *
+    * @note scale: one shuffle — rows hash-route to their shard and the
+    *   in-shard rank rides that exchange's sort. The export form is
+    *   `.repartition(nShards, col("shard")).sortWithinPartitions("pos")
+    *   .write…` — shard files stream out pre-sorted with no extra
+    *   exchange. No global sort: order is only ever defined WITHIN a
+    *   shard, which is all a data loader consumes. */
+  def epochShuffle(df: DataFrame, nShards: Int, epoch: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = idHash(col(idCol), epoch)
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(h, col(idCol))))
+  }
 }

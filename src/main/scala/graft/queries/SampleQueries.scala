@@ -50,5 +50,46 @@ object SampleQueries {
       .select("doc_id", "source").orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(sampleHash, sampleMixture, sampleStratified)
+  /** Temperature-τ=0.5 mixture resample ([[SampleOps.temperatureMixture]]):
+    * per-source keep-rate `min(1, 0.5·N/Σ√n_j · √n_i/n_i)` — low-mass
+    * sources upsampled relative to their share. Every float op in the
+    * rate (sqrt, ·, /) is IEEE correctly-rounded and the Σ√n fold is
+    * ordered by source on both engines, so membership is bit-exact
+    * cross-engine. */
+  private val sampleTemperature = Q(
+    "llm_sample_temperature",
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS bigN,
+       |             list_sum(list_transform(list(CAST(n AS DOUBLE) ORDER BY source),
+       |                                    x -> sqrt(x))) AS W
+       |      FROM c),
+       |r AS (SELECT source,
+       |        least(1.0, 0.5 * bigN / W * sqrt(CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS rate
+       |      FROM c CROSS JOIN t)
+       |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+       |WHERE ${SampleOps.oIdHash("d.doc_id")} < CAST(floor(rate * 2147483648.0) AS BIGINT)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    SampleOps.temperatureMixture(Tables.documents(s, d), targetFrac = 0.5)
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
+  /** Deterministic epoch shuffle ([[SampleOps.epochShuffle]]): the
+    * (shard, pos) read-order assignment for one training epoch, a pure
+    * function of (doc_id, epoch). */
+  private val epochShuffle = Q(
+    "llm_epoch_shuffle",
+    s"""SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
+       |  SELECT doc_id,
+       |    CAST(${SampleOps.oIdHash("doc_id", 7)} % 8 AS INT) AS shard,
+       |    row_number() OVER (PARTITION BY ${SampleOps.oIdHash("doc_id", 7)} % 8
+       |      ORDER BY ${SampleOps.oIdHash("doc_id", 7)}, doc_id) AS pos
+       |  FROM documents)
+       |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    SampleOps.epochShuffle(Tables.documents(s, d), nShards = 8, epoch = 7L)
+      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val all: Seq[Q] = Seq(sampleHash, sampleMixture, sampleStratified,
+    sampleTemperature, epochShuffle)
 }
