@@ -65,7 +65,7 @@ object SampleOps {
           .orderBy(idHash(col(idCol), salt), col(idCol))))
       .filter(col("__rk") <= n).drop("__rk")
 
-  /** Temperature-scaled mixture resampling (τ = 0.5) — the standard
+  /** Temperature-scaled mixture resampling (default τ = 0.5) — the standard
     * training-mixture reweighting: stratum weights ∝ n^τ flatten the
     * natural distribution (τ=1 keeps it, τ=0 is uniform), so
     * low-resource sources are upsampled relative to their mass. With
@@ -73,13 +73,14 @@ object SampleOps {
     * `min(1, targetFrac·N / Σ√n_j · √n_i / n_i)`, which preserves the
     * expected total at `targetFrac·N` (modulo the min-1 clamp).
     *
-    * τ is FIXED at 0.5: the weight is then `sqrt(n)` — an IEEE
-    * correctly-rounded operation, so Spark and any other engine compute
-    * bit-identical rates and the hash-membership sample is
-    * cross-engine exact. A general `pow(n, τ)` is NOT correctly
-    * rounded (SURVEY §8: engines differ in the last ulp) and would
-    * poison exact reproducibility for the sake of a parameter — pick
-    * τ ∈ {0.5, 1} variants instead of passing floats through pow.
+    * τ is restricted to QUARTER powers {0.25, 0.5, 0.75, 1.0} (0.75
+    * is the common multilingual-sampling temperature): each weight is
+    * then a product of nested `sqrt`s — every factor IEEE correctly
+    * rounded — so Spark and any other engine compute bit-identical
+    * rates and the hash-membership sample is cross-engine exact. A
+    * general `pow(n, τ)` is NOT correctly rounded (SURVEY §8: engines
+    * differ in the last ulp) and would poison exact reproducibility
+    * for the sake of a parameter.
     * The cross-stratum weight sum is an ORDERED fold (strata sorted by
     * name), not a parallel SUM, for the same bit-exactness reason.
     *
@@ -89,18 +90,36 @@ object SampleOps {
     *   for the counts. */
   def temperatureMixture(df: DataFrame, targetFrac: Double,
       stratumCol: String = "source", idCol: String = "doc_id",
-      salt: Long = 0L): DataFrame = {
+      salt: Long = 0L, tau: Double = 0.5): DataFrame = {
+    // n^tau for tau in {0.25, 0.5, 0.75, 1}: products of nested sqrts —
+    // every factor is IEEE correctly rounded, so the rate is bit-exact
+    // cross-engine. General pow is rejected by design (see scaladoc).
+    require(Set(0.25, 0.5, 0.75, 1.0).contains(tau),
+      s"tau=$tau unsupported: only quarter powers (0.25, 0.5, 0.75, 1.0) " +
+        "have correctly-rounded cross-engine arithmetic")
+    def wPow(nd: org.apache.spark.sql.Column): org.apache.spark.sql.Column = tau match {
+      case 0.25 => sqrt(sqrt(nd))
+      case 0.5 => sqrt(nd)
+      case 0.75 => sqrt(nd) * sqrt(sqrt(nd))
+      case _ => nd
+    }
+    val wSql = tau match {
+      case 0.25 => "sqrt(sqrt(x.nd))"
+      case 0.5 => "sqrt(x.nd)"
+      case 0.75 => "sqrt(x.nd) * sqrt(sqrt(x.nd))"
+      case _ => "x.nd"
+    }
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
     val tot = counts
       .agg(sort_array(collect_list(struct(col(stratumCol).as("s"),
           col("n").cast("double").as("nd")))).as("xs"),
         sum(col("n")).cast("double").as("bigN"))
       .select(col("bigN"),
-        expr("aggregate(xs, 0D, (a, x) -> a + sqrt(x.nd))").as("W"))
+        expr(s"aggregate(xs, 0D, (a, x) -> a + $wSql)").as("W"))
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("rate",
         least(lit(1.0), lit(targetFrac) * col("bigN") / col("W")
-          * sqrt(col("n").cast("double")) / col("n").cast("double")))
+          * wPow(col("n").cast("double")) / col("n").cast("double")))
       .select(col(stratumCol), col("rate"))
     mixtureSample(df, rates, stratumCol, idCol, salt)
   }

@@ -571,6 +571,22 @@ object StreamingQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** The REAL streaming Kleene automaton under the oracle: cepKleeneStream
+    * replayed through 5 event-time-ordered micro-batches must hash-match
+    * the SAME DuckDB oracle as the batch gaps-and-islands form — and it
+    * needs NO StateFlush drain (a run the stream never terminates is
+    * unmatched in both forms). */
+  private val streamKleeneReplay = Q(
+    "stream_kleene_replay", cepKleene.oracle.get) { (s, d) =>
+    val out = graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.cepKleeneStream(ev, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase",
+        withinUs = 360L * 60L * 1000000L).toDF())(
+      _ => { val sp = s; import sp.implicits._; sp.emptyDataset[graft.streaming.KleeneMatch] })
+    out.orderBy("user_id", "a_id")
+  }
+
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
@@ -609,5 +625,5 @@ object StreamingQueries {
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil)
+    cepKleeneUntil, streamKleeneReplay)
 }
