@@ -620,10 +620,124 @@ object StreamingQueries {
       .orderBy("user_id", "h_us")
   }
 
+  /** AFTER MATCH SKIP TO NEXT ROW ([[graft.streaming.CepOps.cepSkipToNext]]):
+    * each view-start matches its earliest purchase within 2 h — at most
+    * one match per start, overlaps allowed. Declarative join + argmin,
+    * restated 1:1 in the oracle. */
+  private val cepSkipToNext = Q(
+    "cep_skip_to_next",
+    """WITH a AS (SELECT user_id, ts AS a_ts, event_id AS a_id FROM events
+      |           WHERE event_type = 'view'),
+      |b AS (SELECT user_id AS bk, ts AS b_ts, event_id AS b_id FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT user_id, a_id, b_id, gap_us FROM (
+      |  SELECT a.user_id, a.a_id, b.b_id,
+      |    epoch_us(b.b_ts) - epoch_us(a.a_ts) AS gap_us,
+      |    row_number() OVER (PARTITION BY a.user_id, a.a_id
+      |                       ORDER BY b.b_ts, b.b_id) AS rn
+      |  FROM a JOIN b ON a.user_id = b.bk AND b.b_ts > a.a_ts
+      |    AND b.b_ts <= a.a_ts + INTERVAL 2 HOUR)
+      |WHERE rn = 1 ORDER BY user_id, a_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepSkipToNext(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        within = "2 hours")
+      .orderBy("user_id", "a_id")
+  }
+
+  /** AFTER MATCH SKIP PAST LAST EVENT
+    * ([[graft.streaming.CepOps.cepSkipPastLast]]) — greedy disjoint
+    * view→purchase funnels within 2 h. Greedy matching is sequential,
+    * so the oracle is a per-key recursive CTE advancing one completed
+    * match per step: the next match's B is the earliest purchase
+    * completing ANY open view after the previous match, its A the
+    * earliest view pairing with that B. */
+  private val cepSkipPastLast = Q(
+    "cep_skip_past_last",
+    """WITH RECURSIVE
+      |a AS (SELECT user_id, event_id AS a_id, ts AS a_ts FROM events
+      |      WHERE event_type = 'view'),
+      |b AS (SELECT user_id, event_id AS b_id, ts AS b_ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT DISTINCT user_id, TIMESTAMP '1970-01-01' AS pos,
+      |         CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, pos2, a_id2, b_id2 FROM (
+      |    SELECT s.user_id,
+      |      (SELECT min(bb.b_ts) FROM a aa, b bb
+      |        WHERE aa.user_id = s.user_id AND bb.user_id = s.user_id
+      |          AND aa.a_ts > s.pos AND bb.b_ts > aa.a_ts
+      |          AND bb.b_ts <= aa.a_ts + INTERVAL 2 HOUR) AS pos2,
+      |      (SELECT min(aa.a_id) FROM a aa
+      |        WHERE aa.user_id = s.user_id AND aa.a_ts > s.pos
+      |          AND aa.a_ts = (SELECT min(a2.a_ts) FROM a a2, b b2
+      |             WHERE a2.user_id = s.user_id AND b2.user_id = s.user_id
+      |               AND a2.a_ts > s.pos AND b2.b_ts > a2.a_ts
+      |               AND b2.b_ts <= a2.a_ts + INTERVAL 2 HOUR
+      |               AND b2.b_ts = (SELECT min(b3.b_ts) FROM a a3, b b3
+      |                  WHERE a3.user_id = s.user_id AND b3.user_id = s.user_id
+      |                    AND a3.a_ts > s.pos AND b3.b_ts > a3.a_ts
+      |                    AND b3.b_ts <= a3.a_ts + INTERVAL 2 HOUR))) AS a_id2,
+      |      (SELECT min(bb.b_id) FROM b bb
+      |        WHERE bb.user_id = s.user_id
+      |          AND bb.b_ts = (SELECT min(b2.b_ts) FROM a a2, b b2
+      |             WHERE a2.user_id = s.user_id AND b2.user_id = s.user_id
+      |               AND a2.a_ts > s.pos AND b2.b_ts > a2.a_ts
+      |               AND b2.b_ts <= a2.a_ts + INTERVAL 2 HOUR)) AS b_id2
+      |    FROM m s) WHERE pos2 IS NOT NULL
+      |)
+      |SELECT user_id, a_id, b_id FROM m WHERE a_id IS NOT NULL
+      |ORDER BY user_id, b_id""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepSkipPastLast(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        withinUs = 2L * 3600L * 1000000L)
+      .orderBy("user_id", "b_id")
+  }
+
+  /** The greedy skip-past-last automaton on the REAL streaming path:
+    * same oracle as the batch form; no flush needed (emission rides the
+    * closing B event). */
+  private val streamSkiplastReplay = Q(
+    "stream_skiplast_replay", cepSkipPastLast.oracle.get) { (s, d) =>
+    val out = graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.cepSkipPastLastStream(ev,
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        withinUs = 2L * 3600L * 1000000L).toDF())(
+      _ => { val sp = s; import sp.implicits._
+        sp.emptyDataset[graft.streaming.SkipLastMatch] })
+    out.orderBy("user_id", "b_id")
+  }
+
+  /** Flink SQL's streaming OVER window under the oracle: the REAL
+    * watermark-gated path — rows buffer per key until the watermark
+    * proves their emission slot, emit in (ts, event_id) order across 5
+    * genuine micro-batches, and the above-final-watermark tail drains
+    * from the checkpoint — must hash-match the plain batch
+    * window-function SQL. */
+  private val streamOverReplay = Q(
+    "stream_over_replay",
+    """SELECT user_id, event_id,
+      |  CAST(count(*) OVER w AS INT) AS n_frame,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS over_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEvents(s, d)(
+        ev => graft.streaming.StreamOps.overRows(ev))(
+        ckpt => graft.streaming.StateFlush.overRows(s, ckpt))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil, streamKleeneReplay)
+    cepKleeneUntil, streamKleeneReplay, streamOverReplay,
+    cepSkipToNext, cepSkipPastLast, streamSkiplastReplay)
 }

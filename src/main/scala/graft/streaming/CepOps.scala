@@ -243,4 +243,82 @@ object CepOps {
       .select(col(keyCol), col("first_id"), col(idCol).as("last_id"),
         (unix_micros(col(tsCol)) - unix_micros(col("first_ts"))).as("span_us"))
   }
+
+  /** 2-step pattern `A → B within Δt` under Flink's AFTER MATCH SKIP TO
+    * NEXT ROW: every A-start yields at most ONE match — its earliest
+    * completing B (ties on B time broken by id) — and starts are never
+    * consumed by other matches, so matches may overlap in their B.
+    * Contrast [[cepPattern]] (NO_SKIP: every A×B combination) and
+    * [[cepSkipPastLast]] (greedy disjoint matches). Returns
+    * `(key, a_id, b_id, gap_us)`.
+    *
+    * Declarative: one time-band equi-join, then an argmin per start —
+    * runs batch or streaming (watermark-bounded join state) unchanged.
+    *
+    * @note scale: one shuffle on the key for the join, one on
+    *   (key, a_id) for the argmin; band fan-out bounded by
+    *   events-per-key within Δt, and only (ts, id) pairs — not payloads
+    *   — reach the argmin. */
+  def cepSkipToNext(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column,
+      within: String): DataFrame = {
+    val a = ev.filter(predA).select(col(keyCol).as("k"),
+      col(tsCol).as("a_ts"), col(idCol).as("a_id"))
+    val b = ev.filter(predB).select(col(keyCol).as("bk"),
+      col(tsCol).as("b_ts"), col(idCol).as("b_id"))
+    a.join(b, col("k") === col("bk") && col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .groupBy(col("k").as(keyCol), col("a_ts"), col("a_id"))
+      .agg(min(struct(col("b_ts"), col("b_id"))).as("m"))
+      .select(col(keyCol), col("a_id"), col("m.b_id").as("b_id"),
+        (unix_micros(col("m.b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
+  /** 2-step pattern `A → B within Δt` under Flink's AFTER MATCH SKIP
+    * PAST LAST EVENT — the funnel default: matches are GREEDY and
+    * DISJOINT. Scanning each key in `(ts, id)` order, a B event closes
+    * a match with the EARLIEST still-valid open A (`b_ts − a_ts ≤ Δt`,
+    * `a_ts > ` previous match's B time), and a completed match discards
+    * every open partial. Returns `(key, a_id, b_id)`.
+    *
+    * Greedy matching is inherently sequential per key (its DuckDB
+    * oracle needs a recursive CTE), so this is a keyed scan, not a
+    * join: one shuffle on the key, then a linear pass holding only the
+    * open-A queue — the same O(events-in-Δt) state bound Flink's NFA
+    * keeps for this pattern.
+    *
+    * @note scale: per-key memory here is the key's (ts, id, class)
+    *   triples for the in-scan sort (the standard sessionization
+    *   bound); the streaming twin [[StreamOps.cepSkipPastLastStream]]
+    *   holds only the O(Δt) automaton state. */
+  def cepSkipPastLast(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column,
+      withinUs: Long): DataFrame = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withColumn("__isa", when(predA, lit(true)).when(predB, lit(false)))
+      .filter(col("__isa").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("id"), col("__isa").as("isA"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        val open = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var pos = Long.MinValue
+        evs.foreach { case (_, tsUs, id, isA) =>
+          if (isA) { if (tsUs > pos) open.append((tsUs, id)) }
+          else {
+            while (open.nonEmpty && open.head._1 < tsUs - withinUs)
+              open.removeHead()
+            if (open.nonEmpty && open.head._1 < tsUs) {
+              out += ((k, open.head._2, id)); pos = tsUs; open.clear()
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF(keyCol, "a_id", "b_id")
+  }
 }

@@ -44,6 +44,32 @@ object StateFlush {
       .as[WinTopRow]
   }
 
+  /** Pending-row drain for a stopped [[StreamOps.overRows]] query: a
+    * bounded replay ends with every row above the final watermark still
+    * buffered per key. Those rows are complete in state (the operator
+    * never drops un-emitted data), so emitting them here in the same
+    * `(ts, event_id)` order, seeded with the key's saved frame context,
+    * yields exactly the rows the batch window-function twin produces
+    * for the tail. */
+  def overRows(spark: SparkSession, checkpoint: String,
+      nPrec: Int = 3): Dataset[OverRow] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.ctx").as("ctx"),
+        col("value.groupState.pending").as("pending"))
+      .as[(Long, Seq[Long], Seq[OverPend])]
+      .flatMap { case (uid, ctx0, pending) =>
+        var ctx = ctx0
+        pending.sortBy(p => (p.ts_us, p.event_id)).map { p =>
+          val frame = ctx :+ p.c4
+          ctx = frame.takeRight(nPrec)
+          OverRow(uid, p.event_id, frame.size,
+            BigDecimal(frame.sum, 4).toDouble)
+        }
+      }
+  }
+
   /** Each user's final pending hour bucket for a stopped
     * [[StreamOps.forwardFill]] query — the one row per key a bounded
     * replay omits (a tail bucket flushes only when its successor

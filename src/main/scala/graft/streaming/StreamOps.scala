@@ -34,6 +34,20 @@ case class KleeneMatch(user_id: Long, a_id: Long, n_b: Long,
   * until-event stops the loop but is outside the match. */
 case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
     first_b_id: Long, last_b_id: Long, span_us: Long)
+/** [[StreamOps.cepSkipPastLastStream]] automaton state: `pos` is the
+  * last completed match's B time (partials must start strictly after),
+  * `open` the (ts_us, id) queue of live A-partials, earliest first,
+  * bounded by the Δt horizon. */
+case class SkipLastState(pos: Long, open: Seq[(Long, Long)])
+case class SkipLastMatch(user_id: Long, a_id: Long, b_id: Long)
+/** Streaming OVER-aggregation rows ([[StreamOps.overRows]]): a buffered
+  * event (`c4` = value on the [[graft.Det]] DECIMAL(18,4) grid, ×10⁴ as
+  * long — exact integer arithmetic end to end) and the per-key state:
+  * `ctx` is the last ≤ N emitted frame values (oldest first), `pending`
+  * the rows still above the watermark, un-emitted. */
+case class OverPend(ts_us: Long, event_id: Long, c4: Long)
+case class OverState(ctx: Seq[Long], pending: Seq[OverPend])
+case class OverRow(user_id: Long, event_id: Long, n_frame: Int, over_sum: Double)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:
   * (value DESC, id ASC) ordering, thread-safe (foreachBatch invocations
@@ -588,6 +602,117 @@ object StreamOps {
           }
         }
         if (st != null) state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of [[CepOps.cepSkipPastLast]]: the same greedy
+    * skip-past-last-event automaton as a keyed fMGWS — a B event closes
+    * a match with the earliest still-valid open A and discards all
+    * partials; A events join the open queue if they start after the
+    * last match. Emission happens ON the closing B, so a bounded replay
+    * needs no state drain (an A the stream never matches is unmatched
+    * in the batch form too — zero flush gap, like the Kleene automaton).
+    *
+    * Within-batch order is pinned by the (ts, id) sort; cross-batch
+    * order comes from the replay's event-time chunking, the same
+    * contract as [[cepKleeneStream]].
+    *
+    * @note scale: one shuffle on the key; state per key = the open-A
+    *   queue, bounded by A-arrivals inside Δt (heads expire on every
+    *   B), plus one long. */
+  def cepSkipPastLastStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column,
+      withinUs: Long): Dataset[SkipLastMatch] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withColumn("__isa", when(predA, lit(true)).when(predB, lit(false)))
+      .filter(col("__isa").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("id"), col("__isa").as("isA"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SkipLastState, SkipLastMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        var st = state.getOption.getOrElse(SkipLastState(Long.MinValue, Nil))
+        val open = scala.collection.mutable.ArrayDeque.from(st.open)
+        var pos = st.pos
+        val out = scala.collection.mutable.ArrayBuffer.empty[SkipLastMatch]
+        it.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, tsUs, id, isA) =>
+          if (isA) { if (tsUs > pos) open.append((tsUs, id)) }
+          else {
+            while (open.nonEmpty && open.head._1 < tsUs - withinUs)
+              open.removeHead()
+            if (open.nonEmpty && open.head._1 < tsUs) {
+              out += SkipLastMatch(k, open.head._2, id); pos = tsUs; open.clear()
+            }
+          }
+        }
+        state.update(SkipLastState(pos, open.toSeq))
+        out.iterator
+      }
+  }
+
+  /** Event-time OVER aggregation on a stream (Flink SQL
+    * `SUM(value) OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN n
+    * PRECEDING AND CURRENT ROW)` — the per-row running frame Flink's
+    * streaming OVER window computes): one output row per input row
+    * carrying the sum over the last `nPrec`+1 rows of that key in
+    * event-time order.
+    *
+    * Event-time OVER is order-sensitive, so rows cannot be emitted on
+    * arrival: a row is emittable only once the watermark proves no
+    * earlier row can still arrive. Each key buffers rows above the
+    * watermark (`pending`), emits the newly-provable prefix in
+    * `(ts, event_id)` order on each invocation, and keeps just the last
+    * `nPrec` emitted values (`ctx`) as the frame seed for the next
+    * emission — exactly Flink's streaming OVER protocol (buffer until
+    * watermark, emit in time order, drop late rows).
+    *
+    * Determinism: emissions depend only on (key, sorted rows), never on
+    * micro-batch boundaries; sums are exact integer arithmetic on the
+    * DECIMAL(18,4) grid, so streamed ∪ flushed hash-matches the batch
+    * window-function twin on any chunking.
+    *
+    * Bounded-replay tail: rows above the final watermark stay pending —
+    * drain them with [[StateFlush.overRows]] (they are complete in
+    * state, so streamed ∪ flushed is the full result).
+    *
+    * @note scale: one shuffle on the key; state per key = the rows
+    *   inside the watermark horizon plus `nPrec` longs — the inherent
+    *   lower bound for event-time OVER (Flink keeps the same buffer).
+    *   Emission is append-only, so any sink works. */
+  def overRows(ev: DataFrame, nPrec: Int = 3,
+      delay: String = "30 minutes"): Dataset[OverRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withWatermark("ts", delay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+          lit(10000L)).cast("long").as("c4"),
+        col("ts")) // the watermark-tagged column must reach the operator
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OverState, OverRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val st0 = state.getOption.getOrElse(OverState(Nil, Nil))
+        // rows at or below the current watermark are late (their emission
+        // slot has passed) — dropped, Flink's OVER late-row behavior
+        val fresh = it.collect {
+          case (_, tsUs, id, c4, _) if tsUs > wmUs => OverPend(tsUs, id, c4)
+        }
+        val all = (st0.pending ++ fresh).sortBy(p => (p.ts_us, p.event_id))
+        val (ready, pend) = all.partition(_.ts_us <= wmUs)
+        var ctx = st0.ctx
+        val out = ready.map { p =>
+          val frame = ctx :+ p.c4
+          ctx = frame.takeRight(nPrec)
+          OverRow(uid, p.event_id, frame.size,
+            BigDecimal(frame.sum, 4).toDouble)
+        }
+        state.update(OverState(ctx, pend))
         out.iterator
       }
   }
