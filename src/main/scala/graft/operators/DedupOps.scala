@@ -377,4 +377,31 @@ object DedupOps {
     jaccardForHashed(cands, hs)
       .filter(col("jac") >= minJaccard)
   }
+
+  /** Canonical form of a URL column for URL-level dedup (the
+    * crawl-pipeline first pass — CommonCrawl-style pipelines dedup on
+    * canonicalized URL before any content hash): lowercase the host and
+    * drop a leading `www.`, strip the scheme, the fragment and any
+    * trailing slash, drop tracking parameters (`utm_*`, `ref`,
+    * `fbclid`) and sort the surviving query parameters so param order
+    * never splits a group. Pure column expression — codegen'd, no UDF,
+    * restated 1:1 in DuckDB SQL by the oracle key.
+    *
+    * @note scale: row-local string work followed by one hash-partition
+    *   groupBy on the canonical key — the same shape (and skew bound:
+    *   true duplicate mass only) as exact text dedup. */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z]+://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val host = regexp_replace(lower(regexp_extract(noFrag, "^([^/?]+)", 1)),
+      "^www\\.", "")
+    val rest = regexp_extract(noFrag, "^[^/?]*(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|ref|fbclid)=")))
+    concat(host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
 }

@@ -124,6 +124,40 @@ object SampleOps {
     mixtureSample(df, rates, stratumCol, idCol, salt)
   }
 
+  /** Domain-reweighting plan — the mixing table a training-data
+    * pipeline derives before export (the input DoReMi-style domain
+    * weights are applied with): given a per-stratum raw weight, compute
+    * each stratum's actual token share and the sampling plan that hits
+    * the target share at constant total budget — whole repeat `epochs`
+    * plus a fractional remainder to subsample. `epochs` > 1 means the
+    * domain is upsampled (repeated), 0 means it is cut to `frac`.
+    *
+    * All arithmetic is integer (micro-units, floor division), so the
+    * plan is bit-identical cross-engine: for stratum s with weight w,
+    * tokens n — `epochs = ⌊w·T / (W·n)⌋`, `frac_u = ⌊10⁶·((w·T) mod
+    * (W·n)) / (W·n)⌋` with T total tokens, W total weight.
+    *
+    * @note scale: one aggregation shuffle over the corpus for the
+    *   per-stratum counts; the plan table is strata-sized metadata
+    *   (broadcast one-row totals). Applying the plan is
+    *   [[mixtureSample]] with `rate = epochs + frac` — repeats via a
+    *   posexplode of `epochs`+1 copies hash-gated per copy. */
+  def domainMixPlan(df: DataFrame, wRaw: Column, stratumCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tok"))
+      .withColumn("w", wRaw.cast("long"))
+    val tot = per.agg(sum("n_tok").as("total_tok"), sum("w").as("w_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum").as(stratumCol), col("n_docs"), col("n_tok"),
+        expr("(1000000 * n_tok) div total_tok").cast("long").as("share_u"),
+        expr("(1000000 * w) div w_tot").cast("long").as("weight_u"),
+        expr("(w * total_tok) div (w_tot * n_tok)").cast("long").as("epochs"),
+        expr("(1000000 * ((w * total_tok) % (w_tot * n_tok))) div (w_tot * n_tok)")
+          .cast("long").as("frac_u"))
+  }
+
   /** Deterministic epoch shuffle — the "global shuffle before
     * training" export: every row gets a pseudo-random but REPRODUCIBLE
     * position `(shard, pos)` derived from `idHash(id, epoch)`, so an

@@ -228,6 +228,59 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** URL-level dedup ([[DedupOps.canonicalizeUrl]]): four deterministic
+    * URL variants per page synthesized from `documents` — a
+    * `www.`/mixed-case/tracking-params form, a bare http form, an
+    * uppercase-host/fragment/trailing-slash form, and one carrying a
+    * REAL query param (`id=7`, which must survive and keep its row
+    * distinct). Variants 0-2 of each page must collapse to one group,
+    * variant 3 stays its own; keep-first by doc_id. */
+  private val dedupUrl = Q(
+    "llm_dedup_url",
+    """WITH u AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'https://www.Docs.example.com/page/'
+      |        || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=feed&ref=1'
+      |      WHEN 1 THEN 'http://docs.example.com/page/'
+      |        || CAST(doc_id // 4 AS VARCHAR)
+      |      WHEN 2 THEN 'HTTPS://DOCS.EXAMPLE.COM/page/'
+      |        || CAST(doc_id // 4 AS VARCHAR) || '/#sec-2'
+      |      ELSE 'https://docs.example.com/page/'
+      |        || CAST(doc_id // 4 AS VARCHAR) || '?id=7&utm_campaign=x&b=2&a=1'
+      |    END AS url FROM documents),
+      |c AS (SELECT doc_id,
+      |    host || path || CASE WHEN len(params) > 0
+      |        THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+      |  FROM (SELECT doc_id,
+      |      regexp_replace(lower(regexp_extract(nofrag, '^([^/?]+)', 1)),
+      |        '^www\.', '') AS host,
+      |      regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+      |      list_sort(list_filter(string_split(
+      |          regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid)=')))
+      |        AS params
+      |    FROM (SELECT doc_id, nofrag,
+      |        regexp_extract(nofrag, '^[^/?]*(.*)$', 1) AS rest
+      |      FROM (SELECT doc_id,
+      |          regexp_replace(regexp_replace(url, '^[a-zA-Z]+://', ''),
+      |            '#.*$', '') AS nofrag FROM u))))
+      |SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_urls
+      |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin) { (s, d) =>
+    val url = expr("""CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN concat('https://www.Docs.example.com/page/',
+        doc_id div 4, '/?utm_source=feed&ref=1')
+      WHEN 1 THEN concat('http://docs.example.com/page/', doc_id div 4)
+      WHEN 2 THEN concat('HTTPS://DOCS.EXAMPLE.COM/page/',
+        doc_id div 4, '/#sec-2')
+      ELSE concat('https://docs.example.com/page/', doc_id div 4,
+        '?id=7&utm_campaign=x&b=2&a=1') END""")
+    Tables.documents(s, d)
+      .select(col("doc_id"), DedupOps.canonicalizeUrl(url).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_urls"))
+      .orderBy("canon_url")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
-    dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans)
+    dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl)
 }

@@ -90,6 +90,30 @@ object SampleQueries {
       .orderBy("shard", "pos")
   }
 
+  /** Domain-reweighting plan ([[SampleOps.domainMixPlan]]): raw weight
+    * `(source_index % 4) + 1` per source, integer micro-unit plan —
+    * upsample epochs + fractional remainder at constant token budget. */
+  private val domainMix = Q(
+    "llm_domain_mix",
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+      |    CAST((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4) + 1
+      |      AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok,
+      |               CAST(sum(w) AS BIGINT) AS w_tot FROM per)
+      |SELECT source, n_docs, n_tok,
+      |  CAST((1000000 * n_tok) // total_tok AS BIGINT) AS share_u,
+      |  CAST((1000000 * w) // w_tot AS BIGINT) AS weight_u,
+      |  CAST((w * total_tok) // (w_tot * n_tok) AS BIGINT) AS epochs,
+      |  CAST((1000000 * ((w * total_tok) % (w_tot * n_tok)))
+      |    // (w_tot * n_tok) AS BIGINT) AS frac_u
+      |FROM per, tot ORDER BY source""".stripMargin) { (s, d) =>
+    SampleOps.domainMixPlan(Tables.documents(s, d),
+        wRaw = (regexp_extract(col("stratum"), "([0-9]+)", 1).cast("int") % 4) + 1)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(sampleHash, sampleMixture, sampleStratified,
-    sampleTemperature, epochShuffle)
+    sampleTemperature, epochShuffle, domainMix)
 }
