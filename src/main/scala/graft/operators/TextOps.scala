@@ -331,6 +331,82 @@ object TextOps {
       size(split(symFinal, " ")).cast("int").as("units"))
   }
 
+  /** TRAIN a byte-pair-encoding merge list on the corpus — the other
+    * half of the tokenizer story next to [[bpeApply]]: the classic BPE
+    * loop (Sennrich et al. 2016, public algorithm) run with Spark doing
+    * the heavy pass. The corpus collapses ONCE to the distinct-word
+    * frequency table (the standard compression: pair statistics only
+    * depend on it), then each of `nMerges` rounds computes
+    * weighted adjacent-pair counts over that table, picks the argmax
+    * (ties broken by (support DESC, left ASC, right ASC) — a total
+    * order, so training is deterministic on any partitioning), and
+    * rewrites the symbol sequences with a leftmost-first non-overlapping
+    * fold. Words carry a `</w>` end marker, the original algorithm's
+    * word-boundary contract.
+    *
+    * Returns the merge table `(rank, left, right, merged, support)` —
+    * vocabulary metadata, `nMerges` rows.
+    *
+    * Per round, ONE row (the argmax) reaches the driver — the same
+    * bounded-collect pattern as IVF centroid training. The pair count
+    * and the rewrite are distributed; the rewrite is an `aggregate` HOF
+    * (exact array semantics — no string-replace boundary hazards).
+    *
+    * @note scale: the driver loop is `nMerges` small jobs over the
+    *   distinct-word table (web-scale: ~10⁸ rows — a narrow cached
+    *   frame), NOT over the corpus; the corpus is touched once by the
+    *   word count. State per round is one cached vocab snapshot
+    *   (previous snapshot unpersisted). A 30k-merge production run
+    *   batches rounds per job; the per-round machinery is identical. */
+  def bpeTrain(df: DataFrame, nMerges: Int = 8, minSupport: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = normalized(df, idCol, textCol)
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(
+        filter(split(col("w"), ""), c => c =!= ""),
+        array(lit("</w>"))).as("syms"))
+    var cur = words.persist()
+    cur.count() // materialize before the loop
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= nMerges && !done) {
+      val best = cur
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1), " +
+            "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("support"))
+        .orderBy(col("support").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getAs[Long]("support") < minSupport) done = true
+      else {
+        val (l, r) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
+        val support = best(0).getAs[Long]("support")
+        val m = l + r
+        merges += ((rank, l, r, m, support))
+        val prev = cur
+        val rewritten = prev.select(col("cnt"),
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+        cur = rewritten.persist()
+        cur.count()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "support")
+  }
+
   /** Top-k tf-idf terms per doc: `(doc_id, tok, tfidf, rk)`. df(tok) is
     * derived from the tf aggregate (no second corpus pass); the
     * vocabulary-sized df table is broadcast. */

@@ -346,8 +346,18 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE TRAINING on the corpus ([[TextOps.bpeTrain]]): the learned
+    * merge table. Rows-only by design — the training loop is an
+    * iterative argmax (inexpressible in one SQL statement); the real
+    * gate is `BpeTrainSpec`, which pins the distributed trainer equal
+    * to an independent in-memory reference implementation of the
+    * classic algorithm, plus determinism across reruns. */
+  private val bpeTrain = Q.noOracle("llm_bpe_train") { (s, d) =>
+    TextOps.bpeTrain(Tables.documents(s, d), nMerges = 8).orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
     keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
     piiRedact, repFilter, corpusReport, heavyHitters, bpeApply,
-    boilerplateNgrams, boilerplateRatio)
+    boilerplateNgrams, boilerplateRatio, bpeTrain)
 }
