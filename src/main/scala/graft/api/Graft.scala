@@ -57,6 +57,13 @@ object Graft {
   val intervals: IntervalOps.type = IntervalOps
   /** Data layout: z-order clustering for multi-dimensional scan pruning. */
   val layout: LayoutOps.type = LayoutOps
+  /** CEP patterns batch-side: sequences, absence, quantifiers, Kleene
+    * loops, after-match skip strategies (`cepSkipToNext` /
+    * `cepSkipPastLast`); streaming automata live on [[streams]]
+    * (`cepKleeneStream`, `cepSkipPastLastStream`). The
+    * [[graft.streaming.Pattern]] builder and
+    * [[graft.streaming.MatchRecognize]] SQL face compile onto these. */
+  val cep: graft.streaming.CepOps.type = graft.streaming.CepOps
 
   object joins {
     /** Native as-of join (custom Catalyst operator): latest `build` row

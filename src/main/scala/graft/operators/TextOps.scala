@@ -363,7 +363,7 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     val words = normalized(df, idCol, textCol)
-      .select(explode(split(col(textCol), " ")).as("w"))
+      .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), concat(
@@ -405,6 +405,39 @@ object TextOps {
     }
     cur.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "merged", "support")
+  }
+
+  /** Encode tokens with a trained BPE merge list using EXACT array
+    * semantics — the companion to [[bpeTrain]]: each token becomes its
+    * character sequence (+`</w>`), then every merge applies in rank
+    * order as the same leftmost-first non-overlapping `aggregate`-HOF
+    * fold the trainer uses. Unlike [[bpeApply]]'s string-replace chain
+    * (fine for display-safe merge alphabets, subject to boundary
+    * aliasing in general — "aa b" contains the substring "a b"), this
+    * form can never merge across symbol boundaries, so
+    * encode(train(corpus)) is exactly the trainer's final state.
+    * Returns `(doc_id, tok, units)`.
+    *
+    * @note scale: zero shuffle — explode + a fixed chain of per-row
+    *   array folds; linear in corpus, merge list is compile-time
+    *   constant per job. */
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = normalized(df, idCol, textCol)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sym0 = concat(filter(split(col("tok"), ""), c => c =!= ""),
+      array(lit("</w>")))
+    val symFinal = merges.foldLeft(sym0) { case (syms, (l, r)) =>
+      val m = l + r
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+    }
+    toks.select(col("doc_id"), col("tok"),
+      size(symFinal).cast("int").as("units"))
   }
 
   /** Top-k tf-idf terms per doc: `(doc_id, tok, tfidf, rk)`. df(tok) is

@@ -712,6 +712,21 @@ object StreamingQueries {
     out.orderBy("user_id", "b_id")
   }
 
+  /** The skip-to-next automaton on the REAL streaming path: same oracle
+    * as the batch argmin form; unresolved tails drain from the
+    * checkpoint (their candidate sets are complete in state). */
+  private val streamSkipnextReplay = Q(
+    "stream_skipnext_replay", cepSkipToNext.oracle.get) { (s, d) =>
+    val W = 2L * 3600L * 1000000L
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.cepSkipToNextStream(ev,
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        withinUs = W).toDF())(
+      ckpt => graft.streaming.StateFlush.cepSkipToNext(s, ckpt, withinUs = W))
+      .orderBy("user_id", "a_id")
+  }
+
   /** Flink SQL's streaming OVER window under the oracle: the REAL
     * watermark-gated path — rows buffer per key until the watermark
     * proves their emission slot, emit in (ts, event_id) order across 5
@@ -739,5 +754,6 @@ object StreamingQueries {
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
     cepKleeneUntil, streamKleeneReplay, streamOverReplay,
-    cepSkipToNext, cepSkipPastLast, streamSkiplastReplay)
+    cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
+    streamSkipnextReplay)
 }

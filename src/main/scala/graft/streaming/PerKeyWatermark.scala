@@ -55,6 +55,11 @@ object PerKeyWatermark {
   def apply(ev: DataFrame, delayUs: Long = 10L * 60 * 1000000): Dataset[FillEvent] = {
     val sp = ev.sparkSession
     import sp.implicits._
+    // Batch-mode transformWithState resolves the StateStoreCoordinator
+    // RPC endpoint, which only the StreamingQueryManager registers —
+    // touch it so a session that never ran a streaming query (fresh
+    // JVM, batch-only caller) still finds the endpoint.
+    sp.streams
     ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
       .as[FillEvent]

@@ -70,6 +70,28 @@ object StateFlush {
       }
   }
 
+  /** Final resolution for a stopped [[StreamOps.cepSkipToNextStream]]
+    * query: the stream ends, so every unresolved start's candidate set
+    * is complete in state — emit each pending A's earliest buffered B
+    * inside its window (exactly what the batch argmin computes for the
+    * tail), drop starts with none. */
+  def cepSkipToNext(spark: SparkSession, checkpoint: String,
+      withinUs: Long): Dataset[SkipNextMatch] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("k"),
+        col("value.groupState.openA").as("openA"),
+        col("value.groupState.bufB").as("bufB"))
+      .as[(Long, Seq[(Long, Long)], Seq[(Long, Long)])]
+      .flatMap { case (k, openA, bufB) =>
+        val bs = bufB.sortBy(identity)
+        openA.sortBy(identity).flatMap { case (aTs, aId) =>
+          bs.find { case (bTs, _) => bTs > aTs && bTs <= aTs + withinUs }
+            .map { case (bTs, bId) => SkipNextMatch(k, aId, bId, bTs - aTs) }
+        }
+      }
+  }
+
   /** Each user's final pending hour bucket for a stopped
     * [[StreamOps.forwardFill]] query — the one row per key a bounded
     * replay omits (a tail bucket flushes only when its successor

@@ -40,6 +40,10 @@ case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
   * bounded by the Δt horizon. */
 case class SkipLastState(pos: Long, open: Seq[(Long, Long)])
 case class SkipLastMatch(user_id: Long, a_id: Long, b_id: Long)
+/** [[StreamOps.cepSkipToNextStream]] state: unresolved starts and the
+  * B buffer above the watermark, both (ts_us, id), earliest first. */
+case class SkipNextState(openA: Seq[(Long, Long)], bufB: Seq[(Long, Long)])
+case class SkipNextMatch(user_id: Long, a_id: Long, b_id: Long, gap_us: Long)
 /** Streaming OVER-aggregation rows ([[StreamOps.overRows]]): a buffered
   * event (`c4` = value on the [[graft.Det]] DECIMAL(18,4) grid, ×10⁴ as
   * long — exact integer arithmetic end to end) and the per-key state:
@@ -649,6 +653,62 @@ object StreamOps {
           }
         }
         state.update(SkipLastState(pos, open.toSeq))
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of [[CepOps.cepSkipToNext]]: each A-start matches
+    * its earliest completing B in EVENT time — which under out-of-order
+    * arrival is only provable once the watermark passes the candidate B
+    * (an earlier-in-event-time B can no longer arrive). Per key the
+    * state holds unresolved starts and the B buffer above the
+    * watermark; on each invocation every start whose minimal candidate
+    * B has `b_ts ≤ wm` emits, starts with no possible B left
+    * (`wm > a_ts + Δt`, none buffered) drop, and B's at or below the
+    * watermark evict after the emission pass (a surviving start's
+    * candidate is then provably above the watermark, and future starts
+    * arrive above it too).
+    *
+    * @note scale: one shuffle on the key; state per key = starts + B's
+    *   inside (watermark delay + Δt) — the inherent bound for
+    *   event-time earliest-match semantics. Emission is append-only.
+    *   Bounded-replay tail: drain with [[StateFlush.cepSkipToNext]]. */
+  def cepSkipToNextStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, withinUs: Long,
+      delay: String = "30 minutes"): Dataset[SkipNextMatch] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withWatermark(tsCol, delay)
+      .withColumn("__isa", when(predA, lit(true)).when(predB, lit(false)))
+      .filter(col("__isa").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("id"), col("__isa").as("isA"), col(tsCol))
+      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SkipNextState, SkipNextMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val st0 = state.getOption.getOrElse(SkipNextState(Nil, Nil))
+        val fresh = it.toArray.filter(_._2 > wmUs) // late rows drop
+        val openA = (st0.openA ++ fresh.collect {
+          case (_, ts, id, true, _) => (ts, id) }).sortBy(identity)
+        val bufB = (st0.bufB ++ fresh.collect {
+          case (_, ts, id, false, _) => (ts, id) }).sortBy(identity)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SkipNextMatch]
+        val keepA = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        openA.foreach { case (aTs, aId) =>
+          val cand = bufB.find { case (bTs, _) =>
+            bTs > aTs && bTs <= aTs + withinUs } // sorted → first is minimal
+          cand match {
+            case Some((bTs, bId)) if bTs <= wmUs =>
+              out += SkipNextMatch(k, aId, bId, bTs - aTs)
+            case Some(_) => keepA += ((aTs, aId)) // candidate above wm — wait
+            case None =>
+              if (wmUs <= aTs + withinUs) keepA += ((aTs, aId)) // B may come
+            // else: window closed with no B — start drops
+          }
+        }
+        state.update(SkipNextState(keepA.toSeq, bufB.filter(_._1 > wmUs)))
         out.iterator
       }
   }

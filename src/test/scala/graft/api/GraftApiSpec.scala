@@ -62,4 +62,35 @@ class GraftApiSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaApi == viaKey && viaApi.size == 50)
   }
+
+  test("cep skip strategies accept custom column names via the facade") {
+    val ev = Tables.events(spark, sf)
+      .withColumnRenamed("user_id", "uid").withColumnRenamed("ts", "at")
+      .withColumnRenamed("event_id", "eid")
+    val viaApi = Graft.cep.cepSkipPastLast(ev, "uid", "at", "eid",
+        col("event_type") === "view", col("event_type") === "purchase",
+        withinUs = 2L * 3600L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaKey = graft.SparkEntry.queries("cep_skip_past_last")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaApi == viaKey && viaApi.nonEmpty)
+  }
+
+  test("bpe training and domain mix accept custom column names") {
+    val docs = Tables.documents(spark, sf)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")
+      .withColumnRenamed("source", "domain")
+    val viaApi = Graft.text.bpeTrain(docs, nMerges = 3,
+        idCol = "id", textCol = "body")
+      .collect().map(r => (r.getInt(0), r.getString(3))).toSet
+    val viaKey = graft.SparkEntry.queries("llm_bpe_train")(spark, sf)
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getInt(0), r.getString(3))).toSet
+    assert(viaApi == viaKey && viaApi.size == 3)
+
+    val mix = Graft.sample.domainMixPlan(docs,
+      wRaw = (regexp_extract(col("stratum"), "([0-9]+)", 1).cast("int") % 4) + 1,
+      stratumCol = "domain", textCol = "body")
+    assert(mix.columns.contains("domain") && mix.count() == 20)
+  }
 }

@@ -86,4 +86,31 @@ class BpeTrainSpec extends SparkSpec {
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
     assert(trained(df, 4) == trained(df.repartition(7), 4))
   }
+
+  test("encode(train(corpus)): each merge monotonically shrinks the encoding") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = trained(df, 6).map(m => (m._2, m._3))
+    val totals = (0 to merges.size).map { k =>
+      TextOps.bpeEncode(df, merges.take(k))
+        .agg(sum("units")).collect()(0).getLong(0)
+    }
+    totals.sliding(2).foreach { case Seq(a, b) => assert(b < a); case _ => }
+    // shrink is bounded by the summed supports (supports count sliding
+    // pairs, which over-count self-overlapping runs vs the
+    // non-overlapping fold — e.g. "aaa" has two (a,a) pairs, one merge)
+    val supports = trained(df, 6).map(_._5).sum
+    assert(totals.head - totals.last <= supports)
+    assert(totals.head - totals.last >= supports / 2)
+  }
+
+  test("exact array encoding is immune to string-boundary aliasing") {
+    import spark.implicits._
+    // merge (a, b): the token "aab" contains the SUBSTRING "a b" in its
+    // space-joined form "a a b </w>" twice-overlapping; exact fold must
+    // merge only the true symbol pair
+    val df = Seq((1L, "aab ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(df, Seq(("a", "b")))
+      .collect().map(r => (r.getString(1), r.getInt(2))).toMap
+    assert(got == Map("aab" -> 3, "ab" -> 2)) // a,ab,</w> and ab,</w>
+  }
 }

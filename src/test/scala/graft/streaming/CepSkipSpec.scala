@@ -91,6 +91,22 @@ class CepSkipSpec extends SparkSpec {
     assert(overlaps.count() == 0)
   }
 
+  test("streaming skip-to-next ∪ flush equals the batch argmin") {
+    val W = 2L * HourUs
+    val out = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepSkipToNextStream(ev, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "purchase",
+        withinUs = W).toDF())(
+      ckpt => StateFlush.cepSkipToNext(spark, ckpt, withinUs = W))
+    val batch = CepOps.cepSkipToNext(Tables.events(spark, sf),
+      "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "purchase", "2 hours")
+    def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("user_id", "a_id", "b_id", "gap_us").collect().toSeq
+        .map(_.toSeq.mkString("|")).sorted
+    assert(key(out) == key(batch) && out.count() > 0)
+  }
+
   test("streaming automaton equals the batch scan on replayed events") {
     val out = BoundedReplay.replayEvents(spark, sf)(ev =>
       StreamOps.cepSkipPastLastStream(ev, "user_id", "ts", "event_id",
