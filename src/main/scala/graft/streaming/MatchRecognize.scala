@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * not contain top-level commas — wrap in parentheses if needed);
   * `WITHIN <interval>` accepts `INTERVAL '<n>' <UNIT>` or `<n> <unit>`.
   *
+  * `AFTER MATCH SKIP TO NEXT ROW` / `AFTER MATCH SKIP PAST LAST ROW`
+  * (standard position: before PATTERN) route a 2-step sequence to
+  * [[CepOps.cepSkipToNext]] / [[CepOps.cepSkipPastLast]]; on `A B+ C`
+  * the PAST LAST form is accepted redundantly (Kleene's native
+  * semantics). Without the clause, sequences keep NO_SKIP (every
+  * combination), Flink's default.
+  *
   * Semantics note: SQL `WITHIN` bounds the WHOLE match. For the
   * sequence shape this compiles as per-step bounds of the full
   * interval plus a closing `total_us` filter — equivalent, because a
@@ -43,16 +50,23 @@ object MatchRecognize {
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
   private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)([+?]|\{(\d+)\})?".r
   private val IntervalRe = raw"(?i)(?:INTERVAL\s+)?'?(\d+)'?\s+([A-Za-z]+)".r
+  private val SkipRe =
+    raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+(?:ROW|EVENT))".r.unanchored
 
   private case class Tok(name: String, quant: String)
 
   def apply(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
       clause: String): DataFrame = {
-    val pat = PatternRe.findFirstMatchIn(clause)
+    // AFTER MATCH SKIP … sits before PATTERN in standard SQL; strip it
+    // out of the clause before the other extractors see it
+    val skip = SkipRe.findFirstMatchIn(clause)
+      .map(_.group(1).toUpperCase.replaceAll(raw"\s+", " "))
+    val rest = SkipRe.replaceAllIn(clause, "")
+    val pat = PatternRe.findFirstMatchIn(rest)
       .getOrElse(sys.error("MATCH_RECOGNIZE needs PATTERN (...)")).group(1).trim
-    val defs = DefineRe.findFirstMatchIn(clause)
+    val defs = DefineRe.findFirstMatchIn(rest)
       .getOrElse(sys.error("MATCH_RECOGNIZE needs DEFINE ...")).group(1).trim
-    val within = WithinRe.findFirstMatchIn(clause).map(_.group(1).trim)
+    val within = WithinRe.findFirstMatchIn(rest).map(_.group(1).trim)
 
     val toks = pat.split(raw"\s+").toSeq.filter(_.nonEmpty).map {
       case TokenRe(name, q, n) =>
@@ -90,6 +104,29 @@ object MatchRecognize {
         case u => sys.error(s"unsupported WITHIN unit '$u'")
       }
       n.toLong * mult
+    }
+
+    // AFTER MATCH SKIP routes a 2-step sequence to the dedicated
+    // strategy operators; other shapes keep their native semantics
+    // (Kleene is skip-past-last by construction; NO_SKIP otherwise).
+    (skip, toks) match {
+      case (Some(s), Seq(Tok(a, ""), Tok(b, ""))) if s.startsWith("TO NEXT") =>
+        return CepOps.cepSkipToNext(ev, keyCol, tsCol, idCol,
+            binds(a), binds(b), normWithin)
+          .select(col(keyCol), col("a_id").as(s"${a}_id"),
+            col("b_id").as(s"${b}_id"), col("gap_us").as("total_us"))
+      case (Some(s), Seq(Tok(a, ""), Tok(b, ""))) if s.startsWith("PAST LAST") =>
+        return CepOps.cepSkipPastLast(ev, keyCol, tsCol, idCol,
+            binds(a), binds(b), withinUs)
+          .select(col(keyCol), col("a_id").as(s"${a}_id"),
+            col("b_id").as(s"${b}_id"))
+      case (Some(s), Seq(Tok(_, ""), Tok(_, "+"), Tok(_, ""))) if s.startsWith("PAST LAST") =>
+        () // Kleene's native semantics ARE skip-past-last — fall through
+      case (Some(s), _) =>
+        sys.error(s"AFTER MATCH SKIP $s is only supported for 2-step " +
+          "sequences (or redundantly on A B+ C, whose semantics are " +
+          "already skip-past-last)")
+      case (None, _) => ()
     }
 
     toks match {

@@ -51,6 +51,46 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(rows(mr) == rows(direct))
   }
 
+  test("AFTER MATCH SKIP routes 2-step sequences to the strategy operators") {
+    val toNext = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (V P)
+        |DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        |WITHIN INTERVAL '2' HOUR""".stripMargin)
+    val directN = CepOps.cepSkipToNext(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "purchase", "2 HOUR")
+    assert(toNext.columns.toSeq == Seq("user_id", "V_id", "P_id", "total_us"))
+    assert(rows(toNext.select("user_id", "V_id", "P_id")) ==
+      rows(directN.select("user_id", "a_id", "b_id")))
+
+    val pastLast = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (V P)
+        |DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        |WITHIN INTERVAL '2' HOUR""".stripMargin)
+    val directL = CepOps.cepSkipPastLast(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "purchase",
+      2L * 3600L * 1000000L)
+    assert(rows(pastLast) == rows(directL))
+
+    // PAST LAST on A B+ C is accepted redundantly (native semantics)
+    val kleene = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A B+ C)
+        |DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+    assert(kleene.count() ==
+      graft.SparkEntry.queries("cep_kleene")(spark, sf).count())
+    // TO NEXT on an unsupported shape fails fast
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """AFTER MATCH SKIP TO NEXT ROW PATTERN (A B+ C)
+          |DEFINE A AS true, B AS true, C AS true
+          |WITHIN 1 hour""".stripMargin)
+    }
+  }
+
   test("malformed clauses fail fast") {
     intercept[RuntimeException] {
       MatchRecognize(ev, "user_id", "ts", "event_id",
