@@ -51,6 +51,8 @@ case class SkipNextMatch(user_id: Long, a_id: Long, b_id: Long, gap_us: Long)
   * the rows still above the watermark, un-emitted. */
 case class OverPend(ts_us: Long, event_id: Long, c4: Long)
 case class OverState(ctx: Seq[Long], pending: Seq[OverPend])
+/** ValueState wrapper for the TWS port's frame context. */
+case class OverCtx(vals: Seq[Long])
 case class OverRow(user_id: Long, event_id: Long, n_frame: Int, over_sum: Double)
 
 /** Driver-side global top-k state for [[StreamOps.topNContinuous]]:

@@ -184,6 +184,92 @@ object WindowProcessors {
     }
   }
 
+  /** [[StreamOps.overRows]] on transformWithState: pending rows live in
+    * a [[org.apache.spark.sql.streaming.ListState]] (appends touch only
+    * the new rows — the fMGWS form rewrites the whole buffer object per
+    * batch), the ≤nPrec frame context in a ValueState, and an event-time
+    * timer at the earliest pending row closes the fMGWS form's gap:
+    * rows whose watermark slot arrives while their key sees no new
+    * input emit from the timer instead of waiting for the drain. */
+  class OverRowsProcessor(nPrec: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long, java.sql.Timestamp), OverRow] {
+    @transient private var ctx: ValueState[OverCtx] = _
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[OverPend] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ctx = getHandle.getValueState[OverCtx]("ctx",
+        Encoders.product[OverCtx], TTLConfig.NONE)
+      pending = getHandle.getListState[OverPend]("pending",
+        Encoders.product[OverPend], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def arm(target: Long): Unit = {
+      val prev = if (armed.exists()) armed.get() else NoTimer
+      if (prev != target) {
+        if (prev != NoTimer) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(target)
+        armed.update(target)
+      }
+    }
+
+    /** Emit every buffered row at or below the watermark in (ts, id)
+      * order, keep the rest, re-arm for the earliest survivor. */
+    private def drain(uid: Long, fresh: Seq[OverPend],
+        tv: TimerValues): Iterator[OverRow] = {
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val all = (pending.get().toSeq ++ fresh.filter(_.ts_us > wmUs))
+        .sortBy(p => (p.ts_us, p.event_id))
+      val (ready, keep) = all.partition(_.ts_us <= wmUs)
+      var frame = if (ctx.exists()) ctx.get().vals else Seq.empty[Long]
+      val out = ready.map { p =>
+        val f = frame :+ p.c4
+        frame = f.takeRight(nPrec)
+        OverRow(uid, p.event_id, f.size, BigDecimal(f.sum, 4).toDouble)
+      }
+      if (ready.nonEmpty) ctx.update(OverCtx(frame))
+      pending.clear()
+      if (keep.nonEmpty) {
+        pending.put(keep.toArray)
+        arm(math.max(keep.head.ts_us / 1000L + 1L,
+          tv.getCurrentWatermarkInMs() + 1L))
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[OverRow] =
+      drain(uid, rows.map(t => OverPend(t._2, t._3, t._4)).toSeq, timerValues)
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[OverRow] = {
+      if (armed.exists() && armed.get() == expiredTimerInfo.getExpiryTimeInMs())
+        armed.clear()
+      drain(uid, Nil, timerValues)
+    }
+  }
+
+  /** [[StreamOps.overRows]] through transformWithState (requires the
+    * RocksDB state store provider): same emission contract, ListState
+    * buffer, timer-complete (no drain gap below the final watermark). */
+  def overRowsTws(ev: DataFrame, nPrec: Int = 3,
+      delay: String = "30 minutes"): Dataset[OverRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withWatermark("ts", delay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+          lit(10000L)).cast("long").as("c4"), col("ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new OverRowsProcessor(nPrec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[StreamOps.cumulateAppend]] through transformWithState (requires
     * the RocksDB state store provider). */
   def cumulateAppendTws(ev: DataFrame, sizeHours: Int = 4,

@@ -57,6 +57,37 @@ class WindowTwsSpec extends SparkSpec {
     }
   }
 
+  test("overRows TWS: timer-complete up to the final watermark, equals the batch twin there") {
+    withRocks {
+      import org.apache.spark.sql.functions._
+      val tws = replay(WindowProcessors.overRowsTws(StreamOps.source(spark, sf)).toDF(),
+        "over_tws")
+      // the fMGWS form emits only on keyed input, so it is a subset
+      val fmgws = replay(StreamOps.overRows(StreamOps.source(spark, sf)).toDF(),
+        "over_fmgws")
+      assert(fmgws.subsetOf(tws))
+      // timers close the gap: everything at or below the final
+      // watermark (max ts − 30 min) must be emitted, and match the
+      // batch window-function twin exactly
+      val ev = graft.Tables.events(spark, sf)
+      val wmUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+        30L * 60L * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+      val batch = ev
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          count(lit(1)).over(w).cast("int").as("n_frame"),
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+            .as("over_sum"))
+        .filter(col("ts_us") <= wmUs)
+        .select("user_id", "event_id", "n_frame", "over_sum")
+        .collect().map(_.toSeq.mkString("|")).toSet
+      assert(batch.nonEmpty)
+      assert(tws == batch,
+        s"missing=${(batch -- tws).size} extra=${(tws -- batch).size}")
+    }
+  }
+
   test("cumulateAppend TWS: multi-batch window loses nothing (the r4 regression shape)") {
     withRocks {
       val sp = spark
