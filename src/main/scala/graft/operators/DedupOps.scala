@@ -404,4 +404,44 @@ object DedupOps {
       when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
         .otherwise(lit("")))
   }
+
+  /** Edit-distance similarity join over a short-string column: all id
+    * pairs `(ai, bi, a_s, b_s, dist)` with `levenshtein ≤ maxDist`,
+    * candidates generated by TOKEN-SIGNATURE blocking — two strings
+    * pair only if they share at least one whitespace token. This is the
+    * standard signature-based string-similarity-join shape (candidate
+    * generation by shared signature, exact verify on the survivors);
+    * shared-token recall is the documented contract — a pair within
+    * `maxDist` that shares NO token (possible once `maxDist` reaches a
+    * whole token's length) is out of scope by definition, and the
+    * DuckDB oracle restates the same contract.
+    *
+    * `dfCap` drops tokens whose document frequency exceeds the cap
+    * before the block join — the same hot-signature guard as
+    * [[hashedShingles]]' df-filter: a stop-word-grade token would
+    * otherwise create one quadratic block.
+    *
+    * @note scale: the block join shuffles (token, id) pairs — rows ×
+    *   avg-tokens, each block ≤ dfCap² candidate pairs; the
+    *   levenshtein verify runs codegen'd per candidate. For longer
+    *   strings swap the token signature for PassJoin's d+1-segment
+    *   signatures; the operator shape (signature explode → block join →
+    *   verify) is unchanged. */
+  def editSimilarityJoin(df: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", strCol: String = "text",
+      dfCap: Int = 1000): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(array_distinct(split(col("s"), " "))).as("tok"))
+    val hot = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("tok")
+    val cold = toks.join(broadcast(hot), Seq("tok"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ai"), col("b.id").as("bi"),
+        col("a.s").as("a_s"), col("b.s").as("b_s"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .filter(col("dist") <= maxDist)
+  }
 }

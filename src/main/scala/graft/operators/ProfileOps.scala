@@ -21,6 +21,40 @@ object ProfileOps {
       .orderBy("bin")
   }
 
+  /** Per-group winsorization: clamp `valueCol` to its group's
+    * [pLo, pHi] quantiles — the outlier-taming transform applied to
+    * document lengths / quality scores before they feed sampling
+    * weights. Bounds are RANK-BASED (the value at row `ceil(p·n)` of
+    * the sorted group — discrete, no interpolation), so for integer
+    * inputs every bound and every output is an exact integer and the
+    * whole op is float-free and engine-exact.
+    *
+    * @note scale: one window pass (rank + count share a partitioning)
+    *   plus a conditional aggregate to a #groups-row bounds table that
+    *   broadcast-joins back — no second shuffle of the data. Skewed
+    *   groups: the rank window sorts within each group; for a web-scale
+    *   group pre-aggregate to (group, value, count) first. */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val ranked = df
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(
+        min(when(col("__rk") === greatest(ceil(lit(pLo) * col("__n")), lit(1L)),
+          col(valueCol))).as("__lo"),
+        min(when(col("__rk") === ceil(lit(pHi) * col("__n")),
+          col(valueCol))).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Stacked per-column summary — one row per profiled column with
     * `(col_name, n, n_null, n_distinct, mn, mx)`; the long shape keeps
     * the schema fixed however many columns are profiled. */

@@ -65,6 +65,35 @@ object SampleOps {
           .orderBy(idHash(col(idCol), salt), col(idCol))))
       .filter(col("__rk") <= n).drop("__rk")
 
+  /** Weighted sampling WITHOUT replacement via priority sampling
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): each row gets priority
+    * `w · 2³¹ / (h(id)+1)` — the deterministic analogue of `w/u` for a
+    * uniform `u ∈ (0,1]` — and the global top `n` priorities are the
+    * sample. Heavier rows win proportionally more often, no row twice,
+    * and the whole draw is a pure function of the ids, so any engine
+    * re-running the recipe selects the identical rows.
+    *
+    * Determinism: `w·2³¹` and `h+1` are exact BIGINTs (< 2⁵³), their
+    * int→double conversions are exact, and ONE IEEE double division is
+    * correctly rounded identically everywhere — the priority is
+    * bit-exact cross-engine; ties (equal w and h) break by id.
+    *
+    * @note scale: `ORDER BY priority DESC LIMIT n` executes as
+    *   TakeOrdered — a per-partition k-heap plus one driver merge of
+    *   partitions·n rows; no global sort, no full shuffle. */
+  def prioritySample(df: DataFrame, n: Int, weightCol: Column,
+      idCol: String = "doc_id", salt: Long = 0L): DataFrame =
+    df.withColumn("priority",
+        (weightCol.cast("long") * lit(M)).cast("double") /
+          (idHash(col(idCol), salt) + lit(1L)).cast("double"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+
+  /** DuckDB fragment computing [[prioritySample]]'s priority. */
+  def oPriority(w: String, id: String, salt: Long = 0L): String =
+    s"(CAST(CAST($w AS BIGINT) * $M AS DOUBLE) / CAST(${oIdHash(id, salt)} + 1 AS DOUBLE))"
+
   /** Temperature-scaled mixture resampling (default τ = 0.5) — the standard
     * training-mixture reweighting: stratum weights ∝ n^τ flatten the
     * natural distribution (τ=1 keeps it, τ=0 is uniform), so

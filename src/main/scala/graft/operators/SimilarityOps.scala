@@ -65,7 +65,10 @@ object SimilarityOps {
   def knnCosine(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       k: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val n = normed(df, idCol, vecCol)
+    // source from the cached typed working set: the normalize pass runs
+    // once per session per corpus and is shared with the whole ANN
+    // family (IVF/PQ/SQ8) via plan-canonical cache dedup
+    val n = normedTyped(df, idCol, vecCol).toDF("vec_id", "v", "nrm")
     val q = n.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = n.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
@@ -97,7 +100,10 @@ object SimilarityOps {
   def knnSq8(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       k: Int = 10, shortlist: Int = 40, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val n = normed(df, idCol, vecCol)
+    // cached shared working set (see knnCosine): the quantize branch,
+    // the query branch and the exact re-rank fetch all re-read it, so
+    // without the cache the normalize pass would run three times
+    val n = normedTyped(df, idCol, vecCol).toDF("vec_id", "v", "nrm")
     // storage form: int8 codes + per-vector scale (what a vector store
     // persists); qd is the once-per-scan decode used in arithmetic
     val q8 = n

@@ -281,6 +281,33 @@ object DedupQueries {
       .orderBy("canon_url")
   }
 
+  /** Edit-distance similarity join ([[DedupOps.editSimilarityJoin]],
+    * maxDist=3) over DISTINCT part names — "red widget" vs "red gadget"
+    * style catalog-title near-matches. Candidates block on a shared
+    * token (the signature-join contract, restated by the oracle);
+    * distinct names first, so block sizes are vocabulary-bounded and
+    * scale-invariant. */
+  private val editJoin = Q(
+    "llm_edit_join",
+    """WITH named AS (SELECT min(p_partkey) AS id, p_name AS s
+      |    FROM part GROUP BY p_name),
+      |tok AS (SELECT id, s, unnest(list_distinct(string_split(s, ' '))) AS tok
+      |    FROM named),
+      |hot AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) > 1000),
+      |cold AS (SELECT * FROM tok ANTI JOIN hot USING (tok)),
+      |cand AS (SELECT DISTINCT a.id AS ai, b.id AS bi, a.s AS a_s, b.s AS b_s
+      |    FROM cold a JOIN cold b ON a.tok = b.tok AND a.id < b.id)
+      |SELECT ai, bi, a_s, b_s, CAST(levenshtein(a_s, b_s) AS INT) AS dist
+      |FROM cand WHERE levenshtein(a_s, b_s) <= 3
+      |ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    val named = Tables.part(s, d).groupBy("p_name")
+      .agg(min("p_partkey").as("id"))
+      .select(col("id").as("doc_id"), col("p_name").as("text"))
+    graft.operators.DedupOps.editSimilarityJoin(named, maxDist = 3)
+      .orderBy("ai", "bi")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
-    dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl)
+    dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
+    editJoin)
 }

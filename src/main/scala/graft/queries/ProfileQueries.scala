@@ -215,6 +215,30 @@ object ProfileQueries {
     graft.operators.ProfileOps.keySkew(Tables.lineitem(s, d), "l_partkey", 10)
   }
 
+  /** Per-source winsorized document length
+    * ([[graft.operators.ProfileOps.winsorize]], p05/p95 rank-based
+    * bounds): the outlier clamp applied before lengths feed sampling
+    * weights. Integer in, integer out — zero float surface. */
+  private val winsorize = Q(
+    "llm_winsorize",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |b AS (SELECT source,
+      |    min(CASE WHEN rk = greatest(ceil(0.05 * n), 1) THEN n_chars END) AS lo,
+      |    min(CASE WHEN rk = ceil(0.95 * n) THEN n_chars END) AS hi
+      |  FROM r GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  least(greatest(d.n_chars, b.lo), b.hi) AS n_chars_w
+      |FROM documents d JOIN b USING (source)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.ProfileOps.winsorize(Tables.documents(s, d),
+        valueCol = "n_chars", groupCol = "source", idCol = "doc_id")
+      .select("doc_id", "source", "n_chars", "n_chars_w")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(histogram, profile, quantileBins, constraints,
-    jsonKeys, corruptTolerant, moments, skew)
+    jsonKeys, corruptTolerant, moments, skew, winsorize)
 }

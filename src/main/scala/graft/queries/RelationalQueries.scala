@@ -532,6 +532,73 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** GROUPS window frame — the third SQL frame unit (peer ROWS):
+    * `GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING` sums over the
+    * current peer group (equal order values) plus one peer group each
+    * side. Spark has no GROUPS frames, so this is the canonical
+    * emulation: `dense_rank` numbers the peer groups, then a RANGE
+    * frame over that integer reproduces GROUPS exactly. The oracle
+    * (DuckDB hasn't implemented GROUPS either) derives the same
+    * semantics a THIRD way — aggregate each peer group, ROWS-frame
+    * over the group table, join back — so the check is genuinely
+    * cross-strategy, not the same query twice.
+    *
+    * @note scale: both window passes share one (partition, order)
+    *   pair — Catalyst plans a single Exchange+Sort; the frame sum is
+    *   the standard streaming frame evaluator. Decimal sum keeps the
+    *   frame additions exact ([[graft.Det]]). */
+  private val windowGroupsFrame = Q(
+    "window_groups_frame",
+    """WITH g AS (SELECT l_suppkey, l_shipdate,
+      |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS s,
+      |    row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS gi
+      |  FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2),
+      |w AS (SELECT l_suppkey, l_shipdate,
+      |    round(CAST(sum(s) OVER (PARTITION BY l_suppkey ORDER BY gi
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE), 4) AS gsum
+      |  FROM g)
+      |SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, w.gsum
+      |FROM lineitem l JOIN w ON l.l_suppkey = w.l_suppkey
+      |  AND l.l_shipdate = w.l_shipdate
+      |WHERE l.l_suppkey < 10
+      |ORDER BY l.l_suppkey, l.l_shipdate, l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+    val part = Window.partitionBy("l_suppkey")
+    val g = dense_rank().over(part.orderBy("l_shipdate"))
+    val frame = part.orderBy("g").rangeBetween(-1, 1)
+    Tables.lineitem(s, d).filter(col("l_suppkey") < 10)
+      .withColumn("g", g)
+      .withColumn("gsum",
+        round(sum(col("l_quantity").cast("decimal(18,6)")).over(frame)
+          .cast("double"), 4))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "gsum")
+  }
+
+  /** `max_by`/`min_by` (SQL:2023 `ANY_VALUE`-family ordered selectors;
+    * DuckDB `arg_max`/`arg_min`): per nation, the customer name at the
+    * extreme of a DETERMINISTIC selector key — account balance in
+    * exact cents disambiguated by custkey, so ties are impossible and
+    * the argmax is engine-independent.
+    *
+    * @note scale: single hash aggregation, partial (map-side) argmax
+    *   merges like any semigroup — no window, no join. */
+  private val aggArgminmax = Q(
+    "agg_argminmax",
+    """SELECT c_nationkey,
+      |  arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS top_name,
+      |  arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS bottom_name,
+      |  arg_max(c_acctbal, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS top_bal
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val key = (round(col("c_acctbal") * 100).cast("long") * 1000000L +
+      col("c_custkey")).as("k")
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(max_by(col("c_name"), key).as("top_name"),
+        min_by(col("c_name"), key).as("bottom_name"),
+        max_by(col("c_acctbal"), key).as("top_bal"))
+      .orderBy("c_nationkey")
+  }
+
   private val windowNtile = Q(
     "window_ntile",
     """SELECT c_custkey, ntile(4) OVER w AS quartile,
@@ -623,6 +690,7 @@ object RelationalQueries {
     aggCollect, aggReduceMinmax, aggPercentileExact,
     windowTopnPergroup, windowLagDelta, windowRunningSum,
     windowMovingAvg, windowRangeFrame, windowNtile,
+    windowGroupsFrame, aggArgminmax,
     sortLimitOffset, topkGlobal,
     setopUnion, setopUnionDistinct, setopIntersect, setopExcept)
 }

@@ -114,6 +114,26 @@ object SampleQueries {
       .orderBy("source")
   }
 
+  /** Token-weighted sample without replacement ([[SampleOps.prioritySample]],
+    * n=100, weight = token count): long documents are proportionally
+    * likelier, no document twice, and the oracle recomputes the exact
+    * priority arithmetic — the checked claim is that both engines draw
+    * the IDENTICAL weighted sample. */
+  private val sampleWeighted = Q(
+    "llm_sample_weighted",
+    s"""SELECT doc_id, source, n_tok, priority FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${SampleOps.oPriority("len(string_split(text, ' '))", "doc_id")} AS priority
+       |  FROM documents)
+       |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    SampleOps.prioritySample(Tables.documents(s, d), n = 100,
+        weightCol = size(split(col("text"), " ")))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(sampleHash, sampleMixture, sampleStratified,
-    sampleTemperature, epochShuffle, domainMix)
+    sampleTemperature, epochShuffle, domainMix, sampleWeighted)
 }

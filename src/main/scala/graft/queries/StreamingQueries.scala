@@ -39,6 +39,27 @@ object StreamingQueries {
       .orderBy("ws", "event_type")
   }
 
+  /** Tumbling window with a START OFFSET (Flink `TUMBLE(..., INTERVAL
+    * '15' MINUTE)` offset argument / Spark `window(..., startTime)`):
+    * hour buckets aligned to :15 — the form used when business windows
+    * don't start on the epoch grid (billing hours, market sessions,
+    * timezone-shifted days). Window start = `floor((t−off)/size)·size
+    * + off`; the oracle restates that grid in exact µs arithmetic. */
+  private val tumblingOffset = Q(
+    "stream_tumbling_offset",
+    s"""SELECT CAST(make_timestamp((epoch_us(ts) - 900000000)
+       |    // 3600000000 * 3600000000 + 900000000) AS VARCHAR) AS ws,
+       |  event_type, count(*) AS n, ${Det.osum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("string").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
   // ------------------------------------------------------------ T3 sliding
   /** 1 h windows sliding by 15 min: every event lands in 4 buckets.
     * Spark aligns window starts to the epoch modulo the slide; the oracle
@@ -748,7 +769,7 @@ object StreamingQueries {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, dedupFirst, forwardFill,
+  val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-8 additions; the oracle keys pin
+  * cross-engine parity, these pin the operator contracts. */
+class Round8OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("prioritySample: without replacement, deterministic, weight-biased") {
+    val sp = spark
+    import sp.implicits._
+    // 100 heavy rows (w=100) among 900 light (w=1)
+    val df = (0L until 1000L)
+      .map(id => (id, if (id % 10 == 0) 100L else 1L))
+      .toDF("doc_id", "w")
+    val s1 = SampleOps.prioritySample(df, n = 50, weightCol = col("w")).collect()
+    val s2 = SampleOps.prioritySample(df, n = 50, weightCol = col("w")).collect()
+    assert(s1.toSeq == s2.toSeq, "draw must be deterministic")
+    assert(s1.length == 50)
+    val ids = s1.map(_.getLong(0))
+    assert(ids.distinct.length == 50, "without replacement")
+    // heavy rows hold 100·100 of 101·100-ish total mass — expect the
+    // sample to be dominated by them (>= 35 of 50 is ~8 sigma slack)
+    val heavy = ids.count(_ % 10 == 0)
+    assert(heavy >= 35, s"only $heavy/50 heavy rows sampled")
+  }
+
+  test("winsorize: rank-based bounds clamp exactly, interior untouched") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 100).map(v => (v.toLong, "g", v.toLong)).toDF("doc_id", "source", "v")
+    val w = ProfileOps.winsorize(df, "v", "source", "doc_id").select("v", "v_w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lo = math.ceil(0.05 * 100).toLong // 6 under IEEE (5.000…01 rounds up)
+    val hi = math.ceil(0.95 * 100).toLong // 95
+    assert(w(1L) == lo && w(lo) == lo, s"low tail must clamp to $lo")
+    assert(w(100L) == hi && w(hi) == hi, s"high tail must clamp to $hi")
+    assert(w(50L) == 50L, "interior values pass through")
+  }
+
+  test("editSimilarityJoin: shared-token candidates verified by levenshtein") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "red widget"), (2L, "red gadget"), // share "red", dist 3
+      (3L, "blue bolt"), (4L, "blu bolt"),    // share "bolt", dist 1
+      (5L, "abc"), (6L, "abd")                // dist 1 but NO shared token
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.editSimilarityJoin(df, maxDist = 3)
+      .select("ai", "bi", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 2)))
+    assert(pairs.contains((3L, 4L, 1)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 6L),
+      "no shared token ⇒ out of contract even within maxDist")
+  }
+
+  test("GROUPS frame emulation equals an independent peer-aggregate strategy") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.SparkEntry.queries("window_groups_frame")(spark, sf)
+    // third strategy (the oracle's): aggregate each peer group, ROWS
+    // frame over the group table, fan back out to the rows
+    val li = Tables.lineitem(spark, sf).filter(col("l_suppkey") < 10)
+    val g = li.groupBy("l_suppkey", "l_shipdate")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("s"))
+      .withColumn("gi", row_number().over(
+        Window.partitionBy("l_suppkey").orderBy("l_shipdate")))
+    val w = g.withColumn("gsum",
+      round(sum(col("s")).over(Window.partitionBy("l_suppkey")
+        .orderBy("gi").rowsBetween(-1, 1)).cast("double"), 4))
+      .select("l_suppkey", "l_shipdate", "gsum")
+    val expected = li.join(w, Seq("l_suppkey", "l_shipdate"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "gsum")
+    assert(out.count() == expected.count())
+    assert(out.except(expected).isEmpty && expected.except(out).isEmpty,
+      "dense_rank+RANGE emulation must equal the peer-aggregate strategy")
+  }
+
+  test("tumbling offset: every window start sits on the :15 grid") {
+    val ws = graft.SparkEntry.queries("stream_tumbling_offset")(spark, sf)
+      .select(minute(col("ws").cast("timestamp")).as("m")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(ws == Set(15), s"window starts must align to :15, got $ws")
+  }
+}
