@@ -560,6 +560,51 @@ object StreamingQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** `MATCH_RECOGNIZE` MEASURES through the SQL face
+    * ([[graft.streaming.MatchRecognize]] →
+    * [[graft.streaming.CepOps.cepKleeneMeasures]]): view → clicks+ →
+    * purchase with per-match COUNT / SUM / AVG over the click run plus
+    * FIRST/LAST click ids — the aggregates ride the run-grouping pass.
+    * Exact decimal SUM keeps the measures engine-portable. */
+  private val cepMeasures = Q(
+    "cep_measures",
+    """WITH e AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+      |             value,
+      |             CASE WHEN event_type = 'view' THEN 'A'
+      |                  WHEN event_type = 'click' THEN 'B'
+      |                  WHEN event_type = 'purchase' THEN 'C' END AS cls
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts, id) AS pos FROM e),
+      |b AS (SELECT k, grp, min(pos) AS bstart, max(pos) AS bend,
+      |             count(*) AS n_b, min_by(id, pos) AS first_b_id,
+      |             max_by(id, pos) AS last_b_id,
+      |             sum(CAST(value AS DECIMAL(18,6))) AS sv
+      |      FROM (SELECT *, pos - row_number() OVER (PARTITION BY k ORDER BY pos) AS grp
+      |            FROM r WHERE cls = 'B')
+      |      GROUP BY k, grp)
+      |SELECT b.k AS user_id, a.id AS a_id, c.id AS c_id,
+      |       epoch_us(c.ts) - epoch_us(a.ts) AS span_us,
+      |       CAST(n_b AS BIGINT) AS n_clicks,
+      |       CAST(round(sv, 4) AS DOUBLE) AS sum_value,
+      |       round(CAST(sv AS DOUBLE) / n_b, 4) AS avg_value,
+      |       first_b_id AS first_click, last_b_id AS last_click
+      |FROM b JOIN r a ON a.k = b.k AND a.pos = b.bstart - 1 AND a.cls = 'A'
+      |       JOIN r c ON c.k = b.k AND c.pos = b.bend + 1 AND c.cls = 'C'
+      |WHERE c.ts <= a.ts + INTERVAL 360 MINUTE
+      |ORDER BY user_id, a_id""".stripMargin) { (s, d) =>
+    graft.streaming.MatchRecognize(Tables.events(s, d),
+      "user_id", "ts", "event_id",
+      """MEASURES COUNT(B.*) AS n_clicks, SUM(B.value) AS sum_value,
+        |         AVG(B.value) AS avg_value, FIRST(B.event_id) AS first_click,
+        |         LAST(B.event_id) AS last_click
+        |PATTERN (A B+ C)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+      .orderBy("user_id", "a_id")
+  }
+
   /** Kleene with a stop condition ([[graft.streaming.CepOps.cepKleeneUntil]]
     * — Flink `oneOrMore().until(U)`): a view, a maximal run of clicks,
     * STOPPED by an error — the error terminates the loop but is not
@@ -774,7 +819,7 @@ object StreamingQueries {
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil, streamKleeneReplay, streamOverReplay,
+    cepKleeneUntil, streamKleeneReplay, streamOverReplay, cepMeasures,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
     streamSkipnextReplay)
 }

@@ -147,6 +147,27 @@ object CepOps {
         col("first_b_id"), col("last_b_id"), col("c_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("a_ts"))).as("span_us"))
 
+  /** [[cepKleene]] with MEASURES over the matched run (the SQL
+    * `MATCH_RECOGNIZE ... MEASURES` surface): alongside the match
+    * columns, aggregates of `valueCol` over the B+ events — exact
+    * decimal SUM (rounded to 4, as double) and the derived AVG. COUNT,
+    * FIRST and LAST are the existing `n_b`/`first_b_id`/`last_b_id`.
+    * Returns `(key, a_id, n_b, first_b_id, last_b_id, c_id, sum_b,
+    * avg_b, span_us)`.
+    *
+    * @note scale: the measures ride the run-grouping aggregate that
+    *   already exists — zero extra shuffles. */
+  def cepKleeneMeasures(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      within: String, valueCol: Column): DataFrame =
+    kleeneMatches(ev, keyCol, tsCol, idCol, predA, predB, predC, within,
+      valueCol = Some(valueCol))
+      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
+        col("first_b_id"), col("last_b_id"), col("c_id"),
+        round(col("sum_b_dec"), 4).cast("double").as("sum_b"),
+        round(col("sum_b_dec").cast("double") / col("n_b"), 4).as("avg_b"),
+        (unix_micros(col("c_ts")) - unix_micros(col("a_ts"))).as("span_us"))
+
   /** Flink `begin(A).next(B).oneOrMore().consecutive().until(U)`: the
     * B+ loop runs until a `predU` event stops it — the until-event
     * TERMINATES the loop but is NOT part of the match, which is Flink's
@@ -173,25 +194,34 @@ object CepOps {
     * where the terminator is outside the match). */
   private def kleeneMatches(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, predA: Column, predB: Column, predC: Column,
-      within: String, boundToTerminator: Boolean = true): DataFrame = {
+      within: String, boundToTerminator: Boolean = true,
+      valueCol: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = ev
       .withColumn("__cls",
         when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
       .filter(col("__cls").isNotNull)
-      .select(col(keyCol).as("k"), col(tsCol).as("ts"), col(idCol).as("id"),
-        col("__cls").as("cls"))
+      .select(Seq(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("id"), col("__cls").as("cls")) ++
+        valueCol.map(_.as("v")).toSeq: _*)
     val wPos = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
     val r = e.withColumn("pos", row_number().over(wPos))
     val wB = Window.partitionBy(col("k")).orderBy(col("pos"))
+    // MEASURES over the matched run aggregate inside the SAME pass that
+    // finds the run — exact decimal sum ([[graft.Det]] discipline)
+    val measureAggs = valueCol.toSeq.flatMap { _ =>
+      Seq(sum(col("v").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(18, 6))).as("sum_b_dec"))
+    }
     val bruns = r.filter(col("cls") === "B")
       .withColumn("grp", col("pos") - row_number().over(wB))
       .groupBy("k", "grp")
-      .agg(min("pos").as("bstart"), max("pos").as("bend"),
-        count(lit(1)).as("n_b"),
-        min_by(col("id"), col("pos")).as("first_b_id"),
-        max_by(col("id"), col("pos")).as("last_b_id"),
-        max_by(col("ts"), col("pos")).as("lastb_ts"))
+      .agg(min("pos").as("bstart"),
+        (Seq(max("pos").as("bend"),
+          count(lit(1)).as("n_b"),
+          min_by(col("id"), col("pos")).as("first_b_id"),
+          max_by(col("id"), col("pos")).as("last_b_id"),
+          max_by(col("ts"), col("pos")).as("lastb_ts")) ++ measureAggs): _*)
     val aSide = r.filter(col("cls") === "A")
       .select(col("k").as("ak"), col("pos").as("apos"),
         col("id").as("a_id"), col("ts").as("a_ts"))

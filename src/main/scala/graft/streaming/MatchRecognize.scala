@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   * not contain top-level commas — wrap in parentheses if needed);
   * `WITHIN <interval>` accepts `INTERVAL '<n>' <UNIT>` or `<n> <unit>`.
   *
+  * `MEASURES COUNT(B.*) AS n, SUM(B.value) AS sv, AVG(B.value) AS av,
+  * FIRST(B.<idCol>) AS f, LAST(B.<idCol>) AS l` (standard position:
+  * before PATTERN) is supported on the `A B+ C` shape over the loop
+  * variable, compiled onto [[CepOps.cepKleeneMeasures]] — the
+  * aggregates ride the run-grouping pass, zero extra shuffles.
+  *
   * `AFTER MATCH SKIP TO NEXT ROW` / `AFTER MATCH SKIP PAST LAST ROW`
   * (standard position: before PATTERN) route a 2-step sequence to
   * [[CepOps.cepSkipToNext]] / [[CepOps.cepSkipPastLast]]; on `A B+ C`
@@ -46,6 +52,9 @@ import org.apache.spark.sql.functions._
 object MatchRecognize {
 
   private val PatternRe = raw"(?is)PATTERN\s*\(([^)]*)\)".r.unanchored
+  private val MeasuresRe = raw"(?is)MEASURES\s+(.*?)\s*(?=PATTERN|AFTER\s+MATCH)".r.unanchored
+  private val MeasureItemRe =
+    raw"(?i)(COUNT|SUM|AVG|FIRST|LAST)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)".r
   private val DefineRe = raw"(?is)DEFINE\s+(.*?)\s*(?:WITHIN\s+.*)?$$".r.unanchored
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
   private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)([+?]|\{(\d+)\})?".r
@@ -135,8 +144,30 @@ object MatchRecognize {
       case Seq(Tok(a, n)) if n.forall(_.isDigit) && n.nonEmpty =>
         CepOps.cepTimes(ev, keyCol, tsCol, idCol, binds(a), n.toInt, normWithin)
       case Seq(Tok(a, ""), Tok(b, "+"), Tok(c, "")) =>
-        CepOps.cepKleene(ev, keyCol, tsCol, idCol,
-          binds(a), binds(b), binds(c), normWithin)
+        measures(rest, b, idCol) match {
+          case Nil =>
+            CepOps.cepKleene(ev, keyCol, tsCol, idCol,
+              binds(a), binds(b), binds(c), normWithin)
+          case ms =>
+            val valueCols = ms.collect {
+              case ("SUM", c0, _) => c0
+              case ("AVG", c0, _) => c0
+            }.distinct
+            require(valueCols.size <= 1,
+              s"MEASURES SUM/AVG must agree on one column, got $valueCols")
+            val base = CepOps.cepKleeneMeasures(ev, keyCol, tsCol, idCol,
+              binds(a), binds(b), binds(c), normWithin,
+              valueCol = expr(valueCols.headOption.getOrElse(idCol)))
+            val renamed = ms.map {
+              case ("COUNT", _, as) => col("n_b").as(as)
+              case ("SUM", _, as) => col("sum_b").as(as)
+              case ("AVG", _, as) => col("avg_b").as(as)
+              case ("FIRST", _, as) => col("first_b_id").as(as)
+              case ("LAST", _, as) => col("last_b_id").as(as)
+            }
+            base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
+              col("span_us")) ++ renamed: _*)
+        }
       case _ if toks.forall(t => t.quant == "" || t.quant == "?") =>
         require(toks.head.quant == "" && toks.last.quant == "",
           "first and last pattern variables must be required")
@@ -151,4 +182,30 @@ object MatchRecognize {
           "plain/optional sequence, A B+ C, A{n}")
     }
   }
+
+  /** Parse the MEASURES clause into `(func, column, alias)` triples.
+    * Supported on the `A B+ C` shape, over the LOOP variable only:
+    * `COUNT(B.*)`, `SUM(B.col)`, `AVG(B.col)`, `FIRST(B.<idCol>)`,
+    * `LAST(B.<idCol>)` — compiled onto [[CepOps.cepKleeneMeasures]]'
+    * run-grouping aggregate (no extra pass). */
+  private def measures(clause: String, loopVar: String,
+      idCol: String): List[(String, String, String)] =
+    MeasuresRe.findFirstMatchIn(clause).map { m =>
+      m.group(1).split(",").toList.map(_.trim).filter(_.nonEmpty).map {
+        case MeasureItemRe(f, v, c, as) =>
+          val fn = f.toUpperCase
+          require(v == loopVar,
+            s"MEASURES only supports the loop variable '$loopVar', got '$v'")
+          fn match {
+            case "COUNT" =>
+              require(c == "*", s"use COUNT($loopVar.*), got $c")
+            case "FIRST" | "LAST" =>
+              require(c == idCol,
+                s"$fn supports the id column '$idCol', got '$c'")
+            case _ => ()
+          }
+          (fn, c, as)
+        case item => sys.error(s"unsupported MEASURES item '$item'")
+      }
+    }.getOrElse(Nil)
 }

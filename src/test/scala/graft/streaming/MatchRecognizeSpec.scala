@@ -91,6 +91,41 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("MEASURES compiles to cepKleeneMeasures; match set unchanged") {
+    val clause =
+      """MEASURES COUNT(B.*) AS n_clicks, SUM(B.value) AS sv,
+        |         AVG(B.value) AS av, FIRST(B.event_id) AS f, LAST(B.event_id) AS l
+        |PATTERN (A B+ C)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id", clause)
+    assert(mr.columns.toSeq ==
+      Seq("user_id", "a_id", "c_id", "span_us", "n_clicks", "sv", "av", "f", "l"))
+    val direct = CepOps.cepKleeneMeasures(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 MINUTE", col("value"))
+    assert(rows(mr.select("user_id", "a_id", "n_clicks", "f", "l", "c_id", "sv", "av")) ==
+      rows(direct.select("user_id", "a_id", "n_b", "first_b_id", "last_b_id",
+        "c_id", "sum_b", "avg_b")))
+    // measures must not change WHICH matches exist
+    val plain = CepOps.cepKleene(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 MINUTE")
+    assert(rows(mr.select("user_id", "a_id", "c_id")) ==
+      rows(plain.select("user_id", "a_id", "c_id")))
+    // SUM/AVG over two different columns is rejected
+    intercept[IllegalArgumentException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """MEASURES SUM(B.value) AS s, AVG(B.user_id) AS a
+          |PATTERN (A B+ C)
+          |DEFINE A AS event_type = 'view', B AS event_type = 'click',
+          |       C AS event_type = 'purchase'
+          |WITHIN 360 minutes""".stripMargin)
+    }
+  }
+
   test("malformed clauses fail fast") {
     intercept[RuntimeException] {
       MatchRecognize(ev, "user_id", "ts", "event_id",
