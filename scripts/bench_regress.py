@@ -22,7 +22,14 @@ import subprocess
 import sys
 
 ABS_FLOOR_SEC = 0.25  # ratio on a 0.1 s key is noise by construction
-DRIFT_RATIO = 1.3     # slow-drift alarm: current vs the key's history median
+# Slow-drift alarm: current vs the key's calibration-normalized history
+# median. 1.15 (was 1.3) — Bench's calib_sec key (a fixed pure-CPU loop)
+# lets history rows from faster/slower host eras be rescaled to the
+# current host's speed, so the tighter band no longer false-positives on
+# ambient VM drift; rows without calib_sec (pre-r7) stay unnormalized
+# and keep the old slack via LEGACY_DRIFT_RATIO.
+DRIFT_RATIO = 1.15
+LEGACY_DRIFT_RATIO = 1.3
 QUIET_STEAL_MAX = 500  # jiffies; noisier runs are diffed but not recorded
 
 
@@ -75,22 +82,39 @@ def drift_check(history_path, cur, label):
     except FileNotFoundError:
         pass
     drifts = []
+    cur_calib = cur.get("calib_sec")
     for k, sec in cur["queries"].items():
-        past = sorted(h["queries"][k] for h in hist if k in h.get("queries", {}))
+        # rescale each history row to the CURRENT host's measured speed
+        # (row_sec * cur_calib / row_calib); rows without calib_sec are
+        # kept as-is and the comparison falls back to the looser ratio
+        past, normalized = [], True
+        for h in hist:
+            if k in h.get("queries", {}):
+                row_calib = h.get("calib_sec")
+                if cur_calib and row_calib:
+                    past.append(h["queries"][k] * cur_calib / row_calib)
+                else:
+                    past.append(h["queries"][k])
+                    normalized = False
+        past.sort()
+        ratio_bound = DRIFT_RATIO if normalized else LEGACY_DRIFT_RATIO
         if len(past) >= 2 and sec > ABS_FLOOR_SEC:
             mid = len(past) // 2
             med = (past[mid] if len(past) % 2 == 1
                    else (past[mid - 1] + past[mid]) / 2.0)
-            if med > 0 and sec > DRIFT_RATIO * med:
+            if med > 0 and sec > ratio_bound * med:
                 drifts.append({"key": k, "history_median_sec": round(med, 3),
                                "run_sec": sec,
                                "ratio": round(sec / med, 2),
+                               "ratio_bound": ratio_bound,
+                               "calib_normalized": normalized,
                                "n_history_rounds": len(past)})
     steal = cur.get("steal_jiffies")
     if steal is None or steal <= QUIET_STEAL_MAX:
         with open(history_path, "a") as f:
             f.write(json.dumps({"label": label, "total": cur.get("total"),
                                 "steal_jiffies": steal,
+                                "calib_sec": cur_calib,
                                 "queries": cur["queries"]}) + "\n")
     return drifts
 

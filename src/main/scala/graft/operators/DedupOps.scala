@@ -427,6 +427,83 @@ object DedupOps {
     *   strings swap the token signature for PassJoin's d+1-segment
     *   signatures; the operator shape (signature explode → block join →
     *   verify) is unchanged. */
+  /** EXACT edit-distance self-join — every pair within `maxDist`, no
+    * recall caveat — via PassJoin segment signatures (Li, Deng & Feng,
+    * "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2011): partition each string into `maxDist+1` segments; if
+    * `lev(a,b) ≤ d` then (pigeonhole over the ≤ d edits) at least one
+    * segment of the SHORTER string occurs VERBATIM in the longer one,
+    * shifted at most ±d from its home position. So each string indexes
+    * its own segments, generates the bounded substring probes for every
+    * admissible partner length, and the equi-join on
+    * `(partner_len, seg_idx, substring)` yields a complete candidate
+    * set — `levenshtein` then verifies exactly. Returns
+    * `(ai, bi, a_s, b_s, dist)`, `ai < bi`.
+    *
+    * Strings of length ≤ `maxDist` are excluded (their segments would
+    * be empty and match vacuously); pair them by brute force against
+    * the short-string band if they matter.
+    *
+    * @note scale: per string the probe fan-out is bounded by
+    *   `(d+1)²·(2d+1)` substrings (d=2 → 45) — constant, independent of
+    *   corpus size; the equi-join hash-partitions on the signature, so
+    *   unlike the token-blocked [[editSimilarityJoin]] there is no df
+    *   hot-block risk beyond true near-duplicate mass, and no recall
+    *   loss. This is the 100 TB-safe form; the oracle key checks it
+    *   against a brute-force all-pairs restatement. */
+  def editJoinExact(df: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", strCol: String = "text"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val k = d + 1
+    val s = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")).cast("int"))
+      .filter(col("len") > d)
+    // segmentation of a length-L string into k parts, lengths differing
+    // by <= 1 (short segments first): seg j has
+    //   len_j   = L div k + (1 if j >= k - L%k else 0)
+    //   start_j = 1 + j*(L div k) + max(0, j - (k - L%k))
+    def segLen(l: String, j: String) =
+      s"(($l div $k) + IF($j >= $k - ($l % $k), 1, 0))"
+    def segStart(l: String, j: String) =
+      s"(1 + $j * ($l div $k) + GREATEST(0, $j - ($k - ($l % $k))))"
+    // index side: own segments
+    val segs = s
+      .select(col("id").as("aid"), col("s").as("a_s"), col("len").as("la"),
+        explode(expr(
+          s"""transform(sequence(0, $d), j -> struct(
+             |  j AS i,
+             |  substring(s, ${segStart("len", "j")}, ${segLen("len", "j")}) AS sub))"""
+            .stripMargin)).as("g"))
+      .select(col("aid"), col("a_s"), col("la"), col("g.i"), col("g.sub"))
+    // probe side: for every admissible (shorter-or-equal) partner
+    // length la, the substrings of each segment length at home ± d
+    val subs = s
+      .select(col("id").as("bid"), col("s").as("b_s"), col("len").as("lb"),
+        explode(expr(
+          s"""flatten(transform(sequence(GREATEST(${d + 1}, len - $d), len), la ->
+             |  flatten(transform(sequence(0, $d), j ->
+             |    transform(sequence(
+             |        GREATEST(1, ${segStart("la", "j")} - $d),
+             |        LEAST(len - ${segLen("la", "j")} + 1, ${segStart("la", "j")} + $d)),
+             |      p -> struct(
+             |        la AS la,
+             |        j AS i,
+             |        substring(s, p, ${segLen("la", "j")}) AS sub))))))"""
+            .stripMargin)).as("g"))
+      .select(col("bid"), col("b_s"), col("g.la"), col("g.i"), col("g.sub"))
+    val cand = segs.join(subs, Seq("la", "i", "sub"))
+      .filter(col("aid") =!= col("bid"))
+      .select(least(col("aid"), col("bid")).as("ai"),
+        greatest(col("aid"), col("bid")).as("bi"),
+        when(col("aid") < col("bid"), col("a_s")).otherwise(col("b_s")).as("a_s"),
+        when(col("aid") < col("bid"), col("b_s")).otherwise(col("a_s")).as("b_s"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .filter(col("dist") <= d)
+  }
+
   def editSimilarityJoin(df: DataFrame, maxDist: Int,
       idCol: String = "doc_id", strCol: String = "text",
       dfCap: Int = 1000): DataFrame = {

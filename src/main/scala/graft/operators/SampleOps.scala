@@ -90,6 +90,40 @@ object SampleOps {
       .orderBy(col("priority").desc, col(idCol))
       .limit(n)
 
+  /** Leakage-free GROUP-level train/val/test split: every row of a
+    * group (source domain, site, author…) lands in the SAME split,
+    * because the assignment hashes the GROUP key, not the row —
+    * the standard guard against near-duplicate leakage across splits
+    * (row-level splits put doc and near-dup on opposite sides and leak
+    * eval into train). `splits` are `(label, fraction)`, fractions
+    * summing to 1; assignment thresholds use exact micro-units of the
+    * portable [[graft.functions.Hashes.polyHash]], so the split is a
+    * pure engine-independent function of (group, salt).
+    *
+    * @note scale: one narrow projection — no shuffle, no group
+    *   materialization; rebalancing or re-salting is a constant-time
+    *   recipe change, not a data move. */
+  def groupSplit(df: DataFrame, splits: Seq[(String, Double)],
+      groupCol: String = "source", salt: String = "#split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cum = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 1000000)
+    }.tail
+    val bucket = pmod(
+      graft.functions.Hashes.polyHash(concat(col(groupCol), lit(salt))),
+      lit(1000000L))
+    val assign = splits.zip(cum).init.foldRight(
+      lit(splits.last._1): Column) { case (((label, _), hi), rest) =>
+      when(bucket < lit(hi), lit(label)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** DuckDB fragment for [[groupSplit]]'s bucket. */
+  def oGroupBucket(group: String, salt: String = "#split"): String =
+    s"(${graft.functions.Hashes.oPolyHash(s"$group || '$salt'")} % 1000000)"
+
   /** DuckDB fragment computing [[prioritySample]]'s priority. */
   def oPriority(w: String, id: String, salt: Long = 0L): String =
     s"(CAST(CAST($w AS BIGINT) * $M AS DOUBLE) / CAST(${oIdHash(id, salt)} + 1 AS DOUBLE))"

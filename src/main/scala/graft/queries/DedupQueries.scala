@@ -307,7 +307,29 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** EXACT edit-distance join ([[DedupOps.editJoinExact]], PassJoin
+    * segment signatures, d=2) — unlike [[editJoin]]'s token-blocking
+    * contract, this finds EVERY pair within distance 2, and the oracle
+    * is a genuinely independent brute-force all-pairs levenshtein (no
+    * blocking logic restated), so the hash gate certifies the
+    * signature scheme's completeness end to end. */
+  private val editJoinExact = Q(
+    "llm_edit_join_exact",
+    """WITH named AS (SELECT min(p_partkey) AS id, p_name AS s
+      |    FROM part GROUP BY p_name)
+      |SELECT a.id AS ai, b.id AS bi, a.s AS a_s, b.s AS b_s,
+      |       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM named a JOIN named b ON a.id < b.id
+      |WHERE levenshtein(a.s, b.s) <= 2
+      |ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    val named = Tables.part(s, d).groupBy("p_name")
+      .agg(min("p_partkey").as("id"))
+      .select(col("id").as("doc_id"), col("p_name").as("text"))
+    graft.operators.DedupOps.editJoinExact(named, maxDist = 2)
+      .orderBy("ai", "bi")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
-    editJoin)
+    editJoin, editJoinExact)
 }

@@ -134,6 +134,22 @@ object SampleQueries {
       .orderBy(col("priority").desc, col("doc_id"))
   }
 
+  /** Leakage-free grouped train/val/test split
+    * ([[SampleOps.groupSplit]], 80/10/10 by source): every document of
+    * a source lands in the same split — the near-dup-leakage guard. The
+    * oracle recomputes the group-hash bucket thresholds exactly. */
+  private val groupSplit = Q(
+    "llm_group_split",
+    s"""SELECT doc_id, source,
+       |  CASE WHEN ${SampleOps.oGroupBucket("source")} < 800000 THEN 'train'
+       |       WHEN ${SampleOps.oGroupBucket("source")} < 900000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    SampleOps.groupSplit(Tables.documents(s, d),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "split").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(sampleHash, sampleMixture, sampleStratified,
-    sampleTemperature, epochShuffle, domainMix, sampleWeighted)
+    sampleTemperature, epochShuffle, domainMix, sampleWeighted, groupSplit)
 }

@@ -58,6 +58,38 @@ class Round8OpsSpec extends SparkSpec {
       "no shared token ⇒ out of contract even within maxDist")
   }
 
+  test("editJoinExact: PassJoin signatures find EVERY pair ≤ d (vs brute force)") {
+    val sp = spark
+    import sp.implicits._
+    // synthetic corpus exercising substitutions, inserts, deletes and
+    // shifted regions; base words over a 3-letter alphabet keep true
+    // pairs plentiful
+    val words = (0 until 300).map { i =>
+      val base = Integer.toString(i % 81 + 81, 3).map(c => ('a' + (c - '0')).toChar)
+      val s = i / 81 match {
+        case 0 => base.mkString                  // original
+        case 1 => base.drop(1).mkString          // delete front (shift)
+        case 2 => base.mkString + "x"            // append
+        case _ => (base.updated(1, 'z')).mkString // substitute
+      }
+      (i.toLong, s)
+    }
+    val df = words.toDF("doc_id", "text")
+    val fast = DedupOps.editJoinExact(df, maxDist = 2)
+      .select("ai", "bi", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        length(col("a.text")) > 2 && length(col("b.text")) > 2)
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
+      .filter(col("dist") <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture must contain true pairs")
+    assert(fast == brute,
+      s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+  }
+
   test("GROUPS frame emulation equals an independent peer-aggregate strategy") {
     import org.apache.spark.sql.expressions.Window
     val out = graft.SparkEntry.queries("window_groups_frame")(spark, sf)
@@ -77,6 +109,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.count() == expected.count())
     assert(out.except(expected).isEmpty && expected.except(out).isEmpty,
       "dense_rank+RANGE emulation must equal the peer-aggregate strategy")
+  }
+
+  test("groupSplit: whole groups per split, proportions near fractions") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 5000L).map(id => (id, s"grp${id % 500}"))
+      .toDF("doc_id", "source")
+    val out = SampleOps.groupSplit(df, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // leakage check: a group never straddles two splits
+    val straddle = out.groupBy("source")
+      .agg(countDistinct("split").as("d")).filter(col("d") > 1).count()
+    assert(straddle == 0, "every group must land in exactly one split")
+    // 500 Bernoulli(0.8) groups: 5-sigma band around 400
+    val byLabel = out.select("source", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLabel("train") - 400L) <= 45,
+      s"train groups ${byLabel("train")} far from 400")
+    assert(byLabel.values.sum == 500L)
   }
 
   test("tumbling offset: every window start sits on the :15 grid") {
