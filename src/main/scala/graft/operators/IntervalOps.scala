@@ -67,4 +67,74 @@ object IntervalOps {
           .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
       .drop("__prev")
   }
+
+  /** Gap-AND-duration sessionization: a session breaks when the gap
+    * from the previous event exceeds `gapUs` OR when the event would
+    * stretch the session past `capUs` from its first event (Flink
+    * users build exactly this cap with a ProcessFunction on top of
+    * session windows — billing sessions, bounded-replay sessions).
+    * The cap makes the assignment a CHAIN (each break point depends on
+    * the session's start, which depends on earlier breaks), so unlike
+    * [[sessionIds]] no window frame expresses it: events fold per key
+    * in time order with O(1) carried state. Returns
+    * `(key, id, session_id)` with sessions numbered 1..k per key.
+    *
+    * @note scale: one shuffle (groupByKey); the fold buffers one KEY's
+    *   events for the in-memory sort — same bound as any per-key
+    *   sessionization; for keys too hot for that, pre-split by day and
+    *   stitch boundary sessions. */
+  def sessionIdsCapped(df: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, gapUs: Long, capUs: Long): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(keyCol).cast("long"), col(tsUsCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        var sid = 0
+        var sessionStart = Long.MinValue
+        var prevTs = Long.MinValue
+        it.toArray.sortBy(e => (e._2, e._3)).iterator.map { case (_, ts, id) =>
+          if (sid == 0 || ts - prevTs > gapUs || ts - sessionStart > capUs) {
+            sid += 1
+            sessionStart = ts
+          }
+          prevTs = ts
+          (k, id, sid)
+        }
+      }
+      .toDF(keyCol, idCol, "session_id")
+  }
+
+  /** Time-series GAP FILLING: hourly aggregate per group with EMPTY
+    * buckets materialized (n=0, sum=0) over the corpus's [min, max]
+    * hour grid — dashboards and window-over-window arithmetic need the
+    * zero rows that a plain GROUP BY drops. The grid is generated, not
+    * stored: one global (min, max) row expands via `sequence()` and
+    * cross-joins the distinct group values, then the real aggregate
+    * left-joins on. Returns `(ws, <groupCol>, n, sum_value)`.
+    *
+    * @note scale: the aggregate is the usual hash agg; the grid side is
+    *   #hours × #groups rows built from a one-row bound — broadcast it
+    *   and the fill join is shuffle-free on the agg side. A year of
+    *   hours × 10⁴ groups is ~10⁸ grid rows — still far below the
+    *   event count that made the aggregate worth running; for sparser
+    *   grids switch the grain or bound per group. */
+  def gapFillHourly(df: DataFrame, tsCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val agg = df
+      .groupBy(date_trunc("hour", col(tsCol)).as("ws"), col(groupCol))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col(valueCol)).as("sum_value"))
+    val bounds = df.agg(
+      date_trunc("hour", min(col(tsCol))).as("lo"),
+      date_trunc("hour", max(col(tsCol))).as("hi"))
+    val grid = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("ws"))
+      .crossJoin(df.select(col(groupCol)).distinct())
+    grid.join(agg, Seq("ws", groupCol), "left")
+      .select(col("ws"), col(groupCol),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
 }

@@ -308,6 +308,32 @@ object ExtendedQueries {
       .orderBy("user_id", "version")
   }
 
+  /** Time-series gap filling ([[graft.operators.IntervalOps.gapFillHourly]]):
+    * hourly count+sum per event_type INCLUDING the zero rows for empty
+    * hours — the generated-grid left-join that dashboards and
+    * window-over-window arithmetic need; the oracle builds the same
+    * grid with generate_series. */
+  private val aggGapFill = Q(
+    "agg_gap_fill",
+    s"""WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+       |                 date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+       |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM b),
+       |t AS (SELECT DISTINCT event_type FROM events),
+       |a AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+       |        count(*) AS n, ${Det.osum("value")} AS sv
+       |      FROM events GROUP BY 1, 2)
+       |SELECT CAST(g.ws AS VARCHAR) AS ws, t.event_type AS event_type,
+       |  COALESCE(a.n, 0) AS n, COALESCE(a.sv, 0.0) AS sum_value
+       |FROM g CROSS JOIN t
+       |LEFT JOIN a ON a.ws = g.ws AND a.event_type = t.event_type
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.operators.IntervalOps.gapFillHourly(Tables.events(s, d),
+        tsCol = "ts", groupCol = "event_type", valueCol = "value")
+      .select(col("ws").cast("string").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
   /** Interval merging ([[graft.operators.IntervalOps.mergeIntervals]]):
     * each event opens a 30-minute activity lease; overlapping leases
     * per user merge into coverage islands — the explicit-interval
@@ -666,6 +692,43 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Gap+duration-capped sessionization
+    * ([[graft.operators.IntervalOps.sessionIdsCapped]], 30 min gap,
+    * 3 h cap): the cap chains each break to the session's start, so no
+    * window frame expresses it — the Spark side is a keyed O(1)-state
+    * fold, and the oracle walks the SAME chain with a per-key recursive
+    * CTE over session starts: genuinely different strategies, equal
+    * rows. */
+  private val stateSessionCapped = Q(
+    "state_session_capped",
+    """WITH RECURSIVE
+      |e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts), event_id) AS pos
+      |      FROM events),
+      |g AS (SELECT e.*, t - lag(t) OVER (PARTITION BY user_id ORDER BY pos) AS gap
+      |      FROM e),
+      |s AS (
+      |  SELECT user_id, pos AS spos, t AS st FROM g WHERE pos = 1
+      |  UNION ALL
+      |  SELECT g2.user_id, g2.pos AS spos, g2.t AS st
+      |  FROM s JOIN g g2 ON g2.user_id = s.user_id
+      |  WHERE g2.pos = (SELECT min(g3.pos) FROM g g3
+      |      WHERE g3.user_id = s.user_id AND g3.pos > s.spos
+      |        AND (g3.gap > 1800000000 OR g3.t - s.st > 10800000000)))
+      |SELECT e.user_id, e.event_id,
+      |  CAST((SELECT count(*) FROM s
+      |        WHERE s.user_id = e.user_id AND s.spos <= e.pos) AS INT) AS session_id
+      |FROM e ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.operators.IntervalOps.sessionIdsCapped(ev, keyCol = "user_id",
+        tsUsCol = "ts_us", idCol = "event_id",
+        gapUs = 1800000000L, capUs = 10800000000L)
+      .orderBy("user_id", "event_id")
+  }
+
   /** Conditional MERGE ([[graft.operators.DiffOps.mergeNewer]]): the
     * events changelog split by event-id parity into two compacted
     * halves, then merged update-if-newer — for every key the merge must
@@ -1002,5 +1065,5 @@ object ExtendedQueries {
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
-    aggBool, windowLocf, enrichAsync)
+    aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped)
 }

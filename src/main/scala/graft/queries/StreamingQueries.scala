@@ -653,6 +653,25 @@ object StreamingQueries {
     out.orderBy("user_id", "a_id")
   }
 
+  /** MEASURES on the REAL streaming path: the
+    * [[graft.streaming.StreamOps.cepKleeneMeasuresStream]] automaton —
+    * O(1) state carrying the run aggregate as exact decimal micro-units
+    * — replayed through 5 event-time-ordered micro-batches, against
+    * the SAME oracle as the batch [[cepMeasures]]; no flush needed
+    * (an unterminated run is unmatched in both forms). */
+  private val streamMeasuresReplay = Q(
+    "stream_measures_replay", cepMeasures.oracle.get) { (s, d) =>
+    val out = graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.cepKleeneMeasuresStream(ev, "user_id", "ts",
+        "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase",
+        withinUs = 360L * 60L * 1000000L, valueCol = col("value")).toDF())(
+      _ => { val sp = s; import sp.implicits._
+        sp.emptyDataset[graft.streaming.KleeneMeasuresMatch] })
+    out.orderBy("user_id", "a_id")
+  }
+
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
@@ -820,6 +839,7 @@ object StreamingQueries {
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
     cepKleeneUntil, streamKleeneReplay, streamOverReplay, cepMeasures,
+    streamMeasuresReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
     streamSkipnextReplay)
 }

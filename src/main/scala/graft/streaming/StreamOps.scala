@@ -30,6 +30,18 @@ case class KleeneState(prev: String, aId: Long, aTsUs: Long,
     firstB: Long, lastB: Long, nB: Long, lastBTsUs: Long = 0L)
 case class KleeneMatch(user_id: Long, a_id: Long, n_b: Long,
     first_b_id: Long, last_b_id: Long, c_id: Long, span_us: Long)
+/** [[StreamOps.cepKleeneMeasuresStream]] rows: the [[KleeneState]]
+  * automaton plus the run's MEASURES accumulator — `sumB6` is the
+  * exact decimal(18,6) sum of the loop events' value as micro-units
+  * (×10⁶ long), so streaming and batch sums are bit-identical. */
+case class KleeneMEvent(k: Long, ts_us: Long, event_id: Long, cls: String,
+    v6: Long)
+case class KleeneMState(prev: String, aId: Long, aTsUs: Long,
+    runActive: Boolean, runAId: Long, runATsUs: Long,
+    firstB: Long, lastB: Long, nB: Long, sumB6: Long)
+case class KleeneMeasuresMatch(user_id: Long, a_id: Long, c_id: Long,
+    span_us: Long, n_clicks: Long, sum_value: Double, avg_value: Double,
+    first_click: Long, last_click: Long)
 /** [[StreamOps.cepKleeneUntilStream]] output — no terminator id: the
   * until-event stops the loop but is outside the match. */
 case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
@@ -523,6 +535,69 @@ object StreamOps {
                 out += KleeneMatch(key, st.runAId, st.nB, st.firstB,
                   st.lastB, e.event_id, e.ts_us - st.runATsUs)
               st = KleeneState("C", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of [[CepOps.cepKleeneMeasures]] — the
+    * [[cepKleeneStream]] automaton carrying the MEASURES accumulator:
+    * each loop event folds its value into the run state as an exact
+    * decimal(18,6) micro-unit long, and emission rounds exactly the way
+    * the batch form does (`round(dec, 4)` for the sum; decimal→double
+    * cast then `round(double, 4)` for the mean — both via the same
+    * `BigDecimal HALF_UP` Spark `round` implements). Still O(1) state
+    * per key: the run aggregate is three numbers, not the run's rows.
+    *
+    * @note scale: identical shape to [[cepKleeneStream]] — one keyed
+    *   state row per key; the measures add two longs to it. */
+  def cepKleeneMeasuresStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      withinUs: Long, valueCol: Column): Dataset[KleeneMeasuresMatch] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    def r4(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    ev.withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"), col("__cls").as("cls"),
+        (valueCol.cast("decimal(18,6)") * lit(1000000L)).cast("long").as("v6"))
+      .as[KleeneMEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[KleeneMState, KleeneMeasuresMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var st = state.getOption.getOrElse(
+          KleeneMState("", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[KleeneMeasuresMatch]
+        it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          e.cls match {
+            case "A" =>
+              st = KleeneMState("A", e.event_id, e.ts_us,
+                runActive = false, 0L, 0L, 0L, 0L, 0L, 0L)
+            case "B" =>
+              st =
+                if (st.runActive)
+                  st.copy(prev = "B", lastB = e.event_id, nB = st.nB + 1,
+                    sumB6 = st.sumB6 + e.v6)
+                else if (st.prev == "A")
+                  KleeneMState("B", 0L, 0L, runActive = true,
+                    st.aId, st.aTsUs, e.event_id, e.event_id, 1L, e.v6)
+                else st.copy(prev = "B")
+            case _ => // "C"
+              if (st.runActive && e.ts_us <= st.runATsUs + withinUs) {
+                val sumDec = java.math.BigDecimal.valueOf(st.sumB6, 6)
+                out += KleeneMeasuresMatch(key, st.runAId, e.event_id,
+                  e.ts_us - st.runATsUs, st.nB,
+                  sumDec.setScale(4, java.math.RoundingMode.HALF_UP).doubleValue,
+                  r4(sumDec.doubleValue / st.nB),
+                  st.firstB, st.lastB)
+              }
+              st = KleeneMState("C", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L, 0L)
           }
         }
         state.update(st)

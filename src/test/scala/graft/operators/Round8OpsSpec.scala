@@ -130,6 +130,42 @@ class Round8OpsSpec extends SparkSpec {
     assert(byLabel.values.sum == 500L)
   }
 
+  test("sessionIdsCapped: refines gap sessions; span never exceeds the cap") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val gap = 1800000000L
+    val cap = 10800000000L
+    val capped = IntervalOps.sessionIdsCapped(ev, "user_id", "ts_us",
+      "event_id", gap, cap)
+    val plain = IntervalOps.sessionIds(ev, Seq("user_id"), "ts_us",
+      "event_id", gap).select("user_id", "event_id", "session_id")
+    // cap bound: no capped session spans more than capUs
+    val spans = capped.join(ev, Seq("user_id", "event_id"))
+      .groupBy("user_id", "session_id")
+      .agg((max("ts_us") - min("ts_us")).as("span"))
+    assert(spans.filter(col("span") > cap).count() == 0, "cap violated")
+    // refinement: the capped assignment has at least as many sessions,
+    // and two events in one capped session are always in one plain session
+    val joined = capped.withColumnRenamed("session_id", "c")
+      .join(plain.withColumnRenamed("session_id", "p"), Seq("user_id", "event_id"))
+    val coarser = joined.groupBy("user_id", "c")
+      .agg(countDistinct("p").as("np")).filter(col("np") > 1).count()
+    assert(coarser == 0, "a capped session must sit inside one gap session")
+    assert(capped.groupBy("user_id").agg(max("session_id")).collect().map(_.getInt(1)).sum >=
+      plain.groupBy("user_id").agg(max("session_id")).collect().map(_.getInt(1)).sum)
+  }
+
+  test("gapFillHourly: grid complete, zero rows for empty buckets, mass preserved") {
+    val out = IntervalOps.gapFillHourly(Tables.events(spark, sf),
+      "ts", "event_type", "value")
+    val hours = out.select("ws").distinct().count()
+    val types = out.select("event_type").distinct().count()
+    assert(out.count() == hours * types, "grid must be complete")
+    val n = out.agg(sum("n")).head().getLong(0)
+    assert(n == Tables.events(spark, sf).count(), "event mass preserved")
+    assert(out.filter(col("n") === 0 && col("sum_value") =!= 0.0).count() == 0)
+  }
+
   test("tumbling offset: every window start sits on the :15 grid") {
     val ws = graft.SparkEntry.queries("stream_tumbling_offset")(spark, sf)
       .select(minute(col("ws").cast("timestamp")).as("m")).distinct()

@@ -64,4 +64,27 @@ class CepKleeneSpec extends SparkSpec {
     assert(m.forall(r => (r.getLong(2) == 1L) == (r.getLong(3) == r.getLong(4))))
     assert(m.forall(_.getLong(6) <= withinUs), "span bound")
   }
+
+  test("measures streamed replay equals the batch cepKleeneMeasures") {
+    import spark.implicits._
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepKleeneMeasuresStream(ev, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", withinUs = withinUs,
+        valueCol = col("value")))(
+      _ => spark.emptyDataset[KleeneMeasuresMatch])
+    val batch = CepOps.cepKleeneMeasures(graft.Tables.events(spark, sf),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", within = "360 minutes",
+        valueCol = col("value"))
+      .select(col("user_id"), col("a_id"), col("c_id"), col("span_us"),
+        col("n_b").as("n_clicks"), col("sum_b").as("sum_value"),
+        col("avg_b").as("avg_value"), col("first_b_id").as("first_click"),
+        col("last_b_id").as("last_click"))
+    val b = rows(batch)
+    assert(b.nonEmpty)
+    assert(rows(streamed.toDF()) == b,
+      "streaming decimal-micro accumulator must match the batch decimal sum bit-for-bit")
+  }
 }
