@@ -29,11 +29,15 @@ import graft.streaming.StreamOps
   * }}}
   */
 object Graft {
-  /** Exact / n-gram / SimHash / MinHash+LSH dedup + component clustering. */
+  /** Exact / n-gram / SimHash / MinHash+LSH dedup, component
+    * clustering, URL canonicalization, edit-distance similarity joins
+    * (token-blocked heuristic + PassJoin-exact). */
   val dedup: DedupOps.type = DedupOps
   /** Brute-force + IVF kNN (fixed or k-means cells), embedding near-dup. */
   val similarity: SimilarityOps.type = SimilarityOps
-  /** Deterministic corpus sampling: fixed-rate + stratified mixture. */
+  /** Deterministic corpus sampling: fixed-rate, stratified/temperature
+    * mixtures, weighted-without-replacement (priority sampling),
+    * leakage-free grouped train/val/test split, epoch shuffle. */
   val sample: SampleOps.type = SampleOps
   /** Bounded-concurrency ordered async enrichment (Flink AsyncFunction). */
   val enrich: EnrichOps.type = EnrichOps
@@ -53,7 +57,8 @@ object Graft {
   val graph: GraphOps.type = GraphOps
   /** Snapshot differencing + SCD2 historization from a changelog. */
   val diff: DiffOps.type = DiffOps
-  /** Interval algebra: per-key interval merging, session-id labeling. */
+  /** Interval algebra: per-key interval merging, session-id labeling
+    * (gap-only and gap+duration-capped), time-series gap filling. */
   val intervals: IntervalOps.type = IntervalOps
   /** Data layout: z-order clustering for multi-dimensional scan pruning. */
   val layout: LayoutOps.type = LayoutOps

@@ -151,4 +151,79 @@ object SketchAggregators {
       ExpressionEncoder[Seq[(String, Long, Long)]]()
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications",
+    * J. Algorithms 2005): `depth × width` counters; each key increments
+    * one counter per row via pairwise-independent hashes
+    * `hᵢ(x) = ((aᵢ·x + bᵢ) mod p) mod width`; a point estimate is the
+    * MIN over its `depth` counters — never an underestimate, over by at
+    * most `e/width · N` with probability `1 − e^-depth`. Partials merge
+    * by elementwise ADD (the canonical mergeable summary), so map-side
+    * combine applies and per-group sketches roll up into corpus
+    * sketches WITHOUT re-reading history — same incremental pattern as
+    * the HLL/KLL keys, for per-key frequencies.
+    *
+    * Deterministic: fixed hash constants, integer arithmetic — a CMS
+    * built on any partitioning of the same multiset is bit-identical
+    * (addition commutes), unlike sampling-based summaries.
+    *
+    * @note scale: the buffer is `depth·width` longs regardless of
+    *   corpus size or key cardinality; the shuffle carries one buffer
+    *   per (partition, group). Estimation reads the merged counters —
+    *   a bounded `depth·width`-long table, broadcast-size. */
+  class CountMin(val depth: Int = 4, val width: Int = 2048)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(depth >= 1 && depth <= CountMin.A.length && width >= 2)
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], x: Long): Array[Long] = {
+      var i = 0
+      while (i < depth) {
+        b(i * width + CountMin.cell(x, i, width)) += 1L
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  object CountMin {
+    /** Modulus 2³¹−1 keeps `a·x` under 2⁶² — exact in BIGINT on any
+      * engine, which is what lets the DuckDB oracle REBUILD the sketch
+      * arithmetic and hash-check the estimates (the opaque-bytes
+      * sketches can't). */
+    val M = 2147483647L
+    val A = Array(1000000007L, 998244353L, 786433L, 104857601L, 479001599L)
+    val B = Array(12345L, 67891L, 13579L, 24680L, 11111L)
+
+    /** Row-i cell index of key `x` — shared by build, estimate and the
+      * oracle restatement: `((aᵢ·(x mod M) + bᵢ) mod M) mod width`. */
+    def cell(x: Long, i: Int, width: Int): Int = {
+      val xm = ((x % M) + M) % M
+      (((A(i) * xm + B(i)) % M) % width).toInt
+    }
+
+    /** Point estimate of `x` from merged counters (depth-major layout). */
+    def estimate(counters: IndexedSeq[Long], depth: Int, width: Int,
+        x: Long): Long = {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val c = counters(i * width + cell(x, i, width))
+        if (c < best) best = c
+        i += 1
+      }
+      best
+    }
+  }
 }

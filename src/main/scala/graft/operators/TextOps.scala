@@ -457,4 +457,47 @@ object TextOps {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("doc_id"), col("tok"), col("tfidf"), col("rk"))
   }
+
+  /** CONTENT-DEFINED chunking (the storage-dedup / FastCDC idea at
+    * token granularity): a chunk boundary falls after token `i`
+    * whenever the rolling hash of the `window`-token context ending at
+    * `i` hits `hash % modulus == 0` — so boundaries are anchored to
+    * CONTENT, not positions, and an insertion near a document's head
+    * shifts only the chunk it lands in, leaving every later chunk (and
+    * its hash) byte-identical. That's the property position-based
+    * chunking ([[PackOps.chunk]]) lacks, and what makes sub-document
+    * dedup work: shared plagiarized/boilerplate spans produce EQUAL
+    * `chunk_hash` values across documents regardless of where they sit.
+    * Expected chunk length ≈ `modulus` tokens. Emits
+    * `(doc_id, chunk_id, start_tok, end_tok, n_tok, chunk_hash)`;
+    * documents shorter than `window` are dropped.
+    *
+    * @note scale: pure per-row HOF + native `poly_hash` arithmetic —
+    *   no shuffle, no UDF; the downstream dedup is a groupBy on
+    *   chunk_hash with true-duplicate-mass skew only. No min/max chunk
+    *   guards here (the fixture's docs are short); production CDC adds
+    *   them to bound the tail — a one-line `least/greatest` change. */
+  def cdcChunks(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 3,
+      modulus: Int = 8): DataFrame = {
+    val w = window
+    val m = modulus
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= w)
+      .withColumn("bp", expr(
+        s"""filter(transform(sequence($w, n), i ->
+           |  IF(poly_hash(concat_ws(' ', slice(t, i - ${w - 1}, $w))) % $m = 0,
+           |     i, CAST(NULL AS INT))), x -> x IS NOT NULL)""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), transform(bp, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bp, array(n))"))
+      .select(col("doc_id"), col("t"),
+        posexplode(arrays_zip(col("starts"), col("ends"))).as(Seq("chunk_id", "sp")))
+      .filter(col("sp.starts") <= col("sp.ends"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("sp.starts").as("start_tok"), col("sp.ends").as("end_tok"),
+        (col("sp.ends") - col("sp.starts") + 1).as("n_tok"),
+        expr("poly_hash(concat_ws(' ', slice(t, sp.starts, sp.ends - sp.starts + 1)))")
+          .as("chunk_hash"))
+  }
 }

@@ -886,6 +886,60 @@ object ExtendedQueries {
       sum(col("n_rows")).as("total_rows"))
   }
 
+  /** Mergeable COUNT-MIN sketch
+    * ([[graft.functions.SketchAggregators.CountMin]]) — per-key
+    * frequencies, the capability HLL (distincts) and KLL (quantiles)
+    * don't cover: per-orderstatus sketches of o_custkey built
+    * independently, merged DECLARATIVELY (posexplode + sum — counter
+    * addition is the merge), then point-estimated for 5 probe
+    * customers. Unlike the DataSketches keys this sketch's arithmetic
+    * is engine-portable integers, so the DuckDB oracle REBUILDS the
+    * counters and hash-checks the estimates exactly — a fully
+    * oracle-verified approximate structure.
+    *
+    * @note scale: buffers are depth·width longs per group however many
+    *   rows stream in; the merge is a width-bounded shuffle; per-day
+    *   sketches roll up without re-reading history. */
+  private val aggCmsMergeable = Q(
+    "agg_cms_mergeable",
+    """WITH consts(i, a, b) AS (VALUES
+      |    (0, 1000000007, 12345), (1, 998244353, 67891),
+      |    (2, 786433, 13579), (3, 104857601, 24680)),
+      |probes(k) AS (VALUES (0), (1), (2), (3), (4)),
+      |per AS (SELECT c.i,
+      |    ((CAST(c.a AS BIGINT) * (o.o_custkey % 2147483647) + c.b) % 2147483647) % 2048 AS cell,
+      |    count(*) AS n
+      |  FROM orders o CROSS JOIN consts c GROUP BY 1, 2),
+      |pc AS (SELECT c.i, p.k,
+      |    ((CAST(c.a AS BIGINT) * (p.k % 2147483647) + c.b) % 2147483647) % 2048 AS cell
+      |  FROM consts c CROSS JOIN probes p)
+      |SELECT CAST(pc.k AS BIGINT) AS o_custkey,
+      |  CAST(min(COALESCE(per.n, 0)) AS BIGINT) AS est_n
+      |FROM pc LEFT JOIN per ON per.i = pc.i AND per.cell = pc.cell
+      |GROUP BY pc.k ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val depth = 4
+    val width = 2048
+    val cms = new SketchAggregators.CountMin(depth, width)
+    val per = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(cms.toColumn.name("sk"))
+      .toDF("o_orderstatus", "sk")
+    val merged = per
+      .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .groupBy("pos").agg(sum("cnt").as("cnt"))
+    val probeCells = (for { k <- 0L to 4L; i <- 0 until depth }
+      yield (k, i * width + SketchAggregators.CountMin.cell(k, i, width)))
+      .toDF("o_custkey", "pos")
+    probeCells.join(merged, "pos")
+      .groupBy("o_custkey").agg(min("cnt").as("est_n"))
+      .orderBy("o_custkey")
+  }
+
   /** Theta-sketch SET OPERATIONS on distinct counts (Spark 4.1
     * DataSketches builtins) — the capability HLL cannot provide:
     * "distinct users who clicked AND purchased / clicked but never
@@ -1065,5 +1119,6 @@ object ExtendedQueries {
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
-    aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped)
+    aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
+    aggCmsMergeable)
 }

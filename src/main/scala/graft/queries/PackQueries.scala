@@ -46,5 +46,33 @@ object PackQueries {
     PackOps.packBins(docs, budget = 512).orderBy("source", "doc_id")
   }
 
-  val all: Seq[Q] = Seq(chunk, seqPack)
+  /** Content-defined chunking ([[graft.operators.TextOps.cdcChunks]],
+    * 3-token rolling window, modulus 8): boundaries anchored to content
+    * so shared spans chunk identically across documents — the
+    * sub-document dedup primitive; the oracle restates the rolling-hash
+    * boundary rule and every chunk hash. */
+  private val cdcChunks = Q(
+    "llm_cdc_chunks",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |b AS (SELECT doc_id, t, len(t) AS n,
+       |    list_filter(list_transform(range(3, len(t) + 1), i ->
+       |      CASE WHEN ${graft.functions.Hashes.oPolyHash("array_to_string(t[i-2:i], ' ')")} % 8 = 0
+       |           THEN i END), x -> x IS NOT NULL) AS bp
+       |  FROM toks WHERE len(t) >= 3),
+       |s AS (SELECT doc_id, t, n,
+       |    list_prepend(1, list_transform(bp, x -> x + 1)) AS starts,
+       |    list_append(bp, n) AS ends FROM b),
+       |c AS (SELECT doc_id, CAST(j AS INT) AS chunk_id,
+       |    starts[j + 1] AS st, ends[j + 1] AS en, t
+       |  FROM s, unnest(range(len(starts))) AS u(j))
+       |SELECT doc_id, chunk_id, CAST(st AS INT) AS start_tok,
+       |  CAST(en AS INT) AS end_tok, CAST(en - st + 1 AS INT) AS n_tok,
+       |  ${graft.functions.Hashes.oPolyHash("array_to_string(t[st:en], ' ')")} AS chunk_hash
+       |FROM c WHERE st <= en
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    graft.operators.TextOps.cdcChunks(Tables.documents(s, d))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val all: Seq[Q] = Seq(chunk, seqPack, cdcChunks)
 }

@@ -166,6 +166,64 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.filter(col("n") === 0 && col("sum_value") =!= 0.0).count() == 0)
   }
 
+  test("CountMin: never underestimates, error-bounded, merge == direct") {
+    import graft.functions.SketchAggregators
+    import graft.functions.SketchAggregators.CountMin
+    val sp = spark
+    import sp.implicits._
+    val depth = 4
+    val width = 256
+    // skewed multiset: key k appears k+1 times, 200 keys, N = 20100
+    val rows = (0L until 200L).flatMap(k => Seq.fill(k.toInt + 1)(k))
+    val df = rows.map(k => (if (k % 2 == 0) "a" else "b", k)).toDF("g", "k")
+    val cms = new SketchAggregators.CountMin(depth, width)
+    val per = df.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(cms.toColumn.name("sk")).toDF("g", "sk")
+    val merged = per.select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .groupBy("pos").agg(sum("cnt").as("cnt"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toIndexedSeq
+    val direct = df.select("k").as[Long].select(cms.toColumn.name("sk"))
+      .head().toIndexedSeq
+    assert(merged == direct, "per-group merge must equal the single-pass sketch")
+    val n = rows.length
+    val eps = math.E / width
+    for (k <- 0L until 200L) {
+      val exact = k + 1
+      val est = CountMin.estimate(merged, depth, width, k)
+      assert(est >= exact, s"CMS underestimated key $k: $est < $exact")
+      assert(est <= exact + (3 * eps * n).toLong,
+        s"key $k estimate $est beyond 3x eps*N bound over $exact")
+    }
+  }
+
+  test("cdcChunks: boundaries are content-anchored — head insertion leaves the tail chunks identical") {
+    val sp = spark
+    import sp.implicits._
+    // unique tokens => unique chunk contents => set comparisons are exact
+    val base = (0 until 60).map(i => s"w$i")
+    val df = Seq(
+      (1L, base.mkString(" ")),
+      (2L, ("zzz" +: base).mkString(" "))).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(df)
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
+    val h1 = ch(1L)
+    val h2 = ch(2L)
+    assert(h1.size >= 3, s"doc should split into several chunks, got ${h1.size}")
+    // every chunk after the perturbed head must survive the insertion
+    val shared = h1.toSet.intersect(h2.toSet).size
+    assert(shared >= h1.size - 2,
+      s"only $shared of ${h1.size} chunks survived a head insertion")
+    // the position-based chunker has no such stability: same perturbation,
+    // (almost) no chunk of doc1 reappears verbatim in doc2
+    val fixed = PackOps.chunk(df, size = 16, overlap = 4)
+      .select("doc_id", "chunk_text").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val fixedShared = fixed(1L).intersect(fixed(2L)).size
+    assert(fixedShared < shared,
+      "content-defined chunking must beat position-based chunking under shifts")
+  }
+
   test("tumbling offset: every window start sits on the :15 grid") {
     val ws = graft.SparkEntry.queries("stream_tumbling_offset")(spark, sf)
       .select(minute(col("ws").cast("timestamp")).as("m")).distinct()
