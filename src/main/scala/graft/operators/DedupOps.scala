@@ -440,9 +440,12 @@ object DedupOps {
     * set — `levenshtein` then verifies exactly. Returns
     * `(ai, bi, a_s, b_s, dist)`, `ai < bi`.
     *
-    * Strings of length ≤ `maxDist` are excluded (their segments would
-    * be empty and match vacuously); pair them by brute force against
-    * the short-string band if they matter.
+    * Strings of length ≤ `maxDist` can't use segment signatures (their
+    * segments would be empty and match vacuously); they pair through a
+    * brute-force SHORT BAND instead — shorts × (strings of length
+    * ≤ 2·maxDist, the only possible partners under the length filter) —
+    * which is tiny by construction, so the operator's contract is
+    * COMPLETE over all inputs.
     *
     * @note scale: per string the probe fan-out is bounded by
     *   `(d+1)²·(2d+1)` substrings (d=2 → 45) — constant, independent of
@@ -500,7 +503,25 @@ object DedupOps {
         when(col("aid") < col("bid"), col("a_s")).otherwise(col("b_s")).as("a_s"),
         when(col("aid") < col("bid"), col("b_s")).otherwise(col("a_s")).as("b_s"))
       .distinct()
-    cand.withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+    // short band: strings the pigeonhole can't cover, brute-forced
+    // against their only admissible partners (length ≤ 2d) — both sides
+    // are bounded by the short-string mass, not the corpus
+    val all0 = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")).cast("int"))
+    val shorts = all0.filter(col("len") <= d)
+      .select(col("id").as("aid"), col("s").as("sa"))
+    val nearShort = all0.filter(col("len") <= 2 * d)
+      .select(col("id").as("bid"), col("s").as("sb"))
+    val shortCand = shorts.crossJoin(broadcast(nearShort))
+      .filter(col("aid") =!= col("bid"))
+      .select(least(col("aid"), col("bid")).as("ai"),
+        greatest(col("aid"), col("bid")).as("bi"),
+        when(col("aid") < col("bid"), col("sa")).otherwise(col("sb")).as("a_s"),
+        when(col("aid") < col("bid"), col("sb")).otherwise(col("sa")).as("b_s"))
+      .distinct()
+    cand.unionByName(shortCand).distinct()
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .filter(col("dist") <= d)
   }
 

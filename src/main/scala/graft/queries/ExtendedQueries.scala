@@ -699,7 +699,7 @@ object ExtendedQueries {
     * fold, and the oracle walks the SAME chain with a per-key recursive
     * CTE over session starts: genuinely different strategies, equal
     * rows. */
-  private val stateSessionCapped = Q(
+  private[queries] val stateSessionCapped = Q(
     "state_session_capped",
     """WITH RECURSIVE
       |e AS (SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -672,6 +672,22 @@ object StreamingQueries {
     out.orderBy("user_id", "a_id")
   }
 
+  /** Duration-capped sessionization on the REAL streaming path
+    * ([[graft.streaming.StreamOps.sessionIdsCappedStream]]): every
+    * event's label is prefix-determined, so the automaton emits
+    * immediately and a 5-micro-batch replay hash-matches the batch
+    * fold's recursive-CTE oracle with zero flush gap. */
+  private val streamSessioncapReplay = Q(
+    "stream_sessioncap_replay",
+    ExtendedQueries.stateSessionCapped.oracle.get) { (s, d) =>
+    val out = graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.sessionIdsCappedStream(ev, "user_id", "ts",
+        "event_id", gapUs = 1800000000L, capUs = 10800000000L).toDF())(
+      _ => { val sp = s; import sp.implicits._
+        sp.emptyDataset[graft.streaming.SessCapRow] })
+    out.orderBy("user_id", "event_id")
+  }
+
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
@@ -839,7 +855,7 @@ object StreamingQueries {
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
     cepKleeneUntil, streamKleeneReplay, streamOverReplay, cepMeasures,
-    streamMeasuresReplay,
+    streamMeasuresReplay, streamSessioncapReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
     streamSkipnextReplay)
 }

@@ -42,6 +42,13 @@ case class KleeneMState(prev: String, aId: Long, aTsUs: Long,
 case class KleeneMeasuresMatch(user_id: Long, a_id: Long, c_id: Long,
     span_us: Long, n_clicks: Long, sum_value: Double, avg_value: Double,
     first_click: Long, last_click: Long)
+/** [[StreamOps.sessionIdsCappedStream]] rows: per-key chain state
+  * (current session id, its start, the previous event time) — O(1)
+  * per key; every event's label is prefix-determined, so emission is
+  * immediate and no flush is needed. */
+case class SessCapEvent(k: Long, ts_us: Long, event_id: Long)
+case class SessCapState(sid: Int, start: Long, prev: Long)
+case class SessCapRow(user_id: Long, event_id: Long, session_id: Int)
 /** [[StreamOps.cepKleeneUntilStream]] output — no terminator id: the
   * until-event stops the loop but is outside the match. */
 case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
@@ -536,6 +543,42 @@ object StreamOps {
                   st.lastB, e.event_id, e.ts_us - st.runATsUs)
               st = KleeneState("C", 0L, 0L, runActive = false, 0L, 0L, 0L, 0L, 0L)
           }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of
+    * [[graft.operators.IntervalOps.sessionIdsCapped]]: gap+duration
+    * sessionization as a keyed automaton. The label of every event is a
+    * pure function of its key's PREFIX (the chain state is just the
+    * open session's id/start and the previous event time), so each
+    * arrival emits immediately — no watermark wait, no flush gap — and
+    * a bounded replay equals the batch fold exactly. This is the
+    * ProcessFunction Flink users write when session windows need a max
+    * duration; state is three numbers per key.
+    *
+    * @note scale: identical shape to [[cepKleeneStream]] — one keyed
+    *   state row per key, arrivals sorted per micro-batch. */
+  def sessionIdsCappedStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapUs: Long, capUs: Long): Dataset[SessCapRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"))
+      .as[SessCapEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[SessCapState, SessCapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var st = state.getOption.getOrElse(SessCapState(0, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessCapRow]
+        it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          if (st.sid == 0 || e.ts_us - st.prev > gapUs ||
+              e.ts_us - st.start > capUs)
+            st = SessCapState(st.sid + 1, e.ts_us, e.ts_us)
+          else st = st.copy(prev = e.ts_us)
+          out += SessCapRow(key, e.event_id, st.sid)
         }
         state.update(st)
         out.iterator

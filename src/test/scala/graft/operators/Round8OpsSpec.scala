@@ -73,18 +73,19 @@ class Round8OpsSpec extends SparkSpec {
         case _ => (base.updated(1, 'z')).mkString // substitute
       }
       (i.toLong, s)
-    }
+    } ++ Seq((900L, "a"), (901L, "ab"), (902L, "b"), (903L, "abca")) // short band
     val df = words.toDF("doc_id", "text")
     val fast = DedupOps.editJoinExact(df, maxDist = 2)
       .select("ai", "bi", "dist").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val brute = df.as("a").crossJoin(df.as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id") &&
-        length(col("a.text")) > 2 && length(col("b.text")) > 2)
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
       .filter(col("dist") <= 2)
       .select(col("a.doc_id"), col("b.doc_id"), col("dist")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast.exists(p => p._1 == 900L || p._2 == 900L),
+      "short-band pairs must be covered")
     assert(brute.nonEmpty, "fixture must contain true pairs")
     assert(fast == brute,
       s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
@@ -153,6 +154,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(coarser == 0, "a capped session must sit inside one gap session")
     assert(capped.groupBy("user_id").agg(max("session_id")).collect().map(_.getInt(1)).sum >=
       plain.groupBy("user_id").agg(max("session_id")).collect().map(_.getInt(1)).sum)
+  }
+
+  test("sessionIdsCappedStream: bounded replay equals the batch fold") {
+    import graft.streaming.{BoundedReplay, SessCapRow, StreamOps}
+    val sp = spark
+    import sp.implicits._
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.sessionIdsCappedStream(ev, "user_id", "ts", "event_id",
+        gapUs = 1800000000L, capUs = 10800000000L).toDF())(
+      _ => sp.emptyDataset[SessCapRow])
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val batch = IntervalOps.sessionIdsCapped(ev, "user_id", "ts_us",
+      "event_id", 1800000000L, 10800000000L)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("user_id", "event_id", "session_id").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    val b = rows(batch.toDF())
+    assert(b.nonEmpty)
+    assert(rows(streamed) == b, "replayed automaton must equal the batch fold")
   }
 
   test("gapFillHourly: grid complete, zero rows for empty buckets, mass preserved") {
