@@ -688,6 +688,39 @@ object StreamingQueries {
     out.orderBy("user_id", "event_id")
   }
 
+  /** GAP FILLING on the REAL streaming path
+    * ([[graft.streaming.StreamOps.gapFillHourlyStream]]): the grid
+    * cursor emits zero rows for hours NO event ever touches as the
+    * watermark passes them — the op a plain windowed agg cannot
+    * express in append mode; replay ∪ [[graft.streaming.StateFlush.gapFill]]
+    * drain hash-matches [[graft.queries.ExtendedQueries]]' batch
+    * generated-grid oracle (epoch-µs window starts). */
+  private val streamGapfillReplay = Q(
+    "stream_gapfill_replay",
+    s"""WITH b AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+       |                 date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+       |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM b),
+       |t AS (SELECT DISTINCT event_type FROM events),
+       |a AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+       |        count(*) AS n, ${Det.osum("value")} AS sv
+       |      FROM events GROUP BY 1, 2)
+       |SELECT epoch_us(g.ws) AS ws_us, t.event_type AS event_type,
+       |  COALESCE(a.n, 0) AS n, COALESCE(a.sv, 0.0) AS sum_value
+       |FROM g CROSS JOIN t
+       |LEFT JOIN a ON a.ws = g.ws AND a.event_type = t.event_type
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val hourUs = 3600L * 1000000L
+    val bounds = Tables.events(s, d)
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+    val loUs = bounds.getLong(0) / hourUs * hourUs
+    val hiUs = bounds.getLong(1) / hourUs * hourUs + hourUs
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.gapFillHourlyStream(ev, loUs).toDF())(
+      ckpt => graft.streaming.StateFlush.gapFill(s, ckpt, hiUs))
+      .orderBy("ws_us", "event_type")
+  }
+
   // ----------------------------------------------- end-to-end replay keys
   /** The REAL streaming code path under the DuckDB oracle (r5): each
     * key runs a genuine Structured Streaming query via
@@ -855,7 +888,7 @@ object StreamingQueries {
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
     cepKleeneUntil, streamKleeneReplay, streamOverReplay, cepMeasures,
-    streamMeasuresReplay, streamSessioncapReplay,
+    streamMeasuresReplay, streamSessioncapReplay, streamGapfillReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
     streamSkipnextReplay)
 }

@@ -136,4 +136,33 @@ object StateFlush {
         }
       }
   }
+
+  /** The shared emission rounding of [[StreamOps.gapFillHourlyStream]]:
+    * decimal(18,6) micro-units → `round(·, 4)` double, exactly Spark's
+    * `round(sum(CAST ... DECIMAL(18,6)), 4)` in the batch oracle. */
+  private[streaming] def gapSum4(s6: Long): Double =
+    BigDecimal(s6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Grid drain for a stopped [[StreamOps.gapFillHourlyStream]] query:
+    * sweep every key's cursor from its checkpointed position to the
+    * grid end `hiUs` (exclusive), emitting pending accumulators and
+    * explicit zeros — the flush half of streamed ∪ flushed == batch. */
+  def gapFill(spark: SparkSession, checkpoint: String,
+      hiUs: Long): Dataset[GapRow] = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("event_type"),
+        col("value.groupState.nextHourUs").as("nextHourUs"),
+        col("value.groupState.pending").as("pending"))
+      .as[(String, Long, Map[Long, (Long, Long)])]
+      .flatMap { case (key, nextHourUs, pending) =>
+        Iterator.iterate(nextHourUs)(_ + hourUs)
+          .takeWhile(_ + hourUs <= hiUs)
+          .map { h =>
+            val (n, s6) = pending.getOrElse(h, (0L, 0L))
+            GapRow(h, key, n, gapSum4(s6))
+          }
+      }
+  }
 }

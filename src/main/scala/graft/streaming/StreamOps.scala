@@ -42,6 +42,12 @@ case class KleeneMState(prev: String, aId: Long, aTsUs: Long,
 case class KleeneMeasuresMatch(user_id: Long, a_id: Long, c_id: Long,
     span_us: Long, n_clicks: Long, sum_value: Double, avg_value: Double,
     first_click: Long, last_click: Long)
+/** [[StreamOps.gapFillHourlyStream]] rows: per-key grid cursor
+  * (`nextHourUs` — every hour below it is already emitted) plus the
+  * open hours' accumulators (`pending`: hour → (n, decimal-micro
+  * sum)). State is bounded by the watermark horizon in hours. */
+case class GapFillState(nextHourUs: Long, pending: Map[Long, (Long, Long)])
+case class GapRow(ws_us: Long, event_type: String, n: Long, sum_value: Double)
 /** [[StreamOps.sessionIdsCappedStream]] rows: per-key chain state
   * (current session id, its start, the previous event time) — O(1)
   * per key; every event's label is prefix-determined, so emission is
@@ -545,6 +551,61 @@ object StreamOps {
           }
         }
         state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.IntervalOps.gapFillHourly]]:
+    * zero-filled hourly aggregates emitted from a stream — the hard
+    * part of gap filling under streaming semantics is that EMPTY hours
+    * have no rows to trigger anything, so a plain windowed agg can
+    * never emit them. Here each group key keeps a GRID CURSOR: when the
+    * watermark passes an hour's end the cursor sweeps forward and emits
+    * every hour up to it — present hours from their accumulator, absent
+    * hours as explicit zeros. Sums accumulate as exact decimal(18,6)
+    * micro-units, emission rounds exactly like the batch form, so
+    * replay ∪ flush hash-matches the batch oracle.
+    *
+    * `loUs` anchors the grid origin (production: the pipeline's T0
+    * config; the replay key derives it from the corpus min). A key
+    * sweeps on its own arrivals — a totally silent key advances only at
+    * the end-of-replay flush ([[StateFlush.gapFill]]), which drains the
+    * cursor to the grid end.
+    *
+    * @note scale: state per key = the open hours inside the watermark
+    *   horizon (cursor + ≤ horizon/hour accumulator entries); one
+    *   shuffle on the group key. This is the timer-per-slot
+    *   ProcessFunction Flink users write, with the cursor replacing
+    *   per-slot timers. */
+  def gapFillHourlyStream(ev: DataFrame, loUs: Long): Dataset[GapRow] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withWatermark("ts", "10 minutes")
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(HourUs)))
+          .as("h_us"),
+        (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long").as("v6"),
+        col("ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapFillState, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        val st = state.getOption.getOrElse(GapFillState(loUs, Map.empty))
+        var pending = st.pending
+        it.foreach { case (_, h, v6, _) =>
+          val (n0, s0) = pending.getOrElse(h, (0L, 0L))
+          pending = pending.updated(h, (n0 + 1L, s0 + v6))
+        }
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+        var nh = st.nextHourUs
+        while (nh + HourUs <= wmUs) {
+          val (n, s6) = pending.getOrElse(nh, (0L, 0L))
+          out += GapRow(nh, key, n, StateFlush.gapSum4(s6))
+          pending -= nh
+          nh += HourUs
+        }
+        state.update(GapFillState(nh, pending))
         out.iterator
       }
   }

@@ -176,6 +176,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(rows(streamed) == b, "replayed automaton must equal the batch fold")
   }
 
+  test("gapFillHourlyStream: replay ∪ flush equals the batch grid, zeros included") {
+    import graft.streaming.{BoundedReplay, GapRow, StateFlush, StreamOps}
+    val sp = spark
+    import sp.implicits._
+    val hourUs = 3600L * 1000000L
+    val b = Tables.events(spark, sf)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val loUs = b.getLong(0) / hourUs * hourUs
+    val hiUs = b.getLong(1) / hourUs * hourUs + hourUs
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.gapFillHourlyStream(ev, loUs).toDF())(
+      ckpt => StateFlush.gapFill(spark, ckpt, hiUs))
+    val batch = graft.operators.IntervalOps.gapFillHourly(
+        Tables.events(spark, sf), "ts", "event_type", "value")
+      .select(unix_micros(col("ws")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val bt = rows(batch)
+    assert(bt.exists(_.split("\\|")(2) == "0"), "fixture must have empty hours")
+    assert(rows(streamed.select("ws_us", "event_type", "n", "sum_value")) == bt)
+  }
+
   test("gapFillHourly: grid complete, zero rows for empty buckets, mass preserved") {
     val out = IntervalOps.gapFillHourly(Tables.events(spark, sf),
       "ts", "event_type", "value")
