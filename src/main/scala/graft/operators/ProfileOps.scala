@@ -55,6 +55,38 @@ object ProfileOps {
       .drop("__lo", "__hi")
   }
 
+  /** Robust outlier detection via MEDIAN ABSOLUTE DEVIATION: a row is
+    * an outlier when `|x − median| > k · MAD` — the robust alternative
+    * to z-scores (one extreme value drags a mean+stddev gate, but not
+    * the median pair). Both medians are RANK-BASED (value at
+    * `ceil(n/2)` of the sorted group), so for integer inputs the whole
+    * test is integer-exact end to end — no float surface at all
+    * (`0.5·n` is even exact in binary). Returns the outlier rows with
+    * `(…, med, mad, dev)` attached.
+    *
+    * @note scale: two window/agg rounds on the same group partitioning
+    *   plus two broadcast joins of #groups-row tables — the data
+    *   shuffles once. Same skewed-group remark as [[winsorize]]. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medOf(in: DataFrame, vCol: String, outName: String): DataFrame = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol), col(idCol))
+      in.withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col(groupCol))))
+        .groupBy(col(groupCol))
+        .agg(min(when(col("__rk") === ceil(lit(0.5) * col("__n")),
+          col(vCol))).as(outName))
+    }
+    val med = medOf(df, valueCol, "med")
+    val withDev = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = medOf(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), groupCol)
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+  }
+
   /** Stacked per-column summary — one row per profiled column with
     * `(col_name, n, n_null, n_distinct, mn, mx)`; the long shape keeps
     * the schema fixed however many columns are profiled. */

@@ -329,7 +329,32 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** "Related documents" — top-3 most similar docs PER DOC by exact
+    * shingle Jaccard: [[DedupOps.jaccardPairs]] candidates mirrored to
+    * both directions, ranked through the
+    * [[graft.operators.SimilarityOps.topKScored]] partial top-k
+    * aggregate (the kNN ranking tail — the exchange carries
+    * ≤ partitions·docs·k entries, not the candidate set). The oracle
+    * restates the capped-candidate contract and ranks with a window. */
+  private val topkSimilar = Q(
+    "llm_topk_similar",
+    s"""WITH $oJaccardPairs,
+       |d AS (SELECT ai AS qid, bi AS nbr, jac FROM j
+       |      UNION ALL SELECT bi, ai, jac FROM j),
+       |r AS (SELECT qid, nbr, jac, CAST(row_number() OVER (
+       |        PARTITION BY qid ORDER BY jac DESC, nbr) AS INT) AS rk FROM d)
+       |SELECT qid, nbr, jac, rk FROM r WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val pairs = DedupOps.jaccardPairs(Tables.documents(s, d))
+    val both = pairs
+      .select(col("ai").as("qid"), col("bi").as("nbr"), col("jac"))
+      .unionByName(pairs
+        .select(col("bi").as("qid"), col("ai").as("nbr"), col("jac")))
+    graft.operators.SimilarityOps.topKScored(both, 3, "jac")
+      .orderBy("qid", "rk")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
-    editJoin, editJoinExact)
+    editJoin, editJoinExact, topkSimilar)
 }

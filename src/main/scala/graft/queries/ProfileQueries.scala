@@ -239,6 +239,35 @@ object ProfileQueries {
       .orderBy("doc_id")
   }
 
+  /** MAD outliers ([[graft.operators.ProfileOps.madOutliers]], k=3):
+    * documents whose length sits more than 3 median-absolute-deviations
+    * from their source's median — the robust length gate; rank-based
+    * medians keep the whole test integer-exact. */
+  private val madOutliers = Q(
+    "llm_mad_outliers",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |m AS (SELECT source, min(CASE WHEN rk = ceil(0.5 * n) THEN n_chars END) AS med
+      |  FROM r GROUP BY source),
+      |d AS (SELECT doc_id, source, n_chars, med, abs(n_chars - med) AS dev
+      |  FROM documents JOIN m USING (source)),
+      |r2 AS (SELECT doc_id, source, dev,
+      |    row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n FROM d),
+      |m2 AS (SELECT source, min(CASE WHEN rk = ceil(0.5 * n) THEN dev END) AS mad
+      |  FROM r2 GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars, d.med, m2.mad, d.dev
+      |FROM d JOIN m2 USING (source)
+      |WHERE d.dev > 3 * m2.mad
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.ProfileOps.madOutliers(Tables.documents(s, d),
+        valueCol = "n_chars", groupCol = "source", idCol = "doc_id")
+      .select("doc_id", "source", "n_chars", "med", "mad", "dev")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(histogram, profile, quantileBins, constraints,
-    jsonKeys, corruptTolerant, moments, skew, winsorize)
+    jsonKeys, corruptTolerant, moments, skew, winsorize, madOutliers)
 }

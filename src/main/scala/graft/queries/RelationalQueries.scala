@@ -599,6 +599,29 @@ object RelationalQueries {
       .orderBy("c_nationkey")
   }
 
+  /** RATIO_TO_REPORT (share-of-total analytic): each customer's share
+    * of its market segment's balance mass — numerator exact per-row,
+    * denominator the exact decimal partition sum, ONE IEEE division,
+    * round(6) presentation.
+    * @note scale: a partition-total window is the classic two-pass
+    *   frame Spark evaluates in one sort (unbounded frame computed
+    *   once per partition) — a single exchange on the segment. */
+  private val windowRatioToReport = Q(
+    "window_ratio_to_report",
+    """SELECT c_custkey, c_mktsegment,
+      |  round(CAST(c_acctbal AS DOUBLE) /
+      |        CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+      |             OVER (PARTITION BY c_mktsegment) AS DOUBLE), 6) AS share
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment")
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal").cast("double") /
+        sum(col("c_acctbal").cast("decimal(18,6)")).over(w).cast("double"), 6)
+        .as("share"))
+      .orderBy("c_custkey")
+  }
+
   private val windowNtile = Q(
     "window_ntile",
     """SELECT c_custkey, ntile(4) OVER w AS quartile,
@@ -690,7 +713,7 @@ object RelationalQueries {
     aggCollect, aggReduceMinmax, aggPercentileExact,
     windowTopnPergroup, windowLagDelta, windowRunningSum,
     windowMovingAvg, windowRangeFrame, windowNtile,
-    windowGroupsFrame, aggArgminmax,
+    windowGroupsFrame, aggArgminmax, windowRatioToReport,
     sortLimitOffset, topkGlobal,
     setopUnion, setopUnionDistinct, setopIntersect, setopExcept)
 }

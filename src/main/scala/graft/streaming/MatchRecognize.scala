@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   * FIRST(B.<idCol>) AS f, LAST(B.<idCol>) AS l` (standard position:
   * before PATTERN) is supported on the `A B+ C` shape over the loop
   * variable, compiled onto [[CepOps.cepKleeneMeasures]] — the
-  * aggregates ride the run-grouping pass, zero extra shuffles.
+  * aggregates ride the run-grouping pass, zero extra shuffles. On a
+  * plain (optional-allowed) sequence, FIRST/LAST/(0-or-1) COUNT per
+  * variable are pure renames of the per-step ids; SUM/AVG need a loop
+  * variable and are rejected there.
   *
   * `AFTER MATCH SKIP TO NEXT ROW` / `AFTER MATCH SKIP PAST LAST ROW`
   * (standard position: before PATTERN) route a 2-step sequence to
@@ -173,39 +176,65 @@ object MatchRecognize {
           "first and last pattern variables must be required")
         val w = normWithin
         val us = withinUs
-        CepOps.cepPattern(ev, keyCol, tsCol, idCol,
+        val base = CepOps.cepPattern(ev, keyCol, tsCol, idCol,
             toks.map(t => PatternStep(t.name, binds(t.name), w,
               optional = t.quant == "?")))
           .filter(col("total_us") <= us)
+        // MEASURES on a plain sequence: each variable matches exactly
+        // one event (or none, if optional), so FIRST == LAST == the
+        // step's id and COUNT(V.*) is its 0/1 presence; run aggregates
+        // (SUM/AVG) need a loop variable and are rejected here
+        val items = measureItems(rest)
+        if (items.isEmpty) base
+        else {
+          val names = toks.map(_.name).toSet
+          val renamed = items.map {
+            case ("FIRST" | "LAST", v, c, as) =>
+              require(names.contains(v), s"MEASURES variable '$v' not in PATTERN")
+              require(c == idCol, s"FIRST/LAST support the id column '$idCol'")
+              col(s"${v}_id").as(as)
+            case ("COUNT", v, c, as) =>
+              require(names.contains(v) && c == "*", s"use COUNT($v.*)")
+              when(col(s"${v}_id").isNull, lit(0L)).otherwise(lit(1L)).as(as)
+            case (f, v, _, _) =>
+              sys.error(s"MEASURES $f($v.…) needs a loop variable (B+); " +
+                "plain sequences support FIRST/LAST/COUNT only")
+          }
+          base.select(Seq(col(keyCol)) ++ renamed :+ col("total_us"): _*)
+        }
       case _ =>
         sys.error(s"unsupported PATTERN shape '$pat' — supported: " +
           "plain/optional sequence, A B+ C, A{n}")
     }
   }
 
-  /** Parse the MEASURES clause into `(func, column, alias)` triples.
-    * Supported on the `A B+ C` shape, over the LOOP variable only:
-    * `COUNT(B.*)`, `SUM(B.col)`, `AVG(B.col)`, `FIRST(B.<idCol>)`,
-    * `LAST(B.<idCol>)` — compiled onto [[CepOps.cepKleeneMeasures]]'
-    * run-grouping aggregate (no extra pass). */
-  private def measures(clause: String, loopVar: String,
-      idCol: String): List[(String, String, String)] =
+  /** Parse the MEASURES clause into `(func, variable, column, alias)`
+    * 4-tuples — shape-independent; each PATTERN branch validates which
+    * functions/variables it supports. */
+  private def measureItems(clause: String): List[(String, String, String, String)] =
     MeasuresRe.findFirstMatchIn(clause).map { m =>
       m.group(1).split(",").toList.map(_.trim).filter(_.nonEmpty).map {
-        case MeasureItemRe(f, v, c, as) =>
-          val fn = f.toUpperCase
-          require(v == loopVar,
-            s"MEASURES only supports the loop variable '$loopVar', got '$v'")
-          fn match {
-            case "COUNT" =>
-              require(c == "*", s"use COUNT($loopVar.*), got $c")
-            case "FIRST" | "LAST" =>
-              require(c == idCol,
-                s"$fn supports the id column '$idCol', got '$c'")
-            case _ => ()
-          }
-          (fn, c, as)
+        case MeasureItemRe(f, v, c, as) => (f.toUpperCase, v, c, as)
         case item => sys.error(s"unsupported MEASURES item '$item'")
       }
     }.getOrElse(Nil)
+
+  /** Kleene-shape MEASURES: the LOOP variable only — `COUNT(B.*)`,
+    * `SUM(B.col)`, `AVG(B.col)`, `FIRST/LAST(B.<idCol>)` — compiled
+    * onto [[CepOps.cepKleeneMeasures]]' run-grouping aggregate. */
+  private def measures(clause: String, loopVar: String,
+      idCol: String): List[(String, String, String)] =
+    measureItems(clause).map { case (fn, v, c, as) =>
+      require(v == loopVar,
+        s"MEASURES only supports the loop variable '$loopVar', got '$v'")
+      fn match {
+        case "COUNT" =>
+          require(c == "*", s"use COUNT($loopVar.*), got $c")
+        case "FIRST" | "LAST" =>
+          require(c == idCol,
+            s"$fn supports the id column '$idCol', got '$c'")
+        case _ => ()
+      }
+      (fn, c, as)
+    }
 }

@@ -268,6 +268,35 @@ class Round8OpsSpec extends SparkSpec {
       "content-defined chunking must beat position-based chunking under shifts")
   }
 
+  test("madOutliers: robust against the contamination that breaks z-scores") {
+    val sp = spark
+    import sp.implicits._
+    // 99 values near 100, one wild point at 100000: MAD flags exactly
+    // the wild point; a mean+3σ gate would be dragged by it
+    val df = ((1L to 99L).map(i => (i, "g", 100L + (i % 5))) :+ (999L, "g", 100000L))
+      .toDF("doc_id", "source", "v")
+    val out = ProfileOps.madOutliers(df, "v", "source", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(999L), s"expected only the wild point, got $out")
+  }
+
+  test("llm_topk_similar: ranks are 1..k, neighbors deduplicated, scores symmetric") {
+    val out = graft.SparkEntry.queries("llm_topk_similar")(spark, sf)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length).toSeq, s"ranks of $q")
+      assert(rs.map(_._2).distinct.length == rs.length, s"dup neighbor for $q")
+    }
+    // symmetry: jac(q, n) == jac(n, q) whenever both directions surface
+    val score = rows.map(r => (r._1, r._2) -> r._3).toMap
+    score.foreach { case ((q, n), j) =>
+      score.get((n, q)).foreach(j2 => assert(j2 == j, s"asymmetric $q-$n"))
+    }
+  }
+
   test("tumbling offset: every window start sits on the :15 grid") {
     val ws = graft.SparkEntry.queries("stream_tumbling_offset")(spark, sf)
       .select(minute(col("ws").cast("timestamp")).as("m")).distinct()

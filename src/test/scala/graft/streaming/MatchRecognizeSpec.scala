@@ -126,6 +126,38 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("MEASURES on a plain sequence renames step ids; COUNT tracks optional presence") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """MEASURES FIRST(A.event_id) AS click_id, LAST(C.event_id) AS buy_id,
+        |         COUNT(B.*) AS saw_error
+        |PATTERN (A B? C)
+        |DEFINE A AS event_type = 'click',
+        |       B AS event_type = 'error',
+        |       C AS event_type = 'purchase'
+        |WITHIN 360 minutes""".stripMargin)
+    assert(mr.columns.toSeq ==
+      Seq("user_id", "click_id", "buy_id", "saw_error", "total_us"))
+    val direct = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (A B? C)
+        |DEFINE A AS event_type = 'click',
+        |       B AS event_type = 'error',
+        |       C AS event_type = 'purchase'
+        |WITHIN 360 minutes""".stripMargin)
+    assert(rows(mr.select("user_id", "click_id", "buy_id", "total_us")) ==
+      rows(direct.select("user_id", "A_id", "C_id", "total_us")))
+    val withB = direct.filter(col("B_id").isNotNull).count()
+    assert(mr.agg(sum(col("saw_error"))).head().getLong(0) == withB)
+    // SUM on a sequence variable is rejected
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """MEASURES SUM(A.value) AS s
+          |PATTERN (A B? C)
+          |DEFINE A AS event_type = 'click', B AS event_type = 'error',
+          |       C AS event_type = 'purchase'
+          |WITHIN 360 minutes""".stripMargin)
+    }
+  }
+
   test("malformed clauses fail fast") {
     intercept[RuntimeException] {
       MatchRecognize(ev, "user_id", "ts", "event_id",
