@@ -30,9 +30,9 @@ object DedupQueries {
     * default hot-shingle cap — inert on these fixtures, max df 25, but
     * restated here so the oracle contract is the CAPPED semantics at
     * any scale), then exact Jaccard over the FULL shingle sets. */
-  private val oJaccardPairs =
+  private def oJaccardPairsCap(cap: Int) =
     s"""$oShingles,
-       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= 1000),
+       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= $cap),
        |cands AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
        |          FROM sh a JOIN cold USING (sh) JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -41,6 +41,8 @@ object DedupQueries {
        |          JOIN sh b ON b.doc_id = c.bi AND b.sh = a.sh GROUP BY 1, 2),
        |j AS (SELECT ai, bi, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
        |      FROM inter JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi)""".stripMargin
+
+  private val oJaccardPairs = oJaccardPairsCap(1000)
 
   private val dedupExact = Q(
     "llm_dedup_exact",
@@ -338,14 +340,21 @@ object DedupQueries {
     * restates the capped-candidate contract and ranks with a window. */
   private val topkSimilar = Q(
     "llm_topk_similar",
-    s"""WITH $oJaccardPairs,
+    s"""WITH ${oJaccardPairsCap(100)},
        |d AS (SELECT ai AS qid, bi AS nbr, jac FROM j
        |      UNION ALL SELECT bi, ai, jac FROM j),
        |r AS (SELECT qid, nbr, jac, CAST(row_number() OVER (
        |        PARTITION BY qid ORDER BY jac DESC, nbr) AS INT) AS rk FROM d)
        |SELECT qid, nbr, jac, rk FROM r WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin) { (s, d) =>
-    val pairs = DedupOps.jaccardPairs(Tables.documents(s, d))
+    // df cap 100 (vs the dedup keys' 1000): top-k-similar only needs
+    // the candidates that can carry HIGH Jaccard, and a shingle shared
+    // by >100 docs contributes pairs whose jac signal is noise — the
+    // standard prefix-filter practice. Bounds the candidate join at
+    // Σ_sh min(df,100)² instead of Σ df². persist: the mirror union
+    // consumes the candidate join twice.
+    val pairs = DedupOps.jaccardPairs(Tables.documents(s, d),
+      maxShingleDf = 100L).persist()
     val both = pairs
       .select(col("ai").as("qid"), col("bi").as("nbr"), col("jac"))
       .unionByName(pairs
