@@ -29,9 +29,10 @@ import graft.streaming.StreamOps
   * }}}
   */
 object Graft {
-  /** Exact / n-gram / SimHash / MinHash+LSH dedup, component
-    * clustering, URL canonicalization, edit-distance similarity joins
-    * (token-blocked heuristic + PassJoin-exact). */
+  /** Exact / n-gram / SimHash / MinHash+LSH dedup, asymmetric
+    * containment (quote/subset detection), component clustering, URL
+    * canonicalization, edit-distance similarity joins (token-blocked
+    * heuristic + PassJoin-exact). */
   val dedup: DedupOps.type = DedupOps
   /** Brute-force + IVF kNN (fixed or k-means cells), embedding near-dup. */
   val similarity: SimilarityOps.type = SimilarityOps

@@ -363,7 +363,33 @@ object DedupQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Containment near-dups ([[DedupOps.containmentPairs]]): pairs where
+    * ≥ 80% of ONE side's shingles sit inside the other — the asymmetric
+    * quote/subset detector symmetric Jaccard misses (a short doc fully
+    * quoted in a long one has tiny jac but cont_short ≈ 1). */
+  private val containment = Q(
+    "llm_containment",
+    s"""WITH $oShingles,
+       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= 1000),
+       |cands AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+       |          FROM sh a JOIN cold USING (sh) JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.ai, c.bi, count(*) AS c
+       |          FROM cands c JOIN sh a ON a.doc_id = c.ai
+       |          JOIN sh b ON b.doc_id = c.bi AND b.sh = a.sh GROUP BY 1, 2)
+       |SELECT ai, bi,
+       |  round(CAST(c AS DOUBLE) / sa.n, 6) AS cont_a,
+       |  round(CAST(c AS DOUBLE) / sb.n, 6) AS cont_b
+       |FROM inter JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi
+       |WHERE greatest(round(CAST(c AS DOUBLE) / sa.n, 6),
+       |               round(CAST(c AS DOUBLE) / sb.n, 6)) >= 0.8
+       |ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    DedupOps.containmentPairs(Tables.documents(s, d))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+      .orderBy("ai", "bi")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
-    editJoin, editJoinExact, topkSimilar)
+    editJoin, editJoinExact, topkSimilar, containment)
 }

@@ -297,6 +297,24 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: catches a short doc quoted in a long one that Jaccard misses") {
+    val sp = spark
+    import sp.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val long = ((1 to 60).map(i => s"w$i") :+ quote).mkString(" ")
+    val df = Seq((1L, quote), (2L, long), (3L, (100 to 140).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cont = DedupOps.containmentPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val pair = cont.find(p => p._1 == 1L && p._2 == 2L)
+    assert(pair.isDefined, "quoted pair must be a candidate")
+    assert(pair.get._3 >= 0.99, s"short side containment ~1, got ${pair.get._3}")
+    assert(pair.get._4 < 0.25, "long side containment stays small")
+    val jac = DedupOps.jaccardPairs(df).filter(col("ai") === 1 && col("bi") === 2)
+      .head().getDouble(2)
+    assert(jac < 0.25, s"Jaccard blurs the inclusion, got $jac")
+  }
+
   test("tumbling offset: every window start sits on the :15 grid") {
     val ws = graft.SparkEntry.queries("stream_tumbling_offset")(spark, sf)
       .select(minute(col("ws").cast("timestamp")).as("m")).distinct()
