@@ -66,41 +66,10 @@ object DedupOps {
     *   the cap (spec cross-check only — never at scale). */
   def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
-      maxShingleDf: Long = 1000L): DataFrame = {
-    // cached: feeds the df-annotated split (both self-join sides), the
-    // sizes, and the hot-set gather — one tokenize+hash pass
-    val sh = hashedShingles(df, idCol, textCol, n).persist()
-    // document frequency via a window on the SAME hash partitioning the
-    // self-join needs (one shuffle, no extra join); hot instances are
-    // split out rather than dropped so the Jaccard stays exact below
-    val shf = sh.withColumn("dfc",
-      count(lit(1)).over(Window.partitionBy(col("h"))))
-    val cold = shf.filter(col("dfc") <= maxShingleDf)
-    // per-doc HOT shingle sets: bounded by |hot hashes| · df... but hot
-    // hashes are few by definition of the cap, and on an unskewed
-    // corpus this side is empty — the left joins below cost nothing
-    val hot = shf.filter(col("dfc") > maxShingleDf)
-      .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // inline intersection count over cold shingles only — the r3 shape,
-    // per-key join fan-out now bounded by maxShingleDf²
-    val inter = cold.as("a").hint("shuffle_hash")
-      .join(cold.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
-      .agg(count(lit(1)).as("cc"))
-    // exact full-set intersection = cold count + hot-set overlap
-    inter
-      .join(sz.as("sa"), col("ai") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("bi") === col("sb.doc_id"))
-      .join(hot.as("ha"), col("ai") === col("ha.doc_id"), "left")
-      .join(hot.as("hb"), col("bi") === col("hb.doc_id"), "left")
-      .withColumn("c", col("cc").cast("double") +
-        when(col("ha.hs").isNotNull && col("hb.hs").isNotNull,
-          size(array_intersect(col("ha.hs"), col("hb.hs"))).cast("double"))
-          .otherwise(lit(0.0)))
+      maxShingleDf: Long = 1000L): DataFrame =
+    overlapCore(df, idCol, textCol, n, maxShingleDf)
       .select(col("ai"), col("bi"),
-        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
-  }
+        round(col("c") / (col("na") + col("nb") - col("c")), 6).as("jac"))
 
   /** Shared candidate+intersection core of [[jaccardPairs]] /
     * [[containmentPairs]]: `(ai, bi, c, na, nb)` — exact full-set

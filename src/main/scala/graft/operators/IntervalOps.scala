@@ -82,13 +82,24 @@ object IntervalOps {
     * @note scale: one shuffle (groupByKey); the fold buffers one KEY's
     *   events for the in-memory sort — same bound as any per-key
     *   sessionization; for keys too hot for that, pre-split by day and
-    *   stitch boundary sessions. */
+    *   stitch boundary sessions.
+    *
+    * All three columns must cast cleanly to long — a NULL after the
+    * cast (non-numeric device id, session token, missing timestamp)
+    * raises at execution instead of silently collapsing every row into
+    * one NULL-keyed group with wrong session ids. Hash or dictionary-
+    * encode non-numeric keys first. */
   def sessionIdsCapped(df: DataFrame, keyCol: String, tsUsCol: String,
       idCol: String, gapUs: Long, capUs: Long): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    df.select(col(keyCol).cast("long"), col(tsUsCol).cast("long"),
-        col(idCol).cast("long"))
+    def longStrict(name: String): Column =
+      when(col(name).cast("long").isNull,
+        raise_error(concat(lit(s"sessionIdsCapped: column '$name' value '"),
+          col(name).cast("string"),
+          lit("' does not cast to long — hash/encode non-numeric columns first"))))
+        .otherwise(col(name).cast("long"))
+    df.select(longStrict(keyCol), longStrict(tsUsCol), longStrict(idCol))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>

@@ -29,6 +29,14 @@ object ProfileOps {
     * inputs every bound and every output is an exact integer and the
     * whole op is float-free and engine-exact.
     *
+    * Rank fine print: `p·n` is IEEE double arithmetic, so at exact
+    * decimal multiples the product can land a hair ABOVE the integer
+    * (0.05·100 = 5.000000000000001) and `ceil` then selects the NEXT
+    * rank (6, not 5). This is deterministic and identical on every
+    * IEEE engine (the oracle recomputes it bit-for-bit; the spec pins
+    * rank 6 for that case) — the contract is "ceil of the IEEE
+    * product", not the real-number rank.
+    *
     * @note scale: one window pass (rank + count share a partitioning)
     *   plus a conditional aggregate to a #groups-row bounds table that
     *   broadcast-joins back — no second shuffle of the data. Skewed

@@ -74,10 +74,13 @@ object SampleOps {
     * and the whole draw is a pure function of the ids, so any engine
     * re-running the recipe selects the identical rows.
     *
-    * Determinism: `w·2³¹` and `h+1` are exact BIGINTs (< 2⁵³), their
-    * int→double conversions are exact, and ONE IEEE double division is
-    * correctly rounded identically everywhere — the priority is
-    * bit-exact cross-engine; ties (equal w and h) break by id.
+    * Determinism: the weight is scaled to exact micro-units
+    * (`round(w·10⁶)` as BIGINT — so fractional weights like 0.9 keep
+    * their proportional pull instead of truncating to zero), `h+1` is
+    * an exact BIGINT, both int→double conversions are exact below 2⁵³
+    * (w < 9·10⁹), and ONE IEEE double division is correctly rounded
+    * identically everywhere — the priority is bit-exact cross-engine;
+    * ties (equal w and h) break by id.
     *
     * @note scale: `ORDER BY priority DESC LIMIT n` executes as
     *   TakeOrdered — a per-partition k-heap plus one driver merge of
@@ -85,7 +88,8 @@ object SampleOps {
   def prioritySample(df: DataFrame, n: Int, weightCol: Column,
       idCol: String = "doc_id", salt: Long = 0L): DataFrame =
     df.withColumn("priority",
-        (weightCol.cast("long") * lit(M)).cast("double") /
+        round(weightCol.cast("double") * lit(1000000L)).cast("long")
+          .cast("double") /
           (idHash(col(idCol), salt) + lit(1L)).cast("double"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(n)
@@ -124,9 +128,11 @@ object SampleOps {
   def oGroupBucket(group: String, salt: String = "#split"): String =
     s"(${graft.functions.Hashes.oPolyHash(s"$group || '$salt'")} % 1000000)"
 
-  /** DuckDB fragment computing [[prioritySample]]'s priority. */
+  /** DuckDB fragment computing [[prioritySample]]'s priority (the same
+    * exact micro-unit weight scaling as the operator). */
   def oPriority(w: String, id: String, salt: Long = 0L): String =
-    s"(CAST(CAST($w AS BIGINT) * $M AS DOUBLE) / CAST(${oIdHash(id, salt)} + 1 AS DOUBLE))"
+    s"(CAST(CAST(round(CAST($w AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE)" +
+      s" / CAST(${oIdHash(id, salt)} + 1 AS DOUBLE))"
 
   /** Temperature-scaled mixture resampling (default τ = 0.5) — the standard
     * training-mixture reweighting: stratum weights ∝ n^τ flatten the

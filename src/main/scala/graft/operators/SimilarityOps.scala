@@ -146,14 +146,18 @@ object SimilarityOps {
     * materialized N²/2 joined rows through row-at-a-time machinery
     * (measured 4.8 s → ~0.5 s at sf0.1).
     *
-    * @note scale: the broadcast side is N·dim·8 bytes (a 10M-vector,
-    *   128-dim corpus ≈ 10 GB — beyond that, shard the broadcast side
-    *   into S id-range slices and union the S kernel passes, or route
-    *   through [[knnIvf]]-style cells / LSH banding; the per-partition
-    *   loop itself is embarrassingly parallel and shuffle-free). */
+    * @note scale: the broadcast side is N·dim·8 bytes — the default
+    *   1M-row cap keeps that ≈ 0.5 GB at 64-dim / 1 GB at 128-dim,
+    *   well inside executor broadcast budgets; raise it deliberately
+    *   if your executors are sized for more. Beyond broadcast reach,
+    *   use [[cosineNearDupsBlocked]] (grid form), shard the broadcast
+    *   side into S id-range slices and union the S kernel passes, or
+    *   route through [[knnIvf]]-style cells / [[rhpNearDups]] LSH
+    *   banding; the per-partition loop itself is embarrassingly
+    *   parallel and shuffle-free. */
   def cosineNearDups(df: DataFrame, minCosine: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBroadcastRows: Long = 10L * 1000 * 1000): DataFrame = {
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed = normed(df, idCol, vecCol)

@@ -98,10 +98,42 @@ object SimilarityQueries {
   }
 
   /** Int8 scalar-quantized ANN ([[SimilarityOps.knnSq8]]): quantized
-    * shortlist + exact re-rank. Rows-only (the shortlist membership is
-    * quantization-dependent); recall ≥ 0.95 vs brute force gated by
-    * `SimilaritySpec`. */
-  private val knnSq8 = Q.noOracle("llm_knn_sq8") { (s, d) =>
+    * shortlist + exact re-rank — under the FULL hash oracle, because
+    * every step is deterministic arithmetic both engines share: the
+    * per-vector scale is one division, the int8 codes are
+    * `round(x/s)` (engine-equal HALF_UP on doubles), the approximate
+    * dot is a sum of EXACT small-integer products (codes ≤ 127, so
+    * every product and partial sum is an exact integer in double —
+    * order-independent), and the re-rank reuses the exact-cosine
+    * formula the brute-force key already pins. The oracle REBUILDS
+    * the quantize → shortlist → re-rank pipeline in SQL, so shortlist
+    * membership itself is verified, not just final cosines (the
+    * `agg_cms_mergeable` template applied to ANN). Recall ≥ 0.95 vs
+    * brute force additionally gated by `SimilaritySpec`. */
+  private val knnSq8 = Q(
+    "llm_knn_sq8",
+    s"""WITH $oNormed,
+       |cq AS (SELECT vec_id, v, nrm, s, list_transform(v, x -> round(x / s)) AS qd
+       |       FROM (SELECT vec_id, v, nrm,
+       |               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+       |             FROM n)),
+       |q AS (SELECT vec_id AS qid, qd AS qqd, s AS qs, v AS qv, nrm AS qn
+       |      FROM cq WHERE vec_id < 5),
+       |ap AS (SELECT q.qid, c.vec_id AS nbr,
+       |         c.s * q.qs * list_sum(list_transform(list_zip(c.qd, q.qqd), p -> p[1]*p[2]))
+       |           / (c.nrm * q.qn) AS approx
+       |       FROM cq c CROSS JOIN q WHERE c.vec_id != q.qid),
+       |sl AS (SELECT qid, nbr FROM (
+       |         SELECT qid, nbr,
+       |           row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nbr) AS srk
+       |         FROM ap) WHERE srk <= 40),
+       |ex AS (SELECT sl.qid, sl.nbr,
+       |         round(list_sum(list_transform(list_zip(nn.v, q.qv), p -> p[1]*p[2]))
+       |               / (nn.nrm * q.qn), 6) AS cos
+       |       FROM sl JOIN n nn ON nn.vec_id = sl.nbr JOIN q ON q.qid = sl.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM ex)
+       |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
     SimilarityOps.knnSq8(Tables.embeddings(s, d),
         isQuery = col("vec_id") < 5, k = 10, shortlist = 40)
       .orderBy("qid", "rk")

@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * before PATTERN) is supported on the `A B+ C` shape over the loop
   * variable, compiled onto [[CepOps.cepKleeneMeasures]] — the
   * aggregates ride the run-grouping pass, zero extra shuffles. On a
-  * plain (optional-allowed) sequence, FIRST/LAST/(0-or-1) COUNT per
-  * variable are pure renames of the per-step ids; SUM/AVG need a loop
-  * variable and are rejected there.
+  * plain (optional-allowed) sequence and on the 2-step AFTER MATCH
+  * SKIP shapes, FIRST/LAST/(0-or-1) COUNT per variable are pure
+  * renames of the per-step ids; on `A{n}`, COUNT(A.*) is the literal
+  * `n` and FIRST/LAST are the run-edge ids. SUM/AVG need a loop
+  * variable and are rejected on every non-Kleene shape.
   *
   * `AFTER MATCH SKIP TO NEXT ROW` / `AFTER MATCH SKIP PAST LAST ROW`
   * (standard position: before PATTERN) route a 2-step sequence to
@@ -121,17 +123,23 @@ object MatchRecognize {
     // AFTER MATCH SKIP routes a 2-step sequence to the dedicated
     // strategy operators; other shapes keep their native semantics
     // (Kleene is skip-past-last by construction; NO_SKIP otherwise).
+    // MEASURES on these shapes: each variable binds exactly one event,
+    // so FIRST/LAST/COUNT are pure renames (see [[stepMeasures]]).
     (skip, toks) match {
       case (Some(s), Seq(Tok(a, ""), Tok(b, ""))) if s.startsWith("TO NEXT") =>
-        return CepOps.cepSkipToNext(ev, keyCol, tsCol, idCol,
+        val base = CepOps.cepSkipToNext(ev, keyCol, tsCol, idCol,
             binds(a), binds(b), normWithin)
           .select(col(keyCol), col("a_id").as(s"${a}_id"),
             col("b_id").as(s"${b}_id"), col("gap_us").as("total_us"))
+        return stepMeasures(base, measureItems(rest), Seq(a, b), idCol,
+          keyCol, spanCol = Some("total_us"))
       case (Some(s), Seq(Tok(a, ""), Tok(b, ""))) if s.startsWith("PAST LAST") =>
-        return CepOps.cepSkipPastLast(ev, keyCol, tsCol, idCol,
+        val base = CepOps.cepSkipPastLast(ev, keyCol, tsCol, idCol,
             binds(a), binds(b), withinUs)
           .select(col(keyCol), col("a_id").as(s"${a}_id"),
             col("b_id").as(s"${b}_id"))
+        return stepMeasures(base, measureItems(rest), Seq(a, b), idCol,
+          keyCol, spanCol = None)
       case (Some(s), Seq(Tok(_, ""), Tok(_, "+"), Tok(_, ""))) if s.startsWith("PAST LAST") =>
         () // Kleene's native semantics ARE skip-past-last — fall through
       case (Some(s), _) =>
@@ -145,7 +153,31 @@ object MatchRecognize {
       case Seq(Tok(a, "")) if toks.size == 1 =>
         sys.error("single plain variable is a filter, not a pattern")
       case Seq(Tok(a, n)) if n.forall(_.isDigit) && n.nonEmpty =>
-        CepOps.cepTimes(ev, keyCol, tsCol, idCol, binds(a), n.toInt, normWithin)
+        val base = CepOps.cepTimes(ev, keyCol, tsCol, idCol, binds(a),
+          n.toInt, normWithin)
+        // MEASURES on A{n}: the run has exactly n events, so COUNT is
+        // the literal n and FIRST/LAST are the existing run-edge ids
+        val items = measureItems(rest)
+        if (items.isEmpty) base
+        else {
+          val renamed = items.map {
+            case ("FIRST", v, c, as) =>
+              require(v == a && c == idCol,
+                s"MEASURES FIRST supports $a.$idCol on this shape")
+              col("first_id").as(as)
+            case ("LAST", v, c, as) =>
+              require(v == a && c == idCol,
+                s"MEASURES LAST supports $a.$idCol on this shape")
+              col("last_id").as(as)
+            case ("COUNT", v, c, as) =>
+              require(v == a && c == "*", s"use COUNT($a.*)")
+              lit(n.toLong).as(as)
+            case (f, _, _, _) =>
+              sys.error(s"MEASURES $f is not supported on A{n} " +
+                "(FIRST/LAST/COUNT only)")
+          }
+          base.select(Seq(col(keyCol)) ++ renamed :+ col("span_us"): _*)
+        }
       case Seq(Tok(a, ""), Tok(b, "+"), Tok(c, "")) =>
         measures(rest, b, idCol) match {
           case Nil =>
@@ -184,29 +216,39 @@ object MatchRecognize {
         // one event (or none, if optional), so FIRST == LAST == the
         // step's id and COUNT(V.*) is its 0/1 presence; run aggregates
         // (SUM/AVG) need a loop variable and are rejected here
-        val items = measureItems(rest)
-        if (items.isEmpty) base
-        else {
-          val names = toks.map(_.name).toSet
-          val renamed = items.map {
-            case ("FIRST" | "LAST", v, c, as) =>
-              require(names.contains(v), s"MEASURES variable '$v' not in PATTERN")
-              require(c == idCol, s"FIRST/LAST support the id column '$idCol'")
-              col(s"${v}_id").as(as)
-            case ("COUNT", v, c, as) =>
-              require(names.contains(v) && c == "*", s"use COUNT($v.*)")
-              when(col(s"${v}_id").isNull, lit(0L)).otherwise(lit(1L)).as(as)
-            case (f, v, _, _) =>
-              sys.error(s"MEASURES $f($v.…) needs a loop variable (B+); " +
-                "plain sequences support FIRST/LAST/COUNT only")
-          }
-          base.select(Seq(col(keyCol)) ++ renamed :+ col("total_us"): _*)
-        }
+        stepMeasures(base, measureItems(rest), toks.map(_.name), idCol,
+          keyCol, spanCol = Some("total_us"))
       case _ =>
         sys.error(s"unsupported PATTERN shape '$pat' — supported: " +
           "plain/optional sequence, A B+ C, A{n}")
     }
   }
+
+  /** MEASURES on shapes where every variable binds at most ONE event
+    * (plain/optional sequences, the 2-step SKIP strategies): FIRST and
+    * LAST are the step's id, COUNT(V.*) its 0/1 presence. Run
+    * aggregates (SUM/AVG) need a loop variable and are rejected.
+    * `spanCol` appends the shape's span/gap column when it has one. */
+  private def stepMeasures(base: DataFrame,
+      items: List[(String, String, String, String)], names: Seq[String],
+      idCol: String, keyCol: String, spanCol: Option[String]): DataFrame =
+    if (items.isEmpty) base
+    else {
+      val nameSet = names.toSet
+      val renamed = items.map {
+        case ("FIRST" | "LAST", v, c, as) =>
+          require(nameSet.contains(v), s"MEASURES variable '$v' not in PATTERN")
+          require(c == idCol, s"FIRST/LAST support the id column '$idCol'")
+          col(s"${v}_id").as(as)
+        case ("COUNT", v, c, as) =>
+          require(nameSet.contains(v) && c == "*", s"use COUNT($v.*)")
+          when(col(s"${v}_id").isNull, lit(0L)).otherwise(lit(1L)).as(as)
+        case (f, v, _, _) =>
+          sys.error(s"MEASURES $f($v.…) needs a loop variable (B+); " +
+            "this shape supports FIRST/LAST/COUNT only")
+      }
+      base.select(Seq(col(keyCol)) ++ renamed ++ spanCol.map(col).toSeq: _*)
+    }
 
   /** Parse the MEASURES clause into `(func, variable, column, alias)`
     * 4-tuples — shape-independent; each PATTERN branch validates which

@@ -106,6 +106,17 @@ class SimilaritySpec extends SparkSpec {
     assert(kernel == join, "kernel must reproduce the join form bit-for-bit")
   }
 
+  test("cosineNearDups fails loudly BEFORE the collect when the corpus exceeds the broadcast cap") {
+    import graft.operators.SimilarityOps
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.cosineNearDups(emb, minCosine = 0.45, maxBroadcastRows = 10L)
+    }
+    assert(e.getMessage.contains("cosineNearDupsBlocked"),
+      s"the guard must name the scale-safe route, got: ${e.getMessage}")
+  }
+
   test("triangular block-grid all-pairs equals the broadcast kernel") {
     import graft.operators.SimilarityOps
     import graft.Tables

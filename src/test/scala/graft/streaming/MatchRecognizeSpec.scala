@@ -158,6 +158,66 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("MEASURES on A{n}: COUNT is the literal n, FIRST/LAST are the run edges") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """MEASURES FIRST(A.event_id) AS run_start, LAST(A.event_id) AS run_end,
+        |         COUNT(A.*) AS n_events
+        |PATTERN (A{3}) DEFINE A AS event_type = 'click'
+        |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    assert(mr.columns.toSeq ==
+      Seq("user_id", "run_start", "run_end", "n_events", "span_us"))
+    val direct = CepOps.cepTimes(ev, "user_id", "ts", "event_id",
+      col("event_type") === "click", 3, "12 HOUR")
+    assert(rows(mr.select("user_id", "run_start", "run_end", "span_us")) ==
+      rows(direct.select("user_id", "first_id", "last_id", "span_us")))
+    assert(mr.filter(col("n_events") =!= 3).isEmpty)
+    // a run aggregate over a value column needs a loop variable
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """MEASURES SUM(A.value) AS s
+          |PATTERN (A{3}) DEFINE A AS event_type = 'click'
+          |WITHIN 12 hours""".stripMargin)
+    }
+  }
+
+  test("MEASURES on the 2-step SKIP shapes renames step ids (no silent drop)") {
+    val toNext = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """MEASURES FIRST(V.event_id) AS view_id, LAST(P.event_id) AS buy_id
+        |AFTER MATCH SKIP TO NEXT ROW
+        |PATTERN (V P)
+        |DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        |WITHIN INTERVAL '2' HOUR""".stripMargin)
+    assert(toNext.columns.toSeq ==
+      Seq("user_id", "view_id", "buy_id", "total_us"))
+    val directN = CepOps.cepSkipToNext(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "purchase", "2 HOUR")
+    assert(rows(toNext.select("user_id", "view_id", "buy_id")) ==
+      rows(directN.select("user_id", "a_id", "b_id")))
+
+    val pastLast = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """MEASURES COUNT(V.*) AS n_v, LAST(P.event_id) AS buy_id
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (V P)
+        |DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+        |WITHIN INTERVAL '2' HOUR""".stripMargin)
+    assert(pastLast.columns.toSeq == Seq("user_id", "n_v", "buy_id"))
+    val directL = CepOps.cepSkipPastLast(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "purchase",
+      2L * 3600L * 1000000L)
+    assert(rows(pastLast.select("user_id", "buy_id")) ==
+      rows(directL.select("user_id", "b_id")))
+    assert(pastLast.filter(col("n_v") =!= 1L).isEmpty)
+    // SUM on a skip shape is rejected, not dropped
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """MEASURES SUM(V.value) AS s
+          |AFTER MATCH SKIP TO NEXT ROW
+          |PATTERN (V P)
+          |DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+          |WITHIN 2 hours""".stripMargin)
+    }
+  }
+
   test("malformed clauses fail fast") {
     intercept[RuntimeException] {
       MatchRecognize(ev, "user_id", "ts", "event_id",
