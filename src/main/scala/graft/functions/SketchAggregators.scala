@@ -197,6 +197,86 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** KMV / bottom-k distinct-count sketch (Bar-Yossef et al., "Counting
+    * distinct elements in a data stream", RANDOM 2002 — the estimator
+    * family theta sketches build on): keep the `k` smallest DISTINCT
+    * hash values of the keys; with hashes uniform on `[0, M)`, the
+    * k-th smallest value `h_k` estimates the distinct count as
+    * `(k−1)·M / h_k`. Fewer than `k` retained values means the sketch
+    * saw every distinct hash — the estimate degenerates to the EXACT
+    * count. Partials merge by union + re-trim (associative,
+    * order-independent), so map-side combine applies and per-group
+    * sketches roll up into corpus sketches without re-reading history.
+    *
+    * Unlike the DataSketches HLL/theta builtins, every step here is
+    * engine-portable integer arithmetic (`h = (a·(x mod M) + b) mod M`,
+    * a sorted distinct bottom-k, one IEEE division) — so the DuckDB
+    * oracle REBUILDS the sketch and hash-checks the estimates exactly,
+    * the [[CountMin]] template applied to the distinct-count family.
+    *
+    * Accuracy: relative SE ≈ 1/√(k−2) (~6% at k=256); hash collisions
+    * under-count by O(n²/M) — negligible below ~10⁷ distinct at
+    * M = 2³¹−1, and the estimate stays deterministic regardless.
+    *
+    * @note scale: the buffer is ≤ k longs however many rows stream in;
+    *   the shuffle carries one bounded array per (partition, group).
+    *   The reduce path is a membership binary-search + ordered insert —
+    *   O(log k) search, O(k) worst-case insert, amortized cheap because
+    *   most values fall above the current k-th minimum and are
+    *   rejected in O(log k). */
+  class BottomK(val k: Int = 256) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k >= 2)
+    import BottomK.{M, A, B}
+
+    override def zero: Array[Long] = Array.empty
+
+    override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+      val xm = ((x % M) + M) % M
+      val h = (A * xm + B) % M
+      insert(buf, h)
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var r = a
+      var i = 0
+      while (i < b.length) { r = insert(r, b(i)); i += 1 }
+      r
+    }
+
+    /** Sorted-unique insert keeping the k smallest. */
+    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+      val p = java.util.Arrays.binarySearch(buf, h)
+      if (p >= 0) buf // already present
+      else {
+        val at = -(p + 1)
+        if (at >= k) buf // above the k-th minimum — rejected
+        else {
+          val n = math.min(buf.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, at)
+          out(at) = h
+          System.arraycopy(buf, at, out, at + 1, n - at - 1)
+          out
+        }
+      }
+    }
+
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  object BottomK {
+    /** Same BIGINT-safe modulus discipline as [[CountMin.M]]. */
+    val M = 2147483647L
+    val A = 1000000007L
+    val B = 12345L
+
+    /** DuckDB fragment for the hash — shared by the oracle restatement. */
+    def oHash(x: String): String =
+      s"(($A * ((($x % $M) + $M) % $M) + $B) % $M)"
+  }
+
   object CountMin {
     /** Modulus 2³¹−1 keeps `a·x` under 2⁶² — exact in BIGINT on any
       * engine, which is what lets the DuckDB oracle REBUILD the sketch

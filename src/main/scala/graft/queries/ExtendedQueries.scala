@@ -940,6 +940,162 @@ object ExtendedQueries {
       .orderBy("o_custkey")
   }
 
+  /** Count-MEAN-min estimates from the SAME mergeable CMS counters
+    * (Deng & Rafiei, "New estimation algorithms for streaming data:
+    * count-min can do more", 2007): each row's counter is debiased by
+    * the expected hash-collision noise `(N − c) / (width − 1)`, the
+    * median of the debiased rows replaces the min, and the result is
+    * clamped into `[0, est_min]` — so `est_cmm ≤ est_n` BY
+    * CONSTRUCTION (the bound `CmsVariantsSpec` also proves against
+    * exact counts). This is the deterministic tightening of CMS: the
+    * popular alternative, conservative update, makes each increment
+    * depend on the counters at the moment it arrives — stream-order-
+    * dependent, so two partitionings give two different sketches and
+    * elementwise-add merge breaks its invariant. It is therefore NOT a
+    * mergeable summary and can't be a distributed operator under this
+    * library's determinism contract; `CmsVariantsSpec` pins its bound
+    * relationship (cons ≤ plain per cell) with a sequential reference
+    * instead. CMM keeps full mergeability (the debias reads only the
+    * final merged counters) — the right variant at 100 TB.
+    *
+    * Every step is integer counts + one exact-input IEEE division, so
+    * the oracle rebuilds both estimates and the key is hash-verified
+    * like [[aggCmsMergeable]].
+    *
+    * Width is deliberately NARROW here (128 vs [[aggCmsMergeable]]'s
+    * 2048): the debias matters exactly when cells are heavily collided
+    * (distinct keys ≫ width — at 100 TB, always); in that regime on
+    * this fixture CMM lands within single digits of the exact counts
+    * while the plain min is ~10× over. In the uncollided regime the
+    * deduction over-corrects — use the plain estimate there.
+    *
+    * @note scale: identical build/merge to [[aggCmsMergeable]]; the
+    *   debias touches only the probed cells of the merged
+    *   depth·width-long table. */
+  private val aggCmsMeanmin = Q(
+    "agg_cms_meanmin",
+    """WITH consts(i, a, b) AS (VALUES
+      |    (0, 1000000007, 12345), (1, 998244353, 67891),
+      |    (2, 786433, 13579), (3, 104857601, 24680)),
+      |probes(k) AS (VALUES (0), (1), (2), (3), (4)),
+      |per AS (SELECT c.i,
+      |    ((CAST(c.a AS BIGINT) * (o.o_custkey % 2147483647) + c.b) % 2147483647) % 128 AS cell,
+      |    count(*) AS n
+      |  FROM orders o CROSS JOIN consts c GROUP BY 1, 2),
+      |tot AS (SELECT count(*) AS nn FROM orders),
+      |pc AS (SELECT c.i, p.k,
+      |    ((CAST(c.a AS BIGINT) * (p.k % 2147483647) + c.b) % 2147483647) % 128 AS cell
+      |  FROM consts c CROSS JOIN probes p),
+      |cells AS (SELECT pc.k, COALESCE(per.n, 0) AS n,
+      |    CAST(COALESCE(per.n, 0) AS DOUBLE)
+      |      - CAST(tot.nn - COALESCE(per.n, 0) AS DOUBLE) / 127.0 AS corr
+      |  FROM pc LEFT JOIN per ON per.i = pc.i AND per.cell = pc.cell CROSS JOIN tot),
+      |g AS (SELECT k, min(n) AS est_n, list(corr ORDER BY corr) AS cs
+      |      FROM cells GROUP BY k)
+      |SELECT CAST(k AS BIGINT) AS o_custkey, CAST(est_n AS BIGINT) AS est_n,
+      |  round(least(CAST(est_n AS DOUBLE), greatest((cs[2] + cs[3]) / 2.0, 0.0)), 4) AS est_cmm
+      |FROM g ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val depth = 4
+    val width = 128
+    val cms = new SketchAggregators.CountMin(depth, width)
+    val per = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(cms.toColumn.name("sk"))
+      .toDF("o_orderstatus", "sk")
+    val merged = per
+      .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .groupBy("pos").agg(sum("cnt").as("cnt"))
+    // every sketch row receives one increment per input row, so row 0's
+    // cell sum IS the total count — no second scan of the base table
+    val tot = merged.filter(col("pos") < width).agg(sum("cnt").as("nn"))
+    val probeCells = (for { k <- 0L to 4L; i <- 0 until depth }
+      yield (k, i * width + SketchAggregators.CountMin.cell(k, i, width)))
+      .toDF("o_custkey", "pos")
+    val cells = probeCells.join(merged, "pos")
+      .crossJoin(broadcast(tot))
+      .withColumn("corr", col("cnt").cast("double") -
+        (col("nn") - col("cnt")).cast("double") / lit((width - 1).toDouble))
+    cells.groupBy("o_custkey")
+      .agg(min("cnt").as("est_n"),
+        sort_array(collect_list(col("corr"))).as("cs"))
+      .select(col("o_custkey"), col("est_n"),
+        round(least(col("est_n").cast("double"),
+          greatest((element_at(col("cs"), 2) + element_at(col("cs"), 3)) / lit(2.0),
+            lit(0.0))), 4).as("est_cmm"))
+      .orderBy("o_custkey")
+  }
+
+  /** KMV / bottom-k distinct rollup
+    * ([[graft.functions.SketchAggregators.BottomK]]) — the
+    * theta-sketch estimator family with every internal engine-portable:
+    * per-orderstatus bottom-256 hash sketches of o_custkey built
+    * independently, merged by union + re-trim into the global estimate
+    * WITHOUT re-reading base data (the [[aggHllMergeable]] shape), and
+    * — unlike the DataSketches keys — the DuckDB oracle REBUILDS the
+    * hashes, the bottom-k selection, and the `(k−1)·M / h_k` estimate,
+    * so the whole path is hash-verified. Output: one estimate per
+    * group plus the merged `ALL` row. `KmvSpec` additionally gates the
+    * estimates against exact distinct counts.
+    *
+    * @note scale: ≤ k longs per (partition, group) buffer; the merge
+    *   explodes |groups|·k values once — metadata-sized however large
+    *   the corpus. */
+  private val aggKmvMergeable = Q(
+    "agg_kmv_mergeable",
+    s"""WITH h AS (SELECT DISTINCT o_orderstatus,
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("o_custkey")} AS h
+       |  FROM orders),
+       |rk AS (SELECT o_orderstatus, h,
+       |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+       |  FROM h),
+       |sk AS (SELECT o_orderstatus, h FROM rk WHERE rk <= 256),
+       |pest AS (SELECT o_orderstatus AS scope,
+       |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+       |         ELSE round(547608329985.0 / CAST(max(h) AS DOUBLE), 4) END AS est_distinct
+       |  FROM sk GROUP BY 1),
+       |uni AS (SELECT h, row_number() OVER (ORDER BY h) AS urk
+       |  FROM (SELECT DISTINCT h FROM sk)),
+       |gest AS (SELECT 'ALL' AS scope,
+       |    CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+       |         ELSE round(547608329985.0 / CAST(max(h) AS DOUBLE), 4) END AS est_distinct
+       |  FROM uni WHERE urk <= 256)
+       |SELECT scope, est_distinct FROM pest
+       |UNION ALL SELECT scope, est_distinct FROM gest
+       |ORDER BY scope""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val k = 256
+    val kmv = new SketchAggregators.BottomK(k)
+    // 255 · (2³¹−1) — exact below 2⁵³, matching the oracle's literal
+    val scale = 255.0 * 2147483647.0
+    def est(cnt: org.apache.spark.sql.Column,
+        hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(cnt < k, cnt.cast("double"))
+        .otherwise(round(lit(scale) / hk.cast("double"), 4))
+    val per = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.toColumn.name("sk"))
+      .toDF("o_orderstatus", "sk")
+    val perEst = per.select(col("o_orderstatus").as("scope"),
+      est(size(col("sk")).cast("long"), element_at(col("sk"), k)).as("est_distinct"))
+    // merged sketch = bottom-k of the union of retained values — the
+    // same result merging the binary sketches would give
+    val uni = per.select(explode(col("sk")).as("h")).distinct()
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+    val gest = uni.select(lit("ALL").as("scope"),
+      est(col("cnt"), col("hk")).as("est_distinct"))
+    perEst.unionByName(gest).orderBy("scope")
+  }
+
   /** Theta-sketch SET OPERATIONS on distinct counts (Spark 4.1
     * DataSketches builtins) — the capability HLL cannot provide:
     * "distinct users who clicked AND purchased / clicked but never
@@ -1120,5 +1276,5 @@ object ExtendedQueries {
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
-    aggCmsMergeable)
+    aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable)
 }
