@@ -30,6 +30,12 @@ ABS_FLOOR_SEC = 0.25  # ratio on a 0.1 s key is noise by construction
 # and keep the old slack via LEGACY_DRIFT_RATIO.
 DRIFT_RATIO = 1.15
 LEGACY_DRIFT_RATIO = 1.3
+# Once a key has this many calibrated history rows, its median is taken
+# over the calibrated rows ONLY (legacy uncalibrated rows are ignored
+# and the tight DRIFT_RATIO applies) — the ledgered end state of the
+# calib normalization rollout. New history rows are REQUIRED to carry
+# calib_sec; a bench run without one is diffed but never recorded.
+CALIB_ONLY_MIN_ROWS = 4
 QUIET_STEAL_MAX = 500  # jiffies; noisier runs are diffed but not recorded
 
 
@@ -87,15 +93,18 @@ def drift_check(history_path, cur, label):
         # rescale each history row to the CURRENT host's measured speed
         # (row_sec * cur_calib / row_calib); rows without calib_sec are
         # kept as-is and the comparison falls back to the looser ratio
-        past, normalized = [], True
+        cal_past, legacy_past = [], []
         for h in hist:
             if k in h.get("queries", {}):
                 row_calib = h.get("calib_sec")
                 if cur_calib and row_calib:
-                    past.append(h["queries"][k] * cur_calib / row_calib)
+                    cal_past.append(h["queries"][k] * cur_calib / row_calib)
                 else:
-                    past.append(h["queries"][k])
-                    normalized = False
+                    legacy_past.append(h["queries"][k])
+        if len(cal_past) >= CALIB_ONLY_MIN_ROWS:
+            past, normalized = cal_past, True
+        else:
+            past, normalized = cal_past + legacy_past, not legacy_past
         past.sort()
         ratio_bound = DRIFT_RATIO if normalized else LEGACY_DRIFT_RATIO
         if len(past) >= 2 and sec > ABS_FLOOR_SEC:
@@ -110,7 +119,10 @@ def drift_check(history_path, cur, label):
                                "calib_normalized": normalized,
                                "n_history_rounds": len(past)})
     steal = cur.get("steal_jiffies")
-    if steal is None or steal <= QUIET_STEAL_MAX:
+    if cur_calib is None:
+        print("history: run has no calib_sec — diffed but NOT recorded",
+              file=sys.stderr)
+    elif steal is None or steal <= QUIET_STEAL_MAX:
         with open(history_path, "a") as f:
             f.write(json.dumps({"label": label, "total": cur.get("total"),
                                 "steal_jiffies": steal,

@@ -100,6 +100,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }.getOrElse(16)
         HilbertIndex(children.head, children(1), order)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
+      (children: Seq[Expression]) =>
+        LevWithin(children.head, children(1), children(2))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -277,6 +277,70 @@ object SketchAggregators {
       s"(($A * ((($x % $M) + $M) % $M) + $B) % $M)"
   }
 
+  /** PORTABLE HyperLogLog registers (Flajolet et al., "HyperLogLog: the
+    * analysis of a near-optimal cardinality estimation algorithm",
+    * AofA 2007) over the [[BottomK]] hash: bucket = low `p` bits of
+    * `h = (A·x+B) mod M`, rho = leading-zero run of the remaining
+    * `31−p` bits plus one, register = max rho per bucket. Every step is
+    * integer arithmetic on a shared 31-bit hash, so — unlike the
+    * DataSketches `hll_sketch_agg` builtin, whose HIP estimator and
+    * binary layout are engine-specific — the DuckDB oracle REBUILDS
+    * the registers and the estimate and hash-checks both (the
+    * [[CountMin]]/[[BottomK]] template applied to HLL itself).
+    *
+    * `finish` returns the FULL 2^p register array (zeros included), so
+    * downstream arithmetic (`Σ 2^(rmax−r)` as an exact BIGINT, zero
+    * count, raw estimate `α·m²·2^rmax / S`) is pure column math. The
+    * published small-range linear-counting correction needs `ln`,
+    * which is NOT identically rounded across libm implementations —
+    * the oracle-checked contract is therefore the RAW estimate
+    * (deterministic IEEE mul/div only), with the exact register array
+    * carried alongside; accuracy against exact counts is spec-gated in
+    * the estimator's working regime (`n ≳ 2.5·m`).
+    *
+    * Registers merge by elementwise max (associative,
+    * order-independent) — map-side combine applies, per-group sketches
+    * roll up to corpus sketches without re-reading history.
+    *
+    * @note scale: fixed 2^p ints per (partition, group) buffer; the
+    *   shuffle carries one bounded array per group. */
+  class HllRegisters(val p: Int = 8) extends Aggregator[Long, Array[Int], Seq[Long]] {
+    require(p >= 4 && p <= 16)
+    import BottomK.{M, A, B}
+    private val m = 1 << p
+    private val suffixBits = 31 - p
+
+    override def zero: Array[Int] = new Array[Int](m)
+
+    override def reduce(buf: Array[Int], x: Long): Array[Int] = {
+      val xm = ((x % M) + M) % M
+      val h0 = (A * xm + B) % M
+      // quadratic strengthening: the affine map alone sends sequential
+      // keys to an arithmetic progression whose high bits correlate
+      // with the leading-zero statistic (measured ~50% bias on 1..n
+      // keys); (h²+h) mod M breaks the linearity and stays exact in
+      // BIGINT (h² < 2^62), so the oracle still rebuilds it verbatim
+      val h = (h0 * h0 + h0) % M
+      val bucket = (h & (m - 1)).toInt
+      val w = h >>> p
+      val rho =
+        if (w == 0L) suffixBits + 1
+        else suffixBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(bucket)) buf(bucket) = rho
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Int]): Seq[Long] = r.toSeq.map(_.toLong)
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   object CountMin {
     /** Modulus 2³¹−1 keeps `a·x` under 2⁶² — exact in BIGINT on any
       * engine, which is what lets the DuckDB oracle REBUILD the sketch

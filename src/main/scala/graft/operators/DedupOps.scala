@@ -377,12 +377,33 @@ object DedupOps {
     * @note scale: the only all-pairs work is inside an LSH bucket. */
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minJaccard: Double = 0.8, n: Int = 3): DataFrame = {
-    val M = 2147483647L
-    val minhashSig = udaf(SketchAggregators.MinHashSig, Encoders.scalaLong)
     // cached: feeds the signature build AND the exact-Jaccard verify —
     // one tokenize+hash pass instead of two
     val hs = hashedShingles(df, idCol, textCol, n).persist()
-    val sig = hs
+    // reuse the hashed shingles built for the signatures — no second
+    // tokenize+hash pass over the corpus
+    jaccardForHashed(bandedCandidates(hs), hs)
+      .filter(col("jac") >= minJaccard)
+  }
+
+  /** MinHash-LSH candidate pairs over ALREADY-HASHED shingles
+    * `(doc_id, sh, h)`: `(ai, bi)` with `ai < bi` for every pair whose
+    * 64-permutation signatures collide on at least one of the 16
+    * 4-row bands — the candidate stage of [[minhashNearDups]], exposed
+    * so rerank-style consumers ([[graft.queries.DedupQueries]]'
+    * `llm_topk_similar`) can route candidate generation through the
+    * SAME banding machinery instead of a shingle self-join. The
+    * signature arithmetic (`h mod M`, then `(2i+1)·x + (1000003·i +
+    * 12345) mod M` per permutation) is plain integer math, so the
+    * DuckDB oracle REBUILDS it and hash-checks the routed keys.
+    *
+    * @note scale: the only all-pairs work is inside an LSH bucket —
+    *   one shuffle of 16·N `(band, bsig)` rows; bucket mass tracks true
+    *   near-duplicate mass, never Σ df². */
+  def bandedCandidates(hashedSh: DataFrame): DataFrame = {
+    val M = 2147483647L
+    val minhashSig = udaf(SketchAggregators.MinHashSig, Encoders.scalaLong)
+    val sig = hashedSh
       .withColumn("x", col("h") % M)
       .groupBy("doc_id").agg(minhashSig(col("x")).as("sig"))
     val bands = sig
@@ -391,14 +412,136 @@ object DedupOps {
         "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
       .select("doc_id", "band", "bsig")
       .persist() // both sides of the band self-join
-    val cands = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi")).distinct()
-    // reuse the hashed shingles built for the signatures — no second
-    // tokenize+hash pass over the corpus
+  }
+
+  /** COMPLETE containment pairs at threshold `tNum/tDen` — every pair
+    * with `max(cont_a, cont_b) ≥ t`, no hot-shingle caveat — via
+    * prefix filtering (the AllPairs/PPJoin candidate bound of Bayardo,
+    * Ma & Srikant, "Scaling up all pairs similarity search", WWW'07,
+    * adapted to the overlap/containment constraint): order the shingle
+    * universe canonically by (global document frequency ASC, hash ASC)
+    * — rarest first — and rank each document's shingles in that order.
+    * If `c = |A∩B| ≥ t·m` for the smaller side of size `m`, then fewer
+    * than `m − (⌈t·m⌉ − 1)` of its shingles are unshared, so at least
+    * one of its first `m − ⌈t·m⌉ + 2` shingles is shared (one extra
+    * slot absorbs the `round(·,6)` boundary: a ratio within 5·10⁻⁷
+    * below t still rounds up to t for any doc under 2M shingles).
+    * Candidates are therefore prefix(shorter) ⋈ full(longer) on the
+    * shingle hash; exact containment over the FULL sets then verifies.
+    * Returns `(ai, bi, cont_a, cont_b)` with
+    * `max(cont) ≥ tNum/tDen`, `ai < bi`.
+    *
+    * The threshold is a RATIONAL (`tNum/tDen`), so the prefix length is
+    * exact integer arithmetic — no IEEE ceil drift — and the DuckDB
+    * oracle for the bound key is a genuinely independent brute-force
+    * all-shared-pairs restatement, certifying prefix completeness end
+    * to end (the [[graft.queries.DedupQueries]] `llm_edit_join_exact`
+    * pattern).
+    *
+    * Contrast [[containmentPairs]]: the df-capped form stays the
+    * small-corpus fast path, but its candidate mass is Σ min(df,cap)²
+    * over ALL cold shingles — the 10× stress probe measured it at
+    * 99.9 s — where this form joins only the RAREST ~(1−t) fraction of
+    * each document's shingles against the corpus, so hot boilerplate
+    * shingles never become join keys unless a document consists almost
+    * entirely of them (in which case the pairs are true positives and
+    * the mass is output mass).
+    *
+    * @note scale: one groupBy on the hash for global df, one
+    *   doc-partitioned window for the ranks, then the prefix⋈full
+    *   equi-join on the hash; verification cost ∝ candidates. All
+    *   shuffles hash-partition; no doc×doc stage. */
+  def containmentPairsComplete(df: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+    val hs = hashedShingles(df, idCol, textCol, n).persist()
+    // required overlap on the smaller side: o = ceil(t·m) − 1
+    val cands = prefixFilteredCandidates(hs,
+      m => floor((m * tNum + tDen - 1) / lit(tDen)).cast("long") - 1)
+    val sets = hs.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
+    cands
+      .join(sets.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("bi") === col("sb.doc_id"))
+      .withColumn("c", size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double"))
+      .select(col("ai"), col("bi"),
+        round(col("c") / col("sa.n"), 6).as("cont_a"),
+        round(col("c") / col("sb.n"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >=
+        lit(tNum.toDouble / tDen))
+  }
+
+  /** COMPLETE Jaccard pairs at threshold `tNum/tDen` — every pair with
+    * `jac ≥ t`, no hot-shingle caveat — through the SAME rarity-order
+    * prefix filter as [[containmentPairsComplete]], with the overlap
+    * bound specialized to Jaccard: `jac ≥ t` forces
+    * `c ≥ t·(na+nb)/(1+t) ≥ 2t/(1+t)·min(na,nb)`, so the smaller
+    * side's prefix of its `m − ⌈2t·m/(tDen+tNum-scaled)⌉ + 2` rarest
+    * shingles must intersect the other side. Exact full-set Jaccard
+    * then verifies. Returns `(ai, bi, jac)`, `ai < bi`, `jac ≥ t`.
+    *
+    * Contrast the three existing regimes: [[jaccardPairs]] (df-capped
+    * candidates — fast, misses pairs sharing only boilerplate),
+    * [[minhashNearDups]] (probabilistic LSH recall), and this —
+    * deterministic completeness at the threshold, candidate mass
+    * bounded by each document's rarest ~(1−2t/(1+t)) shingle fraction.
+    *
+    * @note scale: identical plan shape to [[containmentPairsComplete]]
+    *   — same two hash-partitioned passes and prefix⋈full equi-join,
+    *   verification ∝ candidates. */
+  def jaccardPairsComplete(df: DataFrame, tNum: Int = 1, tDen: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+    val hs = hashedShingles(df, idCol, textCol, n).persist()
+    // o = ceil(2·tNum·m / (tDen + tNum)) − 1 (rounding slack)
+    val cands = prefixFilteredCandidates(hs,
+      m => floor((m * (2 * tNum) + tDen + tNum - 1) / lit(tDen + tNum))
+        .cast("long") - 1)
     jaccardForHashed(cands, hs)
-      .filter(col("jac") >= minJaccard)
+      .filter(col("jac") >= lit(tNum.toDouble / tDen))
+  }
+
+  /** Shared prefix-filter candidate stage of
+    * [[containmentPairsComplete]] / [[jaccardPairsComplete]]: order the
+    * shingle universe by (global df ASC, hash ASC) — rarest first —
+    * rank each document's shingles in that order, and emit as
+    * candidates every `(ai, bi)` whose SMALLER side shares one of its
+    * first `m − o(m) + 1` shingles with the other side's full set,
+    * where `o(m)` is the caller's required-overlap lower bound for a
+    * smaller side of size `m` (already reduced by 1 to absorb the
+    * `round(·,6)` threshold boundary for any document under 2M
+    * shingles). Ties in size admit both directions and dedupe.
+    *
+    * @note scale: one groupBy on the hash for global df, one
+    *   doc-partitioned window pass for ranks, then the prefix⋈full
+    *   equi-join on the hash — hot boilerplate shingles only become
+    *   join keys for documents consisting almost entirely of them
+    *   (true-positive mass). No doc×doc stage. */
+  private def prefixFilteredCandidates(hs: DataFrame,
+      requiredOverlap: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val dfc = hs.groupBy("h").agg(count(lit(1)).as("gdf"))
+    val ranked = hs.join(dfc, Seq("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("gdf"), col("h"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val o = greatest(lit(1), requiredOverlap(col("m")))
+    val prefix = ranked.filter(col("rk") <= col("m") - o + 1)
+      .select(col("doc_id").as("pid"), col("h"), col("m").as("pm"))
+    val full = ranked
+      .select(col("doc_id").as("fid"), col("h"), col("m").as("fm"))
+    prefix.join(full,
+        prefix("h") === full("h") &&
+          (col("pm") < col("fm") ||
+            (col("pm") === col("fm") && col("pid") =!= col("fid"))))
+      .select(least(col("pid"), col("fid")).as("ai"),
+        greatest(col("pid"), col("fid")).as("bi"))
+      .distinct()
   }
 
   /** Canonical form of a URL column for URL-level dedup (the
@@ -546,6 +689,95 @@ object DedupOps {
     cand.unionByName(shortCand).distinct()
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .filter(col("dist") <= d)
+  }
+
+  /** LONG-STRING form of [[editJoinExact]] — same PassJoin pigeonhole
+    * contract (COMPLETE at `maxDist`, no recall caveat), re-plumbed for
+    * document-length strings: segment and probe substrings are
+    * `xxhash64`-hashed BEFORE the equi-join, so the candidate shuffle
+    * carries `(len, seg_idx, 8-byte hash, id)` rows instead of raw
+    * substrings — for an L-char string the short form ships
+    * O((d+1)²(2d+1)·L/(d+1)) substring characters, this one a constant
+    * (d+1)²(2d+1) hashes. Candidates are id-only; full strings re-join
+    * by id for the exact `levenshtein` verify. A hash collision can
+    * only ADD a candidate (equal substrings always hash equal), so the
+    * completeness proof is untouched and the verify discards the
+    * collision. Returns `(ai, bi, dist)` — no string payload, document
+    * texts stay out of the result.
+    *
+    * The substring guards (`GREATEST(1, home−d)` /
+    * `LEAST(len−segLen+1, home+d)`) clamp every probe window inside
+    * the string for ANY length mix — the production min/max
+    * segment-position guards of the PassJoin paper's probe
+    * enumeration.
+    *
+    * @note scale: probe fan-out is the same constant as
+    *   [[editJoinExact]]; the shuffle payload per string drops from
+    *   O(L·d²) chars to O(d³) bytes, which is what makes the exact
+    *   join runnable on 100 TB of DOCUMENTS rather than part names.
+    *   The verify re-join is ∝ candidates and hash-partitions on id. */
+  def editJoinExactLong(df: DataFrame, maxDist: Int,
+      idCol: String = "doc_id", strCol: String = "text"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val d = maxDist
+    val k = d + 1
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")).cast("int"))
+    val s = base.filter(col("len") > d)
+    def segLen(l: String, j: String) =
+      s"(($l div $k) + IF($j >= $k - ($l % $k), 1, 0))"
+    def segStart(l: String, j: String) =
+      s"(1 + $j * ($l div $k) + GREATEST(0, $j - ($k - ($l % $k))))"
+    val segs = s
+      .select(col("id").as("aid"), col("len").as("la"),
+        explode(expr(
+          s"""transform(sequence(0, $d), j -> struct(
+             |  j AS i,
+             |  xxhash64(substring(s, ${segStart("len", "j")}, ${segLen("len", "j")})) AS hs))"""
+            .stripMargin)).as("g"))
+      .select(col("aid"), col("la"), col("g.i"), col("g.hs"))
+    val subs = s
+      .select(col("id").as("bid"),
+        explode(expr(
+          s"""flatten(transform(sequence(GREATEST(${d + 1}, len - $d), len), la ->
+             |  flatten(transform(sequence(0, $d), j ->
+             |    transform(sequence(
+             |        GREATEST(1, ${segStart("la", "j")} - $d),
+             |        LEAST(len - ${segLen("la", "j")} + 1, ${segStart("la", "j")} + $d)),
+             |      p -> struct(
+             |        la AS la,
+             |        j AS i,
+             |        xxhash64(substring(s, p, ${segLen("la", "j")})) AS hs))))))"""
+            .stripMargin)).as("g"))
+      .select(col("bid"), col("g.la"), col("g.i"), col("g.hs"))
+    val cand = segs.join(subs, Seq("la", "i", "hs"))
+      .filter(col("aid") =!= col("bid"))
+      .select(least(col("aid"), col("bid")).as("ai"),
+        greatest(col("aid"), col("bid")).as("bi"))
+    // short band: strings the pigeonhole can't cover (len ≤ d), brute
+    // against their only admissible partners (len ≤ 2d) — id-only here
+    // too, bounded by short-string mass
+    val shorts = base.filter(col("len") <= d).select(col("id").as("aid"))
+    val nearShort = base.filter(col("len") <= 2 * d).select(col("id").as("bid"))
+    val shortCand = shorts.crossJoin(broadcast(nearShort))
+      .filter(col("aid") =!= col("bid"))
+      .select(least(col("aid"), col("bid")).as("ai"),
+        greatest(col("aid"), col("bid")).as("bi"))
+    val strs = base.select(col("id"), col("s"))
+    // verify with the native strip+band expression
+    // ([[graft.functions.EditDistance]]): common-prefix/suffix stripping
+    // then an Ukkonen band — O(d·L) worst case and ~O(d²) on true
+    // near-copies. The builtin thresholded levenshtein measured ~150 s
+    // for 204k document pairs at the 10× stress point; this is the
+    // verify a 100 TB dedup pass can afford.
+    cand.unionByName(shortCand).distinct()
+      .join(strs.as("sa"), col("ai") === col("sa.id"))
+      .join(strs.as("sb"), col("bi") === col("sb.id"))
+      .withColumn("dist",
+        graft.functions.EditDistance.levWithin(col("sa.s"), col("sb.s"), d))
+      .filter(col("dist") >= 0)
+      .select(col("ai"), col("bi"), col("dist"))
   }
 
   def editSimilarityJoin(df: DataFrame, maxDist: Int,

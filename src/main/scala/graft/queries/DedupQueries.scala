@@ -63,6 +63,28 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** COMPLETE Jaccard-threshold join ([[DedupOps.jaccardPairsComplete]],
+    * rarity-order prefix filter at t = 1/2): the same pair set as
+    * [[dedupNgram]] but under a completeness CONTRACT — no hot-shingle
+    * caveat — so the oracle here drops the df cap entirely: a
+    * brute-force all-shared-pairs restatement, certifying the prefix
+    * bound end to end (the [[editJoinExact]] oracle pattern). */
+  private val dedupNgramComplete = Q(
+    "llm_dedup_ngram_complete",
+    s"""WITH $oShingles,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ai, bi,
+       |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+       |FROM inter JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi
+       |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+       |ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    DedupOps.jaccardPairsComplete(Tables.documents(s, d), tNum = 1, tDen = 2)
+      .orderBy("ai", "bi")
+  }
+
   private val oSimhashSql =
     s"""WITH $oShingles,
        |th AS (SELECT doc_id, ${graft.functions.Hashes.oPolyHash("sh")} AS h FROM sh),
@@ -331,30 +353,79 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** PassJoin on DOCUMENT-length strings ([[DedupOps.editJoinExactLong]],
+    * d=4 — the fixture's planted token-substitution near-dups sit at
+    * char distance 4): hashed segment signatures keep the candidate
+    * shuffle at O(d³) bytes per document instead of shipping raw
+    * substrings. The oracle is an independent brute force over
+    * length-banded pairs with a character-count prefilter (each edit
+    * changes Σ_c |Δcount(c)| by ≤ 2, so Σ over any character subset
+    * ≤ 2d is a necessary condition — pure arithmetic, no segment
+    * logic restated), certifying the hashed-signature scheme's
+    * completeness on real document texts. */
+  private val editJoinLong = Q(
+    "llm_edit_join_long",
+    """WITH docs AS (SELECT doc_id AS id, text AS s,
+      |       length(text) - length(replace(text, 'a', '')) AS ca,
+      |       length(text) - length(replace(text, 'e', '')) AS ce,
+      |       length(text) - length(replace(text, 't', '')) AS ct,
+      |       length(text) - length(replace(text, 's', '')) AS cs
+      |     FROM documents)
+      |SELECT a.id AS ai, b.id AS bi, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM docs a JOIN docs b ON a.id < b.id
+      |  AND abs(length(a.s) - length(b.s)) <= 4
+      |  AND abs(a.ca-b.ca) + abs(a.ce-b.ce) + abs(a.ct-b.ct) + abs(a.cs-b.cs) <= 8
+      |WHERE levenshtein(a.s, b.s) <= 4
+      |ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    graft.operators.DedupOps.editJoinExactLong(Tables.documents(s, d), maxDist = 4)
+      .orderBy("ai", "bi")
+  }
+
   /** "Related documents" — top-3 most similar docs PER DOC by exact
-    * shingle Jaccard: [[DedupOps.jaccardPairs]] candidates mirrored to
-    * both directions, ranked through the
+    * shingle Jaccard, candidate generation routed through the
+    * MinHash-LSH banding machinery ([[DedupOps.bandedCandidates]], the
+    * `llm_dedup_fuzzy` stage) with exact rerank: per doc, the top-3
+    * banded candidates by full-set Jaccard, ranked through the
     * [[graft.operators.SimilarityOps.topKScored]] partial top-k
     * aggregate (the kNN ranking tail — the exchange carries
-    * ≤ partitions·docs·k entries, not the candidate set). The oracle
-    * restates the capped-candidate contract and ranks with a window. */
+    * ≤ partitions·docs·k entries, not the candidate set). The banded
+    * contract replaces the r8 df-cap-100 form, whose candidate join
+    * (Σ min(df,100)² shingle pairs) was still the heaviest key at the
+    * 10× stress point; bucket mass tracks true near-duplicate mass.
+    * The oracle REBUILDS the 64-permutation signature and band
+    * arithmetic in SQL (plain integer math — the CMS pattern), so the
+    * routed candidate set itself is hash-verified, not assumed. */
   private val topkSimilar = Q(
     "llm_topk_similar",
-    s"""WITH ${oJaccardPairsCap(100)},
+    s"""WITH $oShingles,
+       |th AS (SELECT doc_id, ${graft.functions.Hashes.oPolyHash("sh")} % 2147483647 AS x FROM sh),
+       |mh AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |         min(((2*CAST(u.i AS BIGINT)+1)*x + (1000003*CAST(u.i AS BIGINT)+12345)) % 2147483647) AS mv
+       |       FROM th, unnest(range(64)) AS u(i) GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+       |         string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS bsig
+       |       FROM mh GROUP BY 1, 2),
+       |cands AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+       |          FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig
+       |            AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.ai, c.bi, count(*) AS c
+       |          FROM cands c JOIN sh a ON a.doc_id = c.ai
+       |          JOIN sh b ON b.doc_id = c.bi AND b.sh = a.sh GROUP BY 1, 2),
+       |j AS (SELECT ai, bi, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+       |      FROM inter JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi),
        |d AS (SELECT ai AS qid, bi AS nbr, jac FROM j
        |      UNION ALL SELECT bi, ai, jac FROM j),
        |r AS (SELECT qid, nbr, jac, CAST(row_number() OVER (
        |        PARTITION BY qid ORDER BY jac DESC, nbr) AS INT) AS rk FROM d)
        |SELECT qid, nbr, jac, rk FROM r WHERE rk <= 3
        |ORDER BY qid, rk""".stripMargin) { (s, d) =>
-    // df cap 100 (vs the dedup keys' 1000): top-k-similar only needs
-    // the candidates that can carry HIGH Jaccard, and a shingle shared
-    // by >100 docs contributes pairs whose jac signal is noise — the
-    // standard prefix-filter practice. Bounds the candidate join at
-    // Σ_sh min(df,100)² instead of Σ df². persist: the mirror union
-    // consumes the candidate join twice.
-    val pairs = DedupOps.jaccardPairs(Tables.documents(s, d),
-      maxShingleDf = 100L).persist()
+    // persist: the signature build and the exact-Jaccard rerank both
+    // consume the hashed shingles; the mirror union consumes the
+    // reranked pairs twice
+    val hs = DedupOps.hashedShingles(Tables.documents(s, d)).persist()
+    val pairs = DedupOps.jaccardForHashed(
+      DedupOps.bandedCandidates(hs), hs).persist()
     val both = pairs
       .select(col("ai").as("qid"), col("bi").as("nbr"), col("jac"))
       .unionByName(pairs
@@ -363,20 +434,25 @@ object DedupQueries {
       .orderBy("qid", "rk")
   }
 
-  /** Containment near-dups ([[DedupOps.containmentPairs]]): pairs where
-    * ≥ 80% of ONE side's shingles sit inside the other — the asymmetric
+  /** Containment near-dups at max-containment ≥ 4/5
+    * ([[DedupOps.containmentPairsComplete]]): pairs where ≥ 80% of ONE
+    * side's shingles sit inside the other — the asymmetric
     * quote/subset detector symmetric Jaccard misses (a short doc fully
-    * quoted in a long one has tiny jac but cont_short ≈ 1). */
+    * quoted in a long one has tiny jac but cont_short ≈ 1). The r8
+    * df-capped form ([[DedupOps.containmentPairs]], the small-corpus
+    * fast path) was the heaviest shingle-family key at 10× stress
+    * (99.9 s, Σ min(df,cap)² candidate mass); the prefix-filtered form
+    * joins only each document's rarest ~20% of shingles against the
+    * corpus and is COMPLETE at the threshold — so the oracle here is a
+    * genuinely independent brute-force all-shared-pairs restatement
+    * (no prefix logic restated), certifying completeness end to end. */
   private val containment = Q(
     "llm_containment",
     s"""WITH $oShingles,
-       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= 1000),
-       |cands AS (SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
-       |          FROM sh a JOIN cold USING (sh) JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT c.ai, c.bi, count(*) AS c
-       |          FROM cands c JOIN sh a ON a.doc_id = c.ai
-       |          JOIN sh b ON b.doc_id = c.bi AND b.sh = a.sh GROUP BY 1, 2)
+       |inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
        |SELECT ai, bi,
        |  round(CAST(c AS DOUBLE) / sa.n, 6) AS cont_a,
        |  round(CAST(c AS DOUBLE) / sb.n, 6) AS cont_b
@@ -384,12 +460,12 @@ object DedupQueries {
        |WHERE greatest(round(CAST(c AS DOUBLE) / sa.n, 6),
        |               round(CAST(c AS DOUBLE) / sb.n, 6)) >= 0.8
        |ORDER BY ai, bi""".stripMargin) { (s, d) =>
-    DedupOps.containmentPairs(Tables.documents(s, d))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+    DedupOps.containmentPairsComplete(Tables.documents(s, d), tNum = 4, tDen = 5)
       .orderBy("ai", "bi")
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupSimhash, dedupSimhashBanded,
+  val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupNgramComplete,
+    dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
-    editJoin, editJoinExact, topkSimilar, containment)
+    editJoin, editJoinExact, editJoinLong, topkSimilar, containment)
 }

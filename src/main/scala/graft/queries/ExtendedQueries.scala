@@ -1096,6 +1096,154 @@ object ExtendedQueries {
     perEst.unionByName(gest).orderBy("scope")
   }
 
+  /** PORTABLE distinct-set ALGEBRA over [[aggKmvMergeable]]'s bottom-k
+    * sketches (Beyer et al., "On synopses for distinct value estimation
+    * under multiset operations", SIGMOD'07) — the oracle-verified twin
+    * of [[aggThetaSetops]]: clicker and purchaser user sketches built
+    * in one scan, then union / intersection / difference distinct
+    * counts from sketch algebra alone. The combined sketch is the
+    * bottom-k of the two retained sets; every retained value sits below
+    * both sides' k-th minima, so `v ∈ K_A` is an EXACT membership test
+    * for "v among A's distinct hashes" — intersection and difference
+    * fractions are therefore exact set ops on retained values, scaled
+    * by the union estimate. Below k total distincts every estimate
+    * degenerates to the exact count. All integer set ops + IEEE
+    * mul/div — the DuckDB oracle REBUILDS the whole algebra and
+    * hash-checks all three estimates (the DataSketches twin stays
+    * rows-only for its engine-specific theta internals).
+    *
+    * @note scale: two ≤ k-long arrays however many events stream in;
+    *   the algebra is array math on one driver-sized row. */
+  private val aggKmvSetops = Q(
+    "agg_kmv_setops",
+    s"""WITH ch AS (SELECT DISTINCT
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("user_id")} AS h
+       |  FROM events WHERE event_type = 'click'),
+       |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+       |                      FROM ch) WHERE rk <= 256),
+       |ph AS (SELECT DISTINCT
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("user_id")} AS h
+       |  FROM events WHERE event_type = 'purchase'),
+       |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+       |                      FROM ph) WHERE rk <= 256),
+       |u AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+       |                     FROM (SELECT DISTINCT h FROM
+       |                       (SELECT h FROM ka UNION ALL SELECT h FROM kb)))
+       |      WHERE rk <= 256),
+       |st AS (SELECT count(*) AS nv, max(h) AS hk,
+       |    sum(CASE WHEN h IN (SELECT h FROM ka)
+       |              AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS nboth,
+       |    sum(CASE WHEN h IN (SELECT h FROM ka)
+       |              AND h NOT IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS nonly
+       |  FROM u),
+       |est AS (SELECT nv, nboth, nonly,
+       |    CASE WHEN nv < 256 THEN CAST(nv AS DOUBLE)
+       |         ELSE 547608329985.0 / CAST(hk AS DOUBLE) END AS eu
+       |  FROM st)
+       |SELECT round(eu, 4) AS n_union,
+       |  round(CAST(nboth AS DOUBLE) * eu / nv, 4) AS n_both,
+       |  round(CAST(nonly AS DOUBLE) * eu / nv, 4) AS n_click_only
+       |FROM est""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val k = 256
+    val kmv = new SketchAggregators.BottomK(k)
+    val sk = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.toColumn.name("sk"))
+      .toDF("t", "sk")
+    val both = sk.filter(col("t") === "click").select(col("sk").as("ska"))
+      .crossJoin(sk.filter(col("t") === "purchase").select(col("sk").as("skb")))
+    // 255 · (2³¹−1), the KMV estimate scale — matches the oracle literal
+    val scale = 255.0 * 2147483647.0
+    both
+      .withColumn("u", slice(array_sort(array_distinct(
+        concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("nv", size(col("u")))
+      .withColumn("nboth",
+        size(array_intersect(array_intersect(col("u"), col("ska")), col("skb"))))
+      .withColumn("nonly",
+        size(array_except(array_intersect(col("u"), col("ska")), col("skb"))))
+      .withColumn("eu", when(col("nv") < k, col("nv").cast("double"))
+        .otherwise(lit(scale) / element_at(col("u"), k).cast("double")))
+      .select(round(col("eu"), 4).as("n_union"),
+        round(col("nboth").cast("double") * col("eu") / col("nv"), 4).as("n_both"),
+        round(col("nonly").cast("double") * col("eu") / col("nv"), 4).as("n_click_only"))
+  }
+
+  /** PORTABLE HyperLogLog rollup
+    * ([[graft.functions.SketchAggregators.HllRegisters]]) — the same
+    * per-group/merged-ALL shape as [[aggHllMergeable]], but with HLL's
+    * OWN register arithmetic rebuilt by the oracle: bucket/rho over the
+    * shared 31-bit hash, registers as exact BIGINTs
+    * (`S = Σ 2^(24−r)`, zero count), and the raw Flajolet estimate
+    * `α·m²·2²⁴/S` as pure IEEE mul/div — every column hash-checked,
+    * moving the HLL capability itself off the rows-only list (the
+    * DataSketches twin stays rows-only for its engine-specific HIP
+    * path). The ALL row derives from the per-group sketches by
+    * elementwise max — the merge is what is being verified.
+    *
+    * @note scale: 256 ints per (partition, group); the ALL merge
+    *   explodes |groups|·256 rows once — metadata-sized at any corpus
+    *   size. */
+  private val aggHllPortable = Q(
+    "agg_hll_portable",
+    s"""WITH h0 AS (SELECT o_orderstatus AS g,
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("o_custkey")} AS h0
+       |  FROM orders),
+       |h AS (SELECT g, (h0 * h0 + h0) % 2147483647 AS h FROM h0),
+       |br AS (SELECT g, CAST(h % 256 AS INT) AS bucket,
+       |    CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT g, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+       |pagg AS (SELECT g AS scope,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(24 - r AS INT)) +
+       |         (256 - count(*)) * 16777216 AS BIGINT) AS s_reg,
+       |    CAST(256 - count(*) AS BIGINT) AS v_zero
+       |  FROM regs GROUP BY 1),
+       |aregs AS (SELECT bucket, max(rho) AS r FROM br GROUP BY 1),
+       |aagg AS (SELECT 'ALL' AS scope,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(24 - r AS INT)) +
+       |         (256 - count(*)) * 16777216 AS BIGINT) AS s_reg,
+       |    CAST(256 - count(*) AS BIGINT) AS v_zero
+       |  FROM aregs),
+       |u AS (SELECT * FROM pagg UNION ALL SELECT * FROM aagg)
+       |SELECT scope, s_reg, v_zero,
+       |  round((0.7213 / (1 + 1.079 / 256.0)) * 65536 * 16777216
+       |        / CAST(s_reg AS DOUBLE), 4) AS est_distinct
+       |FROM u ORDER BY scope""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val hll = new SketchAggregators.HllRegisters(8)
+    val per = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(hll.toColumn.name("regs"))
+      .toDF("g", "regs")
+      .persist() // feeds the per-group rows AND the ALL merge
+    val ex = per.select(col("g"), posexplode(col("regs")))
+      .toDF("g", "bucket", "r")
+    val perRows = ex.select(col("g").as("scope"), col("bucket"), col("r"))
+    // merged ALL sketch = elementwise max of the per-group registers
+    val allRows = ex.groupBy("bucket").agg(max(col("r")).as("r"))
+      .select(lit("ALL").as("scope"), col("bucket"), col("r"))
+    perRows.unionByName(allRows)
+      .groupBy("scope")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 24 - CAST(r AS INT))")).as("s_reg"),
+        sum(when(col("r") === 0, 1L).otherwise(0L)).as("v_zero"))
+      .select(col("scope"), col("s_reg"), col("v_zero"),
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(16777216.0) / col("s_reg").cast("double"), 4).as("est_distinct"))
+      .orderBy("scope")
+  }
+
   /** Theta-sketch SET OPERATIONS on distinct counts (Spark 4.1
     * DataSketches builtins) — the capability HLL cannot provide:
     * "distinct users who clicked AND purchased / clicked but never
@@ -1276,5 +1424,6 @@ object ExtendedQueries {
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
-    aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable)
+    aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
+    aggKmvSetops)
 }

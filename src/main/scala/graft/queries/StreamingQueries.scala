@@ -637,6 +637,48 @@ object StreamingQueries {
       .orderBy("user_id", "a_id")
   }
 
+  /** Relaxed-contiguity Kleene ([[graft.streaming.CepOps.cepKleeneRelaxed]]
+    * — Flink's DEFAULT `A followedBy B.oneOrMore() followedBy C`): per
+    * view anchor, the first-3 click-run prefixes, each closed by the
+    * first purchase after its last click, inside 6 h. The oracle
+    * derives the prefixes independently: a LATERAL first-C-after probe
+    * per click plus a generate_series prefix grid — a different plan
+    * shape reaching the same rows. */
+  private val cepKleeneRelaxed = Q(
+    "cep_kleene_relaxed",
+    """WITH e AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+      |             CASE WHEN event_type = 'view' THEN 'A'
+      |                  WHEN event_type = 'click' THEN 'B'
+      |                  WHEN event_type = 'purchase' THEN 'C' END AS cls
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |r AS (SELECT *, sum(CASE WHEN cls = 'B' THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY k ORDER BY ts, id
+      |                     ROWS UNBOUNDED PRECEDING) AS cumb FROM e),
+      |b AS (SELECT k, ts, id, cumb AS bpos FROM r WHERE cls = 'B'),
+      |bn AS (SELECT b.k, b.bpos, b.id, c.c_ts, c.c_id
+      |       FROM b LEFT JOIN LATERAL (
+      |         SELECT cc.ts AS c_ts, cc.id AS c_id FROM r cc
+      |         WHERE cc.k = b.k AND cc.cls = 'C'
+      |           AND (cc.ts > b.ts OR (cc.ts = b.ts AND cc.id > b.id))
+      |         ORDER BY cc.ts, cc.id LIMIT 1) c ON TRUE),
+      |a AS (SELECT r.k, r.ts AS a_ts, r.id AS a_id, r.cumb + 1 AS astart, g.l
+      |      FROM r CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS l) g
+      |      WHERE r.cls = 'A')
+      |SELECT a.k AS user_id, a.a_id, CAST(a.l AS BIGINT) AS n_b,
+      |       f.id AS first_b_id, bn.id AS last_b_id, bn.c_id,
+      |       epoch_us(bn.c_ts) - epoch_us(a.a_ts) AS span_us
+      |FROM a JOIN b f ON f.k = a.k AND f.bpos = a.astart
+      |       JOIN bn ON bn.k = a.k AND bn.bpos = a.astart + a.l - 1
+      |WHERE bn.c_ts IS NOT NULL AND bn.c_ts <= a.a_ts + INTERVAL 360 MINUTE
+      |ORDER BY user_id, a_id, n_b""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepKleeneRelaxed(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", within = "360 minutes",
+        maxPrefix = 3)
+      .orderBy("user_id", "a_id", "n_b")
+  }
+
   /** The REAL streaming Kleene automaton under the oracle: cepKleeneStream
     * replayed through 5 event-time-ordered micro-batches must hash-match
     * the SAME DuckDB oracle as the batch gaps-and-islands form — and it
@@ -887,7 +929,7 @@ object StreamingQueries {
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil, streamKleeneReplay, streamOverReplay, cepMeasures,
+    cepKleeneUntil, cepKleeneRelaxed, streamKleeneReplay, streamOverReplay, cepMeasures,
     streamMeasuresReplay, streamSessioncapReplay, streamGapfillReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
     streamSkipnextReplay)

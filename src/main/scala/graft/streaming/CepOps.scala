@@ -235,6 +235,80 @@ object CepOps {
       .filter(bound <= col("a_ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Kleene pattern `A B+ C` with *relaxed* contiguity — Flink CEP's
+    * DEFAULT `begin(A).followedBy(B).oneOrMore().followedBy(C)
+    * .within(Δt)` with the NO_SKIP after-match strategy — bounded to
+    * the first `maxPrefix` loop prefixes per anchor.
+    *
+    * Semantics (per key, events totally ordered by `(ts, id)`): the
+    * loop's B events are the consecutive elements of the B-classified
+    * substream starting at the FIRST B after the A anchor — relaxed
+    * contiguity skips non-matching events (including C events, which
+    * fork a completing branch without stopping the loop) but can never
+    * skip a matching B (that would be `followedByAny`'s
+    * non-deterministic relaxed contiguity, whose output is exponential
+    * in run length — see the scaladoc on [[cepKleene]] for why that
+    * form stays out of scope). Each prefix `b_1..b_L` (`L = 1..
+    * maxPrefix`, smallest first — the deterministic cap the unbounded
+    * quadratic form needs) completes with the FIRST C after `b_L`,
+    * provided `c_ts ≤ a_ts + within`. Contrast [[cepKleene]]: greedy +
+    * strict contiguity emits only the maximal run and consumes it;
+    * here every bounded prefix emits and anchors are never consumed.
+    * Every [[cepKleene]] match is also emitted here (with `L` = its
+    * run length) when `maxPrefix` covers the run — `CepRelaxedSpec`
+    * pins that subset relation and a brute-force reference.
+    *
+    * Returns `(key, a_id, n_b, first_b_id, last_b_id, c_id, span_us)`
+    * — the [[cepKleene]] shape, `n_b` = the prefix length.
+    *
+    * @note scale: three window passes (position, running B count,
+    *   next-C lookback) and the two prefix-endpoint joins ALL share one
+    *   hash partitioning on the key — a single shuffle; the explode
+    *   multiplies only A anchors by the constant `maxPrefix`, never
+    *   the event stream. No self-join of the raw stream. */
+  def cepKleeneRelaxed(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      within: String, maxPrefix: Int): DataFrame = {
+    require(maxPrefix >= 1, "maxPrefix must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = ev
+      .withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("id"), col("__cls").as("cls"))
+    val wAsc = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
+    val wDesc = Window.partitionBy(col("k"))
+      .orderBy(col("ts").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = e
+      .withColumn("cumb",
+        sum(when(col("cls") === "B", 1).otherwise(0)).over(wAsc))
+      // earliest C strictly after this row: min struct over the rows
+      // FOLLOWING in stream order (= preceding in the desc frame)
+      .withColumn("nextc",
+        min(when(col("cls") === "C", struct(col("ts"), col("id"))))
+          .over(wDesc))
+    val b = r.filter(col("cls") === "B")
+      .select(col("k").as("bk"), col("cumb").as("bpos"),
+        col("id").as("b_id"), col("nextc"))
+    val firstB = b.select(col("bk").as("fk"), col("bpos").as("fpos"),
+      col("b_id").as("first_b_id"))
+    val a = r.filter(col("cls") === "A")
+      .select(col("k"), col("ts").as("a_ts"), col("id").as("a_id"),
+        (col("cumb") + 1).as("astart"))
+      .withColumn("L", explode(sequence(lit(1), lit(maxPrefix))))
+    a.join(firstB, col("k") === col("fk") && col("fpos") === col("astart"))
+      .join(b, col("k") === col("bk") &&
+        col("bpos") === col("astart") + col("L") - 1)
+      .filter(col("nextc").isNotNull &&
+        col("nextc.ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("k").as(keyCol), col("a_id"), col("L").cast("long").as("n_b"),
+        col("first_b_id"), col("b_id").as("last_b_id"),
+        col("nextc.id").as("c_id"),
+        (unix_micros(col("nextc.ts")) - unix_micros(col("a_ts"))).as("span_us"))
+  }
+
   /** Quantified pattern `A{n}` with *strict* contiguity (Flink CEP
     * `times(n).consecutive()`): every run of `n` `predicate`-matching
     * events of one key with NO other event of that key — matching or
