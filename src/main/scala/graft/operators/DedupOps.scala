@@ -494,15 +494,18 @@ object DedupOps {
     * @note scale: identical plan shape to [[containmentPairsComplete]]
     *   — same two hash-partitioned passes and prefix⋈full equi-join,
     *   verification ∝ candidates. */
-  def jaccardPairsComplete(df: DataFrame, tNum: Int = 1, tDen: Int = 2,
+  def jaccardPairsComplete(df: DataFrame, tNum: Int = 4, tDen: Int = 5,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
     val hs = hashedShingles(df, idCol, textCol, n).persist()
-    // o = ceil(2·tNum·m / (tDen + tNum)) − 1 (rounding slack)
+    // o = ceil(2·tNum·m / (tDen + tNum)) − 1 (rounding slack); the
+    // length filter is Jaccard-specific: jac ≥ t ⟹ t·max ≤ min (one
+    // unit of slack for the rounded threshold boundary)
     val cands = prefixFilteredCandidates(hs,
       m => floor((m * (2 * tNum) + tDen + tNum - 1) / lit(tDen + tNum))
-        .cast("long") - 1)
+        .cast("long") - 1,
+      sizePred = Some((pm, fm) => pm * tDen >= fm * tNum - tDen))
     jaccardForHashed(cands, hs)
       .filter(col("jac") >= lit(tNum.toDouble / tDen))
   }
@@ -524,7 +527,9 @@ object DedupOps {
     *   join keys for documents consisting almost entirely of them
     *   (true-positive mass). No doc×doc stage. */
   private def prefixFilteredCandidates(hs: DataFrame,
-      requiredOverlap: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      requiredOverlap: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      sizePred: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column] = None): DataFrame = {
     val dfc = hs.groupBy("h").agg(count(lit(1)).as("gdf"))
     val ranked = hs.join(dfc, Seq("h"))
       .withColumn("rk", row_number().over(
@@ -535,10 +540,11 @@ object DedupOps {
       .select(col("doc_id").as("pid"), col("h"), col("m").as("pm"))
     val full = ranked
       .select(col("doc_id").as("fid"), col("h"), col("m").as("fm"))
-    prefix.join(full,
-        prefix("h") === full("h") &&
-          (col("pm") < col("fm") ||
-            (col("pm") === col("fm") && col("pid") =!= col("fid"))))
+    val base = prefix("h") === full("h") &&
+      (col("pm") < col("fm") ||
+        (col("pm") === col("fm") && col("pid") =!= col("fid")))
+    val cond = sizePred.map(p => base && p(col("pm"), col("fm"))).getOrElse(base)
+    prefix.join(full, cond)
       .select(least(col("pid"), col("fid")).as("ai"),
         greatest(col("pid"), col("fid")).as("bi"))
       .distinct()

@@ -64,11 +64,17 @@ object DedupQueries {
   }
 
   /** COMPLETE Jaccard-threshold join ([[DedupOps.jaccardPairsComplete]],
-    * rarity-order prefix filter at t = 1/2): the same pair set as
-    * [[dedupNgram]] but under a completeness CONTRACT — no hot-shingle
-    * caveat — so the oracle here drops the df cap entirely: a
-    * brute-force all-shared-pairs restatement, certifying the prefix
-    * bound end to end (the [[editJoinExact]] oracle pattern). */
+    * rarity-order prefix filter at t = 4/5): deterministically EVERY
+    * `jac ≥ 0.8` pair — the same threshold as [[dedupFuzzy]]'s
+    * MinHash-LSH route, so this key is the certified-complete twin that
+    * proves LSH recall end to end, and its oracle drops the df cap
+    * entirely: a brute-force all-shared-pairs restatement (the
+    * [[editJoinExact]] oracle pattern). t = 4/5 — not [[dedupNgram]]'s
+    * 0.5 — because the prefix fraction is `1 − 2t/(1+t)`: 11% of each
+    * document's shingles at 0.8 vs 33% at 0.5, and the 10× stress probe
+    * measured the 0.5 form's candidate set at 29.6M pairs on the
+    * closed-vocabulary stress corpus (162 s) where the 0.8 form's
+    * length filter + short prefix stay output-bounded. */
   private val dedupNgramComplete = Q(
     "llm_dedup_ngram_complete",
     s"""WITH $oShingles,
@@ -79,9 +85,9 @@ object DedupQueries {
        |SELECT ai, bi,
        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
        |FROM inter JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi
-       |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+       |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
        |ORDER BY ai, bi""".stripMargin) { (s, d) =>
-    DedupOps.jaccardPairsComplete(Tables.documents(s, d), tNum = 1, tDen = 2)
+    DedupOps.jaccardPairsComplete(Tables.documents(s, d), tNum = 4, tDen = 5)
       .orderBy("ai", "bi")
   }
 

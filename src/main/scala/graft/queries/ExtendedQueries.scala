@@ -1096,6 +1096,70 @@ object ExtendedQueries {
     perEst.unionByName(gest).orderBy("scope")
   }
 
+  /** PORTABLE mergeable QUANTILES — the oracle-verified counterpart of
+    * [[aggKllMergeable]] (whose DataSketches KLL internals are
+    * engine-specific AND order-dependent): a fixed 1024-bin equi-width
+    * histogram over a documented static domain ([0, 120000) cents-exact
+    * — `bin = (round(price·100)·1024) div 12·10⁶`, pure integer
+    * arithmetic), per-group counts merged into the ALL scope by
+    * addition (associative, order-independent — map-side combine
+    * applies), and p50/p95 read off the merged counts as the upper
+    * edge of the first bin reaching `⌈p·n⌉` (the edge
+    * `(bin+1)·117.1875` is an exact dyadic, so even the double output
+    * is bit-deterministic). Honest error bound: one bin width
+    * (117.19) — the trade for a sketch every engine can rebuild; the
+    * DuckDB oracle rebuilds bins, cumulative ranks and both estimates
+    * and hash-checks all of it.
+    *
+    * @note scale: ≤ 1024 longs per (partition, group); the ALL merge
+    *   reads |groups|·bins count rows — metadata-sized; one shuffle on
+    *   the group key. */
+  private val aggHistMergeable = Q(
+    "agg_hist_mergeable",
+    """WITH b AS (SELECT l_returnflag AS g,
+      |    least(1023, (CAST(round(l_extendedprice * 100) AS BIGINT) * 1024)
+      |                // 12000000) AS bin
+      |  FROM lineitem),
+      |c AS (SELECT g AS scope, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |c2 AS (SELECT scope, bin, cnt FROM c
+      |       UNION ALL
+      |       SELECT 'ALL', bin, sum(cnt) FROM c GROUP BY 2),
+      |w AS (SELECT scope, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY scope ORDER BY bin
+      |                       ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(cnt) OVER (PARTITION BY scope) AS n
+      |      FROM c2)
+      |SELECT scope, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 1 AS DOUBLE)
+      |    * 117.1875 AS p50_est,
+      |  CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END) + 1 AS DOUBLE)
+      |    * 117.1875 AS p95_est
+      |FROM w GROUP BY scope ORDER BY scope""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      least(lit(1023L),
+        expr("(CAST(round(l_extendedprice * 100) AS BIGINT) * 1024) div 12000000"))
+        .as("bin"))
+    val cnts = binned.groupBy(col("g").as("scope"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // feeds the per-group rows AND the ALL merge
+    // merged ALL histogram = per-bin SUM of the group histograms
+    val allCnts = cnts.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+      .select(lit("ALL").as("scope"), col("bin"), col("cnt"))
+    val w = cnts.unionByName(allCnts)
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("scope")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("scope"))))
+    w.groupBy("scope")
+      .agg(max(col("n")).as("n_rows"),
+        ((min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))) + 1)
+          .cast("double") * lit(117.1875)).as("p50_est"),
+        ((min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("bin"))) + 1)
+          .cast("double") * lit(117.1875)).as("p95_est"))
+      .orderBy("scope")
+  }
+
   /** PORTABLE distinct-set ALGEBRA over [[aggKmvMergeable]]'s bottom-k
     * sketches (Beyer et al., "On synopses for distinct value estimation
     * under multiset operations", SIGMOD'07) — the oracle-verified twin
@@ -1425,5 +1489,5 @@ object ExtendedQueries {
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
-    aggKmvSetops)
+    aggKmvSetops, aggHistMergeable)
 }

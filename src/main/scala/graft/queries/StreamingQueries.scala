@@ -679,6 +679,23 @@ object StreamingQueries {
       .orderBy("user_id", "a_id", "n_b")
   }
 
+  /** The relaxed-contiguity automaton under the SAME oracle as the
+    * batch prefix grid: [[graft.streaming.StreamOps.cepKleeneRelaxedStream]]
+    * replayed through 5 event-time-ordered micro-batches — anchor list
+    * state, closed-prefix high-water marks, no flush (an unclosed
+    * prefix is unmatched in both forms). */
+  private val streamKleeneRelaxedReplay = Q(
+    "stream_kleene_relaxed_replay", cepKleeneRelaxed.oracle.get) { (s, d) =>
+    val out = graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.cepKleeneRelaxedStream(ev, "user_id", "ts",
+        "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase",
+        withinUs = 360L * 60L * 1000000L, maxPrefix = 3).toDF())(
+      _ => { val sp = s; import sp.implicits._; sp.emptyDataset[graft.streaming.KleeneMatch] })
+    out.orderBy("user_id", "a_id", "n_b")
+  }
+
   /** The REAL streaming Kleene automaton under the oracle: cepKleeneStream
     * replayed through 5 event-time-ordered micro-batches must hash-match
     * the SAME DuckDB oracle as the batch gaps-and-islands form — and it
@@ -929,7 +946,8 @@ object StreamingQueries {
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil, cepKleeneRelaxed, streamKleeneReplay, streamOverReplay, cepMeasures,
+    cepKleeneUntil, cepKleeneRelaxed, streamKleeneRelaxedReplay,
+    streamKleeneReplay, streamOverReplay, cepMeasures,
     streamMeasuresReplay, streamSessioncapReplay, streamGapfillReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
     streamSkipnextReplay)

@@ -55,6 +55,15 @@ case class GapRow(ws_us: Long, event_type: String, n: Long, sum_value: Double)
 case class SessCapEvent(k: Long, ts_us: Long, event_id: Long)
 case class SessCapState(sid: Int, start: Long, prev: Long)
 case class SessCapRow(user_id: Long, event_id: Long, session_id: Int)
+/** [[StreamOps.cepKleeneRelaxedStream]] state: the key's active
+  * anchors. Each anchor records its first ≤ maxPrefix loop-B ids and
+  * how many prefixes have already met their first C (`closedUpTo`) —
+  * O(maxPrefix) per anchor, anchors bounded by A-events inside the
+  * `within` horizon (an anchor dies the moment any later event sits
+  * past its deadline). */
+case class RelaxedAnchor(aId: Long, aTsUs: Long, bIds: Seq[Long],
+    closedUpTo: Int)
+case class RelaxedState(anchors: List[RelaxedAnchor])
 /** [[StreamOps.cepKleeneUntilStream]] output — no terminator id: the
   * until-event stops the loop but is outside the match. */
 case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
@@ -551,6 +560,71 @@ object StreamOps {
           }
         }
         state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.streaming.CepOps.cepKleeneRelaxed]] —
+    * Flink's default relaxed-contiguity `A followedBy B+ followedBy C`
+    * as a bounded-state automaton: per key a list of active anchors,
+    * each holding its first ≤ `maxPrefix` loop-B ids and a
+    * closed-prefix high-water mark. A `B` extends every anchor still
+    * under its prefix cap; a `C` inside an anchor's `within` horizon
+    * closes (emits) every still-open prefix whose last B precedes it —
+    * which IS "first C after b_L" under in-order processing — and a C
+    * past the horizon kills the anchor outright (its remaining
+    * prefixes' first C failed the bound, and every later C is further
+    * out). Anchors are never consumed (NO_SKIP). Replay through real
+    * micro-batches hash-matches the batch prefix-grid form with no
+    * flush gap (an unclosed prefix is unmatched in both forms).
+    *
+    * @note scale: state per key = anchors inside the within-horizon ×
+    *   maxPrefix longs — the same events-in-Δt bound Flink's NFA holds
+    *   for this pattern; one shuffle on the key. */
+  def cepKleeneRelaxedStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      withinUs: Long, maxPrefix: Int): Dataset[KleeneMatch] = {
+    require(maxPrefix >= 1, "maxPrefix must be >= 1")
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"), col("__cls").as("cls"))
+      .as[KleeneEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[RelaxedState, KleeneMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[KleeneMatch]
+        it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          // an anchor whose deadline any event has passed can never
+          // close another prefix — drop it before processing
+          anchors = anchors.filter(a => e.ts_us <= a.aTsUs + withinUs)
+          e.cls match {
+            case "A" =>
+              anchors = RelaxedAnchor(e.event_id, e.ts_us, Vector.empty, 0) :: anchors
+            case "B" =>
+              anchors = anchors.map { a =>
+                if (a.bIds.length < maxPrefix) a.copy(bIds = a.bIds :+ e.event_id)
+                else a
+              }
+            case _ => // "C" — in-horizon by the filter above
+              anchors = anchors.flatMap { a =>
+                var l = a.closedUpTo + 1
+                while (l <= a.bIds.length) {
+                  out += KleeneMatch(key, a.aId, l.toLong, a.bIds.head,
+                    a.bIds(l - 1), e.event_id, e.ts_us - a.aTsUs)
+                  l += 1
+                }
+                val closed = a.copy(closedUpTo = a.bIds.length)
+                // all prefixes closed and no room for more — retire
+                if (closed.closedUpTo >= maxPrefix) None else Some(closed)
+              }
+          }
+        }
+        state.update(RelaxedState(anchors))
         out.iterator
       }
   }

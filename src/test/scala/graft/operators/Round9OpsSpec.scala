@@ -61,15 +61,30 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 1.0)
   }
 
-  test("jaccardPairsComplete equals the df-capped form where the cap is inert") {
+  test("jaccardPairsComplete equals the df-capped form AND the LSH route at t=4/5") {
+    val docs = graft.Tables.documents(spark, sf)
+    val complete = DedupOps.jaccardPairsComplete(docs, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = DedupOps.jaccardPairs(docs)
+      .filter(col("jac") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(complete.nonEmpty, "fixture must contain jac >= 0.8 pairs")
+    assert(complete == capped)
+    // the deterministic-complete pair set certifies MinHash-LSH recall:
+    // both routes emit the same jac >= 0.8 pairs on this corpus
+    val lsh = DedupOps.minhashNearDups(docs, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == complete, "LSH route must match the complete contract")
+  }
+
+  test("jaccardPairsComplete at a lower threshold still matches the capped form") {
     val docs = graft.Tables.documents(spark, sf)
     val complete = DedupOps.jaccardPairsComplete(docs, tNum = 1, tDen = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val capped = DedupOps.jaccardPairs(docs)
       .filter(col("jac") >= 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(complete.nonEmpty, "fixture must contain jac >= 0.5 pairs")
-    assert(complete == capped)
+    assert(complete.nonEmpty && complete == capped)
   }
 
   test("editJoinExactLong equals editJoinExact on the part-name fixture (d=2)") {

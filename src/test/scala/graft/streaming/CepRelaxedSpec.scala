@@ -106,6 +106,24 @@ class CepRelaxedSpec extends SparkSpec {
     assert(capped == full.filter(_(2) == 1L))
   }
 
+  test("streamed replay equals the batch prefix grid with zero flush gap") {
+    import spark.implicits._
+    val withinUs = 360L * 60L * 1000000L
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepKleeneRelaxedStream(ev, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", withinUs = withinUs,
+        maxPrefix = 3))(
+      _ => spark.emptyDataset[KleeneMatch])
+    val batch = CepOps.cepKleeneRelaxed(graft.Tables.events(spark, sf),
+      "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", within = "360 minutes", maxPrefix = 3)
+    val b = batch.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(b.nonEmpty, "fixture must contain relaxed matches")
+    assert(streamed.toDF().collect().map(_.toSeq.mkString("|")).sorted.toSeq == b)
+  }
+
   test("greedy strict-contiguity matches are a subset (testdata events)") {
     val ev = graft.Tables.events(spark, sf)
     val greedy = rows(CepOps.cepKleene(ev, "user_id", "ts", "event_id",
