@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parameterized embedding-similarity operators — the library surface
@@ -314,6 +315,85 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val typed = normedTyped(df, idCol, vecCol)
     probeCells(typed, trainCells(typed, nCells, refineIters), isQuery, nprobe, k)
+  }
+
+  /** [[knnIvfKmeans]] with DETERMINISTIC, oracle-rebuildable training —
+    * the form that puts the IVF SHORTLIST itself (not only the
+    * probe-all degenerate) under the cross-engine hash oracle. The
+    * float-partial Lloyd loop in [[trainCells]] is order-dependent at
+    * the last bit (partition-order float sums), which is why the
+    * `nprobe < nCells` keys were rows-only; here every training step is
+    * arithmetic both engines replicate exactly:
+    *
+    *  - seeds = the `nCells` lowest-id vectors (deterministic);
+    *  - assignment = argmax cosine with `(cos DESC, cid)` tie-break,
+    *    dot products summed left-to-right (`vec_dot` ↔ `list_sum`);
+    *  - re-centering = per-dimension sums of `round(x·10⁹)` as EXACT
+    *    BIGINTs (order-free), mean = one IEEE division per dimension;
+    *  - `iters` is fixed and small, so the oracle unrolls the loop.
+    *
+    * The probe path is the shared `(cos DESC, cid)`-ranked nprobe
+    * shortlist + exact rerank. Returns `(qid, nbr, cos, rk)`.
+    *
+    * @note scale: the iteration is `iters` broadcast joins of the
+    *   corpus against a ≤ nCells-row centroid table plus one
+    *   posexplode/groupBy per pass (shuffle on (cid, dim) — bounded by
+    *   corpus·dim narrow rows); the tiny centroid table materializes
+    *   per pass to keep lineage flat. Quantizing the partial sums to
+    *   10⁻⁹ units costs ~1e-10 per component against unit-norm
+    *   vectors — far below the round(·,6) output grid. */
+  def knnIvfDet(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      nCells: Int = 16, iters: Int = 2, nprobe: Int = 4, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = normed(df, idCol, vecCol).persist()
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__cos").desc, col("cid"))
+      n.crossJoin(broadcast(cents))
+        .withColumn("__cos",
+          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    }
+    var cents = n.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    for (_ <- 1 to iters) {
+      val next = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .withColumn("x9", round(col("x") * lit(1.0e9)).cast("long"))
+        .groupBy("cid", "i")
+        .agg(sum(col("x9")).as("s9"), count(lit(1)).as("cnt"))
+        .withColumn("mean", col("s9").cast("double") / col("cnt") / lit(1.0e9))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i").as("i"), col("mean").as("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cnrm", sqrt(expr("vec_dot(cv, cv)")))
+        .filter(col("cnrm") > 0)
+        .as[(Long, Seq[Double], Double)].collect().sortBy(_._1) // ≤ nCells rows
+      cents = spark.createDataset(next.toIndexedSeq).toDF("cid", "cv", "cnrm")
+    }
+    val assigned = assign(cents)
+    val np = math.min(nprobe, nCells)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("cid"))
+    val probes = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cnrm")))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= np)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+    topKScored(scored, k, "cos")
   }
 
   /** Lloyd-refined coarse cells over the normalized working set —

@@ -1239,6 +1239,82 @@ object ExtendedQueries {
         round(col("nonly").cast("double") * col("eu") / col("nv"), 4).as("n_click_only"))
   }
 
+  /** RETENTION MATRIX from KMV sketch algebra — the oracle-verified
+    * twin of [[aggThetaRetention]]: one bottom-k sketch of active users
+    * per week, then every `(week_a ≤ week_b)` pair's co-active count
+    * from the [[aggKmvSetops]] intersection estimator (combined
+    * bottom-k of the two retained sets; membership below both k-th
+    * minima is exact; one IEEE division + scaling). Below k distincts
+    * per pair union the whole matrix degenerates to exact counts —
+    * which the sf0.01 fixture exercises — while the estimator regime is
+    * spec-gated in `KmvSetopsSpec`. No re-scan of base data: the
+    * matrix is |weeks|² array-math cells over the per-week sketches.
+    *
+    * @note scale: the only data-sized work is one groupBy building the
+    *   per-week sketches (≤ k longs each); the pairwise algebra is
+    *   |weeks|² bounded-array rows — metadata, however many events. */
+  private val aggKmvRetention = Q(
+    "agg_kmv_retention",
+    s"""WITH wh AS (SELECT DISTINCT
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk,
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("user_id")} AS h
+       |  FROM events),
+       |sk AS (SELECT wk, h FROM (SELECT wk, h,
+       |         row_number() OVER (PARTITION BY wk ORDER BY h) AS rk FROM wh)
+       |       WHERE rk <= 256),
+       |pairs AS (SELECT a.wk AS wk_a, b.wk AS wk_b
+       |          FROM (SELECT DISTINCT wk FROM sk) a
+       |          JOIN (SELECT DISTINCT wk FROM sk) b ON a.wk <= b.wk),
+       |u AS (SELECT wk_a, wk_b, h FROM (
+       |        SELECT p.wk_a, p.wk_b, s.h,
+       |               row_number() OVER (PARTITION BY p.wk_a, p.wk_b
+       |                                  ORDER BY s.h) AS rk
+       |        FROM pairs p JOIN (SELECT DISTINCT wk, h FROM sk) s
+       |          ON s.wk = p.wk_a OR s.wk = p.wk_b
+       |        GROUP BY p.wk_a, p.wk_b, s.h)
+       |      WHERE rk <= 256),
+       |st AS (SELECT u.wk_a, u.wk_b, count(*) AS nv, max(u.h) AS hk,
+       |         sum(CASE WHEN EXISTS (SELECT 1 FROM sk x
+       |                               WHERE x.wk = u.wk_a AND x.h = u.h)
+       |                   AND EXISTS (SELECT 1 FROM sk y
+       |                               WHERE y.wk = u.wk_b AND y.h = u.h)
+       |              THEN 1 ELSE 0 END) AS nboth
+       |       FROM u GROUP BY 1, 2),
+       |est AS (SELECT wk_a, wk_b, nv, nboth,
+       |    CASE WHEN nv < 256 THEN CAST(nv AS DOUBLE)
+       |         ELSE 547608329985.0 / CAST(hk AS DOUBLE) END AS eu
+       |  FROM st)
+       |SELECT CAST(wk_a AS BIGINT) AS wk_a, CAST(wk_b AS BIGINT) AS wk_b,
+       |  round(CAST(nboth AS DOUBLE) * eu / nv, 4) AS n_both
+       |FROM est ORDER BY wk_a, wk_b""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val k = 256
+    val kmv = new SketchAggregators.BottomK(k)
+    val byWk = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 604800000000").as("wk"), col("user_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.toColumn.name("sk"))
+      .toDF("wk", "sk")
+      .persist() // both sides of the week×week matrix
+    val scale = 255.0 * 2147483647.0
+    byWk.select(col("wk").as("wk_a"), col("sk").as("ska"))
+      .join(byWk.select(col("wk").as("wk_b"), col("sk").as("skb")),
+        col("wk_a") <= col("wk_b"))
+      .withColumn("u", slice(array_sort(array_distinct(
+        concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("nv", size(col("u")))
+      .withColumn("nboth",
+        size(array_intersect(array_intersect(col("u"), col("ska")), col("skb"))))
+      .withColumn("eu", when(col("nv") < k, col("nv").cast("double"))
+        .otherwise(lit(scale) / element_at(col("u"), k).cast("double")))
+      .select(col("wk_a"), col("wk_b"),
+        round(col("nboth").cast("double") * col("eu") / col("nv"), 4).as("n_both"))
+      .orderBy("wk_a", "wk_b")
+  }
+
   /** PORTABLE HyperLogLog rollup
     * ([[graft.functions.SketchAggregators.HllRegisters]]) — the same
     * per-group/merged-ALL shape as [[aggHllMergeable]], but with HLL's
@@ -1489,5 +1565,5 @@ object ExtendedQueries {
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
-    aggKmvSetops, aggHistMergeable)
+    aggKmvSetops, aggHistMergeable, aggKmvRetention)
 }

@@ -61,6 +61,74 @@ object SimilarityQueries {
       .orderBy("ai", "bi")
   }
 
+  /** IVF with the SHORTLIST under the hash oracle
+    * ([[SimilarityOps.knnIvfDet]]): the rows-only `llm_knn_ivf` key
+    * exists because float-partial Lloyd training is order-dependent at
+    * the last bit; this twin's training is deterministic integer/IEEE
+    * arithmetic (lowest-id seeds, `(cos DESC, cid)` argmax assignment,
+    * exact-BIGINT 10⁻⁹-unit re-centering, 2 fixed passes), so the
+    * oracle REBUILDS the ENTIRE pipeline — both k-means passes
+    * unrolled, final assignment, nprobe=4 probe routing, exact rerank,
+    * top-k — and hash-checks shortlist membership itself. The last
+    * step of the ANN family's CMS-ification: probe-all was already
+    * verified; now the nprobe < nCells path is too. Recall vs exact
+    * additionally spec-gated. */
+  private val knnIvfDet = Q(
+    "llm_knn_ivf_det",
+    s"""WITH $oNormed,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+       |a1 AS (SELECT vec_id, v, nrm, cid FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c0 c) WHERE rk = 1),
+       |g1 AS (SELECT cid, u.i AS i,
+       |         (CAST(sum(CAST(round(v[u.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM a1, unnest(range(len(v))) AS u(i) GROUP BY 1, 2),
+       |c1 AS (SELECT * FROM (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+       |  FROM (SELECT cid, list(mean ORDER BY i) AS cv FROM g1 GROUP BY 1))
+       |  WHERE cnrm > 0),
+       |a2 AS (SELECT vec_id, v, nrm, cid FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c1 c) WHERE rk = 1),
+       |g2 AS (SELECT cid, u.i AS i,
+       |         (CAST(sum(CAST(round(v[u.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM a2, unnest(range(len(v))) AS u(i) GROUP BY 1, 2),
+       |c2 AS (SELECT * FROM (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+       |  FROM (SELECT cid, list(mean ORDER BY i) AS cv FROM g2 GROUP BY 1))
+       |  WHERE cnrm > 0),
+       |af AS (SELECT vec_id, v, nrm, cid FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c2 c) WHERE rk = 1),
+       |pr AS (SELECT qid, qv, qn, cid FROM (
+       |  SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qn, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 5) WHERE rk <= 4),
+       |x AS (SELECT p.qid, a.vec_id AS nbr,
+       |        round(list_sum(list_transform(list_zip(a.v, p.qv), e -> e[1]*e[2]))
+       |              / (a.nrm * p.qn), 6) AS cos
+       |      FROM af a JOIN pr p ON a.cid = p.cid AND a.vec_id != p.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM x)
+       |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    SimilarityOps.knnIvfDet(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, iters = 2, nprobe = 4, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Engine-specific pruning — rows-only driver check; recall vs the
     * exact brute force is asserted by `SimilaritySpec`. Centroids are
     * Lloyd-refined from the deterministic low-id seeds
@@ -263,7 +331,7 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfProbeAll,
+  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfDet, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

@@ -679,6 +679,76 @@ object StreamingQueries {
       .orderBy("user_id", "a_id", "n_b")
   }
 
+  /** MEASURES over the relaxed prefixes
+    * ([[graft.streaming.CepOps.cepKleeneRelaxedMeasures]]): per emitted
+    * prefix, exact decimal SUM/AVG of the click values riding the
+    * B-substream's cumulative micro-unit sum (`cum(last) − cum(first) +
+    * v(first)` — zero extra shuffles). The oracle carries the same
+    * cumulative DECIMAL column through its lateral/grid derivation. */
+  private val cepMeasuresRelaxed = Q(
+    "cep_measures_relaxed",
+    """WITH e AS (SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id AS id,
+      |             CAST(value AS DECIMAL(18,6)) AS v,
+      |             CASE WHEN event_type = 'view' THEN 'A'
+      |                  WHEN event_type = 'click' THEN 'B'
+      |                  WHEN event_type = 'purchase' THEN 'C' END AS cls
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |r AS (SELECT *,
+      |        sum(CASE WHEN cls = 'B' THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY k ORDER BY ts, id
+      |                ROWS UNBOUNDED PRECEDING) AS cumb,
+      |        sum(CASE WHEN cls = 'B' THEN v ELSE CAST(0 AS DECIMAL(18,6)) END)
+      |          OVER (PARTITION BY k ORDER BY ts, id
+      |                ROWS UNBOUNDED PRECEDING) AS cumv
+      |      FROM e),
+      |b AS (SELECT k, ts, id, v, cumv, cumb AS bpos FROM r WHERE cls = 'B'),
+      |bn AS (SELECT b.k, b.bpos, b.id, b.cumv, c.c_ts, c.c_id
+      |       FROM b LEFT JOIN LATERAL (
+      |         SELECT cc.ts AS c_ts, cc.id AS c_id FROM r cc
+      |         WHERE cc.k = b.k AND cc.cls = 'C'
+      |           AND (cc.ts > b.ts OR (cc.ts = b.ts AND cc.id > b.id))
+      |         ORDER BY cc.ts, cc.id LIMIT 1) c ON TRUE),
+      |a AS (SELECT r.k, r.ts AS a_ts, r.id AS a_id, r.cumb + 1 AS astart, g.l
+      |      FROM r CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS l) g
+      |      WHERE r.cls = 'A'),
+      |m AS (SELECT a.k, a.a_id, a.l, f.id AS first_b_id, bn.id AS last_b_id,
+      |             bn.c_id, bn.c_ts, a.a_ts,
+      |             bn.cumv - f.cumv + f.v AS sv
+      |      FROM a JOIN b f ON f.k = a.k AND f.bpos = a.astart
+      |             JOIN bn ON bn.k = a.k AND bn.bpos = a.astart + a.l - 1
+      |      WHERE bn.c_ts IS NOT NULL AND bn.c_ts <= a.a_ts + INTERVAL 360 MINUTE)
+      |SELECT k AS user_id, a_id, CAST(l AS BIGINT) AS n_b,
+      |       first_b_id, last_b_id, c_id,
+      |       CAST(round(sv, 4) AS DOUBLE) AS sum_b,
+      |       round(CAST(sv AS DOUBLE) / l, 4) AS avg_b,
+      |       epoch_us(c_ts) - epoch_us(a_ts) AS span_us
+      |FROM m ORDER BY user_id, a_id, n_b""".stripMargin) { (s, d) =>
+    graft.streaming.CepOps.cepKleeneRelaxedMeasures(Tables.events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", within = "360 minutes",
+        maxPrefix = 3, valueCol = col("value"))
+      .orderBy("user_id", "a_id", "n_b")
+  }
+
+  /** Relaxed MEASURES on the REAL streaming path: the
+    * [[graft.streaming.StreamOps.cepKleeneRelaxedMeasuresStream]]
+    * automaton (anchors carrying cumulative micro-unit prefix sums)
+    * replayed through 5 micro-batches against the SAME oracle as the
+    * batch [[cepMeasuresRelaxed]]; no flush needed. */
+  private val streamMeasuresRelaxedReplay = Q(
+    "stream_measures_relaxed_replay", cepMeasuresRelaxed.oracle.get) { (s, d) =>
+    val out = graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+      graft.streaming.StreamOps.cepKleeneRelaxedMeasuresStream(ev, "user_id",
+        "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase",
+        withinUs = 360L * 60L * 1000000L, maxPrefix = 3,
+        valueCol = col("value")).toDF())(
+      _ => { val sp = s; import sp.implicits._; sp.emptyDataset[graft.streaming.RelaxedMMatch] })
+    out.orderBy("user_id", "a_id", "n_b")
+  }
+
   /** The relaxed-contiguity automaton under the SAME oracle as the
     * batch prefix grid: [[graft.streaming.StreamOps.cepKleeneRelaxedStream]]
     * replayed through 5 event-time-ordered micro-batches — anchor list
@@ -946,7 +1016,8 @@ object StreamingQueries {
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil, cepKleeneRelaxed, streamKleeneRelaxedReplay,
+    cepKleeneUntil, cepKleeneRelaxed, cepMeasuresRelaxed, streamKleeneRelaxedReplay,
+    streamMeasuresRelaxedReplay,
     streamKleeneReplay, streamOverReplay, cepMeasures,
     streamMeasuresReplay, streamSessioncapReplay, streamGapfillReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,

@@ -268,20 +268,55 @@ object CepOps {
     *   the event stream. No self-join of the raw stream. */
   def cepKleeneRelaxed(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, predA: Column, predB: Column, predC: Column,
-      within: String, maxPrefix: Int): DataFrame = {
+      within: String, maxPrefix: Int): DataFrame =
+    relaxedCore(ev, keyCol, tsCol, idCol, predA, predB, predC, within,
+      maxPrefix, valueCol = None)
+      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
+        col("first_b_id"), col("last_b_id"), col("c_id"), col("span_us"))
+
+  /** [[cepKleeneRelaxed]] with MEASURES over each emitted prefix —
+    * exact decimal SUM (micro-unit longs riding a cumulative-sum
+    * column: `sum(prefix) = cum(last) − cum(first) + v(first)`, zero
+    * extra shuffles) and the derived AVG, both rounded to 4 like
+    * [[cepKleeneMeasures]]. Returns the relaxed match columns plus
+    * `(sum_b, avg_b)`. */
+  def cepKleeneRelaxedMeasures(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      within: String, maxPrefix: Int, valueCol: Column): DataFrame =
+    relaxedCore(ev, keyCol, tsCol, idCol, predA, predB, predC, within,
+      maxPrefix, valueCol = Some(valueCol))
+      .withColumn("sum_dec",
+        (col("sum6").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 6)) / 1000000).cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+      .select(col("k").as(keyCol), col("a_id"), col("n_b"),
+        col("first_b_id"), col("last_b_id"), col("c_id"),
+        round(col("sum_dec"), 4).cast("double").as("sum_b"),
+        round(col("sum_dec").cast("double") / col("n_b"), 4).as("avg_b"),
+        col("span_us"))
+
+  /** Shared prefix grid of [[cepKleeneRelaxed]] /
+    * [[cepKleeneRelaxedMeasures]]; with a `valueCol` the B substream
+    * additionally carries exact micro-unit cumulative sums and the
+    * output gains `sum6` (the prefix's exact decimal(18,6) sum ×10⁶). */
+  private def relaxedCore(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predA: Column, predB: Column, predC: Column,
+      within: String, maxPrefix: Int, valueCol: Option[Column]): DataFrame = {
     require(maxPrefix >= 1, "maxPrefix must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val e = ev
       .withColumn("__cls",
         when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
       .filter(col("__cls").isNotNull)
-      .select(col(keyCol).as("k"), col(tsCol).as("ts"),
-        col(idCol).as("id"), col("__cls").as("cls"))
+      .select(Seq(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("id"), col("__cls").as("cls")) ++
+        valueCol.map(v => (v.cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 6)) * 1000000).cast("long").as("v6")).toSeq: _*)
     val wAsc = Window.partitionBy(col("k")).orderBy(col("ts"), col("id"))
     val wDesc = Window.partitionBy(col("k"))
       .orderBy(col("ts").desc, col("id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val r = e
+    val r0 = e
       .withColumn("cumb",
         sum(when(col("cls") === "B", 1).otherwise(0)).over(wAsc))
       // earliest C strictly after this row: min struct over the rows
@@ -289,24 +324,36 @@ object CepOps {
       .withColumn("nextc",
         min(when(col("cls") === "C", struct(col("ts"), col("id"))))
           .over(wDesc))
+    val r = valueCol match {
+      case Some(_) => r0.withColumn("cumv",
+        sum(when(col("cls") === "B", col("v6")).otherwise(0L)).over(wAsc))
+      case None => r0
+    }
     val b = r.filter(col("cls") === "B")
-      .select(col("k").as("bk"), col("cumb").as("bpos"),
-        col("id").as("b_id"), col("nextc"))
-    val firstB = b.select(col("bk").as("fk"), col("bpos").as("fpos"),
-      col("b_id").as("first_b_id"))
+      .select(Seq(col("k").as("bk"), col("cumb").as("bpos"),
+        col("id").as("b_id"), col("nextc")) ++
+        valueCol.map(_ => col("cumv").as("cumv_l")).toSeq: _*)
+    val firstB = r.filter(col("cls") === "B")
+      .select(Seq(col("k").as("fk"), col("cumb").as("fpos"),
+        col("id").as("first_b_id")) ++
+        valueCol.toSeq.flatMap(_ =>
+          Seq(col("cumv").as("cumv_f"), col("v6").as("v6_f"))): _*)
     val a = r.filter(col("cls") === "A")
       .select(col("k"), col("ts").as("a_ts"), col("id").as("a_id"),
         (col("cumb") + 1).as("astart"))
       .withColumn("L", explode(sequence(lit(1), lit(maxPrefix))))
-    a.join(firstB, col("k") === col("fk") && col("fpos") === col("astart"))
+    val joined = a
+      .join(firstB, col("k") === col("fk") && col("fpos") === col("astart"))
       .join(b, col("k") === col("bk") &&
         col("bpos") === col("astart") + col("L") - 1)
       .filter(col("nextc").isNotNull &&
         col("nextc.ts") <= col("a_ts") + expr(s"INTERVAL $within"))
-      .select(col("k").as(keyCol), col("a_id"), col("L").cast("long").as("n_b"),
-        col("first_b_id"), col("b_id").as("last_b_id"),
-        col("nextc.id").as("c_id"),
-        (unix_micros(col("nextc.ts")) - unix_micros(col("a_ts"))).as("span_us"))
+    joined.select(Seq(col("k"), col("a_id"), col("L").cast("long").as("n_b"),
+      col("first_b_id"), col("b_id").as("last_b_id"),
+      col("nextc.id").as("c_id"),
+      (unix_micros(col("nextc.ts")) - unix_micros(col("a_ts"))).as("span_us")) ++
+      valueCol.map(_ =>
+        (col("cumv_l") - col("cumv_f") + col("v6_f")).as("sum6")).toSeq: _*)
   }
 
   /** Quantified pattern `A{n}` with *strict* contiguity (Flink CEP

@@ -45,15 +45,18 @@ final class PatternBuilder private[streaming] (
     nTimes: Option[Int],
     consecutive: Boolean,
     globalWithin: Option[String],
-    untilPred: Option[Column] = None) {
+    untilPred: Option[Column] = None,
+    relaxedMax: Option[Int] = None) {
 
   private def copy(steps: Vector[DslStep] = steps,
       absent: Option[(String, Column)] = absent,
       nTimes: Option[Int] = nTimes,
       consecutive: Boolean = consecutive,
       globalWithin: Option[String] = globalWithin,
-      untilPred: Option[Column] = untilPred) =
-    new PatternBuilder(steps, absent, nTimes, consecutive, globalWithin, untilPred)
+      untilPred: Option[Column] = untilPred,
+      relaxedMax: Option[Int] = relaxedMax) =
+    new PatternBuilder(steps, absent, nTimes, consecutive, globalWithin,
+      untilPred, relaxedMax)
 
   /** Append a required (or `optional = true`) step bound `within` the
     * previous matched step. */
@@ -86,6 +89,21 @@ final class PatternBuilder private[streaming] (
     require(steps.nonEmpty && steps.last.oneOrMore,
       "until(...) must follow oneOrMore()/timesOrMore(n)")
     copy(untilPred = Some(pred))
+  }
+
+  /** Flink's DEFAULT relaxed contiguity for the quantified step
+    * (`followedBy` + `oneOrMore()` without `.consecutive()`): every
+    * loop PREFIX emits, closed by the first terminator after its last
+    * loop event, bounded to the first `maxPrefix` prefixes per anchor
+    * ([[CepOps.cepKleeneRelaxed]]; streaming twin
+    * [[StreamOps.cepKleeneRelaxedStream]]). Must follow `oneOrMore()`;
+    * contrast the default compilation (greedy consecutive maximal run,
+    * skip past last row). */
+  def relaxed(maxPrefix: Int): PatternBuilder = {
+    require(steps.nonEmpty && steps.last.oneOrMore,
+      "relaxed(maxPrefix) must follow oneOrMore()")
+    require(maxPrefix >= 1, "maxPrefix must be >= 1")
+    copy(relaxedMax = Some(maxPrefix))
   }
 
   /** The begin step must repeat exactly `n` times. */
@@ -137,8 +155,15 @@ final class PatternBuilder private[streaming] (
         "oneOrMore compiles the A B+ C shape (middle step quantified)")
       val w = globalWithin.getOrElse(
         sys.error("Kleene pattern needs .within(...)"))
-      val k = CepOps.cepKleene(ev, keyCol, tsCol, idCol,
-        steps(0).pred, steps(1).pred, steps(2).pred, w)
+      val k = relaxedMax match {
+        case Some(mp) =>
+          require(steps(1).minTimes == 1,
+            "timesOrMore + relaxed is not a compiled combination")
+          CepOps.cepKleeneRelaxed(ev, keyCol, tsCol, idCol,
+            steps(0).pred, steps(1).pred, steps(2).pred, w, mp)
+        case None => CepOps.cepKleene(ev, keyCol, tsCol, idCol,
+          steps(0).pred, steps(1).pred, steps(2).pred, w)
+      }
       if (steps(1).minTimes > 1)
         k.filter(org.apache.spark.sql.functions.col("n_b") >= steps(1).minTimes)
       else k

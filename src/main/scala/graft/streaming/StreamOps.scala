@@ -64,6 +64,15 @@ case class SessCapRow(user_id: Long, event_id: Long, session_id: Int)
 case class RelaxedAnchor(aId: Long, aTsUs: Long, bIds: Seq[Long],
     closedUpTo: Int)
 case class RelaxedState(anchors: List[RelaxedAnchor])
+/** [[StreamOps.cepKleeneRelaxedMeasuresStream]] rows: the relaxed
+  * anchor plus cumulative micro-unit prefix sums parallel to `bIds`
+  * (`bSum6s(L−1)` IS prefix L's exact decimal(18,6) sum ×10⁶). */
+case class RelaxedMAnchor(aId: Long, aTsUs: Long, bIds: Seq[Long],
+    bSum6s: Seq[Long], closedUpTo: Int)
+case class RelaxedMState(anchors: List[RelaxedMAnchor])
+case class RelaxedMMatch(user_id: Long, a_id: Long, n_b: Long,
+    first_b_id: Long, last_b_id: Long, c_id: Long, sum_b: Double,
+    avg_b: Double, span_us: Long)
 /** [[StreamOps.cepKleeneUntilStream]] output — no terminator id: the
   * until-event stops the loop but is outside the match. */
 case class KleeneUntilMatch(user_id: Long, a_id: Long, n_b: Long,
@@ -625,6 +634,70 @@ object StreamOps {
           }
         }
         state.update(RelaxedState(anchors))
+        out.iterator
+      }
+  }
+
+  /** [[cepKleeneRelaxedStream]] carrying MEASURES: each anchor records
+    * cumulative micro-unit sums parallel to its loop-B ids, so closing
+    * prefix `L` emits its exact decimal SUM/AVG with no extra state
+    * passes — the relaxed twin of [[cepKleeneMeasuresStream]]. Replay
+    * hash-matches the batch [[CepOps.cepKleeneRelaxedMeasures]] under
+    * the same oracle; no flush gap. */
+  def cepKleeneRelaxedMeasuresStream(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, predA: Column, predB: Column,
+      predC: Column, withinUs: Long, maxPrefix: Int,
+      valueCol: Column): Dataset[RelaxedMMatch] = {
+    require(maxPrefix >= 1, "maxPrefix must be >= 1")
+    val sp = ev.sparkSession
+    import sp.implicits._
+    def r4(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    ev.withColumn("__cls",
+        when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
+      .filter(col("__cls").isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("event_id"), col("__cls").as("cls"),
+        (valueCol.cast("decimal(18,6)") * lit(1000000L)).cast("long").as("v6"))
+      .as[KleeneMEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[RelaxedMState, RelaxedMMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[RelaxedMMatch]
+        it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          anchors = anchors.filter(a => e.ts_us <= a.aTsUs + withinUs)
+          e.cls match {
+            case "A" =>
+              anchors = RelaxedMAnchor(e.event_id, e.ts_us, Vector.empty,
+                Vector.empty, 0) :: anchors
+            case "B" =>
+              anchors = anchors.map { a =>
+                if (a.bIds.length < maxPrefix)
+                  a.copy(bIds = a.bIds :+ e.event_id,
+                    bSum6s = a.bSum6s :+
+                      (a.bSum6s.lastOption.getOrElse(0L) + e.v6))
+                else a
+              }
+            case _ => // "C" — in-horizon by the filter above
+              anchors = anchors.flatMap { a =>
+                var l = a.closedUpTo + 1
+                while (l <= a.bIds.length) {
+                  val sumDec = java.math.BigDecimal.valueOf(a.bSum6s(l - 1), 6)
+                  out += RelaxedMMatch(key, a.aId, l.toLong, a.bIds.head,
+                    a.bIds(l - 1), e.event_id,
+                    sumDec.setScale(4, java.math.RoundingMode.HALF_UP).doubleValue,
+                    r4(sumDec.doubleValue / l),
+                    e.ts_us - a.aTsUs)
+                  l += 1
+                }
+                val closed = a.copy(closedUpTo = a.bIds.length)
+                if (closed.closedUpTo >= maxPrefix) None else Some(closed)
+              }
+          }
+        }
+        state.update(RelaxedMState(anchors))
         out.iterator
       }
   }

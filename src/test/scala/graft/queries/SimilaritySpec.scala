@@ -26,6 +26,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low — IVF probe routing broken")
   }
 
+  test("deterministic IVF matches the float-Lloyd IVF's recall class") {
+    val exact = pairs("llm_knn_cosine")
+    val det = pairs("llm_knn_ivf_det")
+    assert(det.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & det).size.toDouble / exact.size
+    // same 16-cell/4-probe geometry as llm_knn_ivf — the exact-BIGINT
+    // re-centering must not cost recall (it changes centroids by ~1e-10)
+    assert(recall >= 0.3, s"recall $recall too low — det training diverged")
+  }
+
   test("PQ ANN returns 10 neighbors per query with recall vs brute force") {
     val exact = pairs("llm_knn_cosine")
     val approx = pairs("llm_knn_pq")

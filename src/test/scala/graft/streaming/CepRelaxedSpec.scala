@@ -124,6 +124,32 @@ class CepRelaxedSpec extends SparkSpec {
     assert(streamed.toDF().collect().map(_.toSeq.mkString("|")).sorted.toSeq == b)
   }
 
+  test("measures streamed replay equals the batch relaxed measures") {
+    import spark.implicits._
+    val withinUs = 360L * 60L * 1000000L
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepKleeneRelaxedMeasuresStream(ev, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase", withinUs = withinUs,
+        maxPrefix = 3, valueCol = col("value")))(
+      _ => spark.emptyDataset[RelaxedMMatch])
+    val batch = CepOps.cepKleeneRelaxedMeasures(graft.Tables.events(spark, sf),
+      "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", within = "360 minutes", maxPrefix = 3,
+      valueCol = col("value"))
+    val b = batch.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(b.nonEmpty)
+    assert(streamed.toDF().collect().map(_.toSeq.mkString("|")).sorted.toSeq == b)
+    // the measure columns ride the SAME matches as the plain relaxed form
+    val plain = CepOps.cepKleeneRelaxed(graft.Tables.events(spark, sf),
+      "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", within = "360 minutes", maxPrefix = 3)
+    assert(batch.drop("sum_b", "avg_b").collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("greedy strict-contiguity matches are a subset (testdata events)") {
     val ev = graft.Tables.events(spark, sf)
     val greedy = rows(CepOps.cepKleene(ev, "user_id", "ts", "event_id",

@@ -38,6 +38,18 @@ class PatternDslSpec extends SparkSpec {
     assert(rows(dsl) == rows(direct) && dsl.count() > 0)
   }
 
+  test("oneOrMore().relaxed(k) compiles to cepKleeneRelaxed") {
+    val dsl = Pattern.begin("view", col("event_type") === "view")
+      .next("click", col("event_type") === "click").oneOrMore().relaxed(3)
+      .next("purchase", col("event_type") === "purchase")
+      .within("360 minutes")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepKleeneRelaxed(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 minutes", maxPrefix = 3)
+    assert(rows(dsl) == rows(direct) && dsl.count() > 0)
+  }
+
   test("timesOrMore(n) is the Kleene form with a minimum run length") {
     val dsl = Pattern.begin("view", col("event_type") === "view")
       .next("click", col("event_type") === "click").timesOrMore(2)
