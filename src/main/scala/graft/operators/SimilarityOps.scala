@@ -396,6 +396,99 @@ object SimilarityOps {
     topKScored(scored, k, "cos")
   }
 
+  /** [[knnPq]] with DETERMINISTIC, oracle-rebuildable codebook training
+    * — [[knnIvfDet]]'s exact-BIGINT re-centering applied per SUBSPACE,
+    * so the full PQ pipeline (both Lloyd passes per codebook, encoding,
+    * ADC scoring, shortlist, exact rerank) is arithmetic both engines
+    * replicate exactly and the DuckDB oracle hash-checks it end to end:
+    *
+    *  - unit vectors split into `m` subspaces; seeds = the `kCodes`
+    *    lowest-id subvectors, code index = the seed's id rank;
+    *  - assignment = argmin L2 with `(dist ASC, code ASC)` tie-break,
+    *    the squared-difference fold summed left-to-right;
+    *  - re-centering = per-dimension `round(x·10⁹)` BIGINT sums (one
+    *    IEEE division per dimension); empty codes keep their previous
+    *    centroid on BOTH engines (left-join + coalesce);
+    *  - ADC = per-(query, subspace, code) table entries quantized to
+    *    10⁻¹² units, so the per-candidate sum over subspaces is EXACT
+    *    integer addition (order-free) — the one place the float form
+    *    would be partition-order-dependent;
+    *  - exact rerank of the top `rerank` ADC candidates, final top-k.
+    *
+    * Returns `(qid, nbr, cos, rk)` with EXACT final cosines.
+    *
+    * @note scale: every stage is a broadcast join against ≤ m·kCodes
+    *   codebook rows or a groupBy on (subspace, code, dim) — narrow,
+    *   corpus-size-independent metadata everywhere except the one ADC
+    *   scan; the codebook materializes per pass (m·kCodes rows) to
+    *   keep lineage flat. */
+  def knnPqDet(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 2, rerank: Int = 40,
+      k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = normed(df, idCol, vecCol)
+    val u = n.select(col("vec_id"),
+      expr("transform(v, x -> x / nrm)").as("uv")).persist()
+    val dim = u.select(size(col("uv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val sp = u.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("uv"))
+      .withColumn("sv", expr(s"slice(uv, j * $sub + 1, $sub)"))
+      .select("vec_id", "j", "sv").persist()
+    val seedIds = u.orderBy("vec_id").limit(kCodes).select("vec_id")
+    var book: DataFrame = sp.join(broadcast(seedIds), "vec_id")
+      .withColumn("c", row_number().over(
+        Window.partitionBy(col("j")).orderBy(col("vec_id"))) - 1)
+      .select(col("j"), col("c"), col("sv").as("cv"))
+    def assignB(b: DataFrame): DataFrame =
+      sp.join(broadcast(b), "j")
+        .withColumn("__d", expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("j"))
+            .orderBy(col("__d").asc, col("c"))))
+        .filter(col("__rk") === 1)
+        .select(col("vec_id"), col("j"), col("c"))
+    for (_ <- 1 to iters) {
+      val means = assignB(book).join(sp, Seq("vec_id", "j"))
+        .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
+        .withColumn("x9", round(col("x") * lit(1.0e9)).cast("long"))
+        .groupBy("j", "c", "i")
+        .agg(sum(col("x9")).as("s9"), count(lit(1)).as("cnt"))
+        .withColumn("mean", col("s9").cast("double") / col("cnt") / lit(1.0e9))
+        .groupBy("j", "c")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i").as("i"), col("mean").as("mn")))),
+          s => s.getField("mn")).as("ncv"))
+      val next = book.join(means, Seq("j", "c"), "left")
+        .select(col("j"), col("c"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .as[(Int, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2))
+      book = spark.createDataset(next.toIndexedSeq).toDF("j", "c", "cv")
+    }
+    val af = assignB(book)
+    val qt = sp.filter(isQuery).join(broadcast(book), "j")
+      .withColumn("t12", round(expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
+        * lit(1.0e12)).cast("long"))
+      .select(col("vec_id").as("qid"), col("j"), col("c"), col("t12"))
+    val adc = af.join(broadcast(qt),
+        af("j") === qt("j") && af("c") === qt("c") &&
+          af("vec_id") =!= qt("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nbr"))
+      .agg(round(sum(col("t12")).cast("double") / lit(1.0e12), 6).as("score"))
+    val short = topKScored(adc, rerank, "score").select("qid", "nbr")
+    val qvecs = broadcast(u.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("uv").as("qv")))
+    val exact = u.select(col("vec_id").as("nbr"), col("uv").as("nv"))
+      .join(broadcast(short), "nbr").join(qvecs, "qid")
+      .withColumn("cos", round(expr("vec_dot(nv, qv)"), 6))
+      .select(col("qid"), col("nbr"), col("cos"))
+    topKScored(exact, k, "cos")
+  }
+
   /** Lloyd-refined coarse cells over the normalized working set —
     * shared by [[knnIvfKmeans]] and [[knnIvfPq]]. */
   private def trainCells(

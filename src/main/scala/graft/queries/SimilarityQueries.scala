@@ -129,6 +129,82 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** PQ with the CODEBOOKS under the hash oracle
+    * ([[SimilarityOps.knnPqDet]] — the [[knnIvfDet]] template applied
+    * per subspace): both Lloyd passes of every subspace codebook,
+    * encoding, the 10⁻¹²-unit-quantized ADC sum (exact integer
+    * addition — the one float-order-dependent step in the plain PQ
+    * path), the 40-deep shortlist and the exact rerank are ALL rebuilt
+    * in SQL and hash-checked. The float-Lloyd `llm_knn_pq` stays
+    * rows-only; recall is additionally spec-gated. */
+  private val knnPqDet = Q(
+    "llm_knn_pq_det",
+    s"""WITH $oNormed,
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+       |sp AS (SELECT vec_id, t.j, list_slice(uv, t.j*8 + 1, t.j*8 + 8) AS sv
+       |       FROM u, unnest(range(8)) AS t(j)),
+       |b0 AS (SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
+       |         sv AS cv
+       |       FROM sp WHERE vec_id IN (SELECT vec_id FROM u ORDER BY vec_id LIMIT 16)),
+       |a1 AS (SELECT vec_id, j, c FROM (
+       |  SELECT sp.vec_id, sp.j, b.c,
+       |    row_number() OVER (PARTITION BY sp.vec_id, sp.j ORDER BY
+       |      list_sum(list_transform(list_zip(sp.sv, b.cv),
+       |        p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c) AS rk
+       |  FROM sp JOIN b0 b ON b.j = sp.j) WHERE rk = 1),
+       |g1 AS (SELECT a.j, a.c, t.i,
+       |         (CAST(sum(CAST(round(s.sv[t.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM a1 a JOIN sp s ON s.vec_id = a.vec_id AND s.j = a.j,
+       |            unnest(range(8)) AS t(i)
+       |       GROUP BY 1, 2, 3),
+       |n1 AS (SELECT j, c, list(mean ORDER BY i) AS ncv FROM g1 GROUP BY 1, 2),
+       |b1 AS (SELECT b0.j, b0.c, coalesce(n1.ncv, b0.cv) AS cv
+       |       FROM b0 LEFT JOIN n1 ON n1.j = b0.j AND n1.c = b0.c),
+       |a2 AS (SELECT vec_id, j, c FROM (
+       |  SELECT sp.vec_id, sp.j, b.c,
+       |    row_number() OVER (PARTITION BY sp.vec_id, sp.j ORDER BY
+       |      list_sum(list_transform(list_zip(sp.sv, b.cv),
+       |        p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c) AS rk
+       |  FROM sp JOIN b1 b ON b.j = sp.j) WHERE rk = 1),
+       |g2 AS (SELECT a.j, a.c, t.i,
+       |         (CAST(sum(CAST(round(s.sv[t.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM a2 a JOIN sp s ON s.vec_id = a.vec_id AND s.j = a.j,
+       |            unnest(range(8)) AS t(i)
+       |       GROUP BY 1, 2, 3),
+       |n2 AS (SELECT j, c, list(mean ORDER BY i) AS ncv FROM g2 GROUP BY 1, 2),
+       |b2 AS (SELECT b1.j, b1.c, coalesce(n2.ncv, b1.cv) AS cv
+       |       FROM b1 LEFT JOIN n2 ON n2.j = b1.j AND n2.c = b1.c),
+       |af AS (SELECT vec_id, j, c FROM (
+       |  SELECT sp.vec_id, sp.j, b.c,
+       |    row_number() OVER (PARTITION BY sp.vec_id, sp.j ORDER BY
+       |      list_sum(list_transform(list_zip(sp.sv, b.cv),
+       |        p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c) AS rk
+       |  FROM sp JOIN b2 b ON b.j = sp.j) WHERE rk = 1),
+       |qt AS (SELECT s.vec_id AS qid, b.j, b.c,
+       |         CAST(round(list_sum(list_transform(list_zip(s.sv, b.cv), p -> p[1]*p[2]))
+       |              * 1000000000000.0) AS BIGINT) AS t12
+       |       FROM sp s JOIN b2 b ON b.j = s.j WHERE s.vec_id < 5),
+       |adc AS (SELECT q.qid, a.vec_id AS nbr,
+       |          round(CAST(sum(q.t12) AS DOUBLE) / 1000000000000.0, 6) AS score
+       |        FROM af a JOIN qt q ON q.j = a.j AND q.c = a.c AND a.vec_id != q.qid
+       |        GROUP BY 1, 2),
+       |sh AS (SELECT qid, nbr FROM (
+       |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr) AS rk
+       |  FROM adc) WHERE rk <= 40),
+       |x AS (SELECT sh.qid, sh.nbr,
+       |        round(list_sum(list_transform(list_zip(a.uv, q.uv), p -> p[1]*p[2])), 6) AS cos
+       |      FROM sh JOIN u a ON a.vec_id = sh.nbr JOIN u q ON q.vec_id = sh.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM x)
+       |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    SimilarityOps.knnPqDet(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, m = 8, kCodes = 16, iters = 2,
+        rerank = 40, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Engine-specific pruning — rows-only driver check; recall vs the
     * exact brute force is asserted by `SimilaritySpec`. Centroids are
     * Lloyd-refined from the deterministic low-id seeds
@@ -331,7 +407,7 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfDet, knnIvfProbeAll,
+  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfDet, knnPqDet, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

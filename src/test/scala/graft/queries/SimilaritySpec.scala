@@ -44,6 +44,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low — PQ codebooks/ADC broken")
   }
 
+  test("deterministic PQ: exact-rerank shortlist recall vs brute force") {
+    val exact = pairs("llm_knn_cosine")
+    val det = pairs("llm_knn_pq_det")
+    assert(det.groupBy(_._1).forall(_._2.size == 10), "10 neighbors per query")
+    val recall = (exact & det).size.toDouble / exact.size
+    // 40-deep ADC shortlist + exact rerank on a 500-vector corpus —
+    // the det codebooks must stay in the float-Lloyd recall class
+    assert(recall >= 0.3, s"recall $recall too low — det codebooks diverged")
+  }
+
   test("SQ8 ANN: int8 shortlist + exact rerank reaches recall >= 0.95") {
     val exact = pairs("llm_knn_cosine")
     val approx = pairs("llm_knn_sq8")
