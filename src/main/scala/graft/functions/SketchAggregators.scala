@@ -277,6 +277,40 @@ object SketchAggregators {
       s"(($A * ((($x % $M) + $M) % $M) + $B) % $M)"
   }
 
+  /** Fixed equi-width histogram counts over integer CENTS — the
+    * [[graft.queries.ExtendedQueries]] `agg_hist_mergeable` bin math
+    * (`bin = (cents·bins) div (domainCents)`, clamped to the last bin)
+    * packaged as an Aggregator so ONE scan can emit histogram partials
+    * alongside [[BottomK]]/[[HllRegisters]] sketches (the multi-sketch
+    * profile-job pattern). Counts merge by elementwise addition —
+    * associative, order-independent, map-side-combine friendly — and
+    * every derived statistic (quantile = first bin reaching ⌈p·n⌉) is
+    * exact integer arithmetic the DuckDB oracle rebuilds.
+    *
+    * @note scale: fixed `bins` longs per (partition, group). */
+  class HistCounts(val bins: Int = 1024, val domainCents: Long)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(bins >= 2 && domainCents > 0)
+
+    override def zero: Array[Long] = new Array[Long](bins)
+
+    override def reduce(b: Array[Long], cents: Long): Array[Long] = {
+      val bin = math.min(bins - 1L, cents * bins / domainCents).toInt
+      b(math.max(0, bin)) += 1
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bins) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** PORTABLE HyperLogLog registers (Flajolet et al., "HyperLogLog: the
     * analysis of a near-optimal cardinality estimation algorithm",
     * AofA 2007) over the [[BottomK]] hash: bucket = low `p` bits of

@@ -1239,6 +1239,100 @@ object ExtendedQueries {
         round(col("nonly").cast("double") * col("eu") / col("nv"), 4).as("n_click_only"))
   }
 
+  /** MULTI-SKETCH profile bundle — ONE scan, ONE groupBy, THREE
+    * portable sketches per group: bottom-k distinct-count ([[
+    * graft.functions.SketchAggregators.BottomK]]), HLL registers
+    * ([[graft.functions.SketchAggregators.HllRegisters]] — two
+    * independent distinct estimators cross-checking each other, the
+    * profile-job practice) and the cents-exact histogram
+    * ([[graft.functions.SketchAggregators.HistCounts]], p50 over
+    * o_totalprice). This is the shape a daily 100 TB profile job
+    * runs: all sketch partials accumulate in the SAME map-side
+    * combine, and every derived statistic below is a zero-shuffle HOF
+    * over the group's arrays. The oracle rebuilds all three sketch
+    * arithmetics (their standalone keys' fragments, composed).
+    *
+    * @note scale: per (partition, group) state = 256 + 256 + 1024
+    *   longs; one shuffle total for all three sketches. */
+  private val aggSketchBundle = Q(
+    "agg_sketch_bundle",
+    s"""WITH kh AS (SELECT DISTINCT o_orderstatus AS g,
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("o_custkey")} AS h
+       |  FROM orders),
+       |ksk AS (SELECT g, h FROM (SELECT g, h,
+       |          row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM kh)
+       |        WHERE rk <= 256),
+       |kmv AS (SELECT g, CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+       |                       ELSE round(547608329985.0 / CAST(max(h) AS DOUBLE), 4)
+       |                  END AS kmv_distinct
+       |        FROM ksk GROUP BY 1),
+       |hh0 AS (SELECT o_orderstatus AS g,
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("o_custkey")} AS h0
+       |  FROM orders),
+       |hh AS (SELECT g, (h0 * h0 + h0) % 2147483647 AS h FROM hh0),
+       |hbr AS (SELECT g, CAST(h % 256 AS INT) AS bucket,
+       |    CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END AS rho
+       |  FROM hh),
+       |hregs AS (SELECT g, bucket, max(rho) AS r FROM hbr GROUP BY 1, 2),
+       |hll AS (SELECT g,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(24 - r AS INT)) +
+       |         (256 - count(*)) * 16777216 AS BIGINT) AS hll_s_reg
+       |  FROM hregs GROUP BY 1),
+       |hb AS (SELECT o_orderstatus AS g,
+       |    least(1023, (CAST(round(o_totalprice * 100) AS BIGINT) * 1024)
+       |                // 60000000) AS bin
+       |  FROM orders),
+       |hc AS (SELECT g, bin, count(*) AS cnt FROM hb GROUP BY 1, 2),
+       |hw AS (SELECT g, bin, cnt,
+       |        sum(cnt) OVER (PARTITION BY g ORDER BY bin
+       |                       ROWS UNBOUNDED PRECEDING) AS cum,
+       |        sum(cnt) OVER (PARTITION BY g) AS n
+       |      FROM hc),
+       |hist AS (SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+       |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 1 AS DOUBLE)
+       |      * 585.9375 AS p50_est
+       |  FROM hw GROUP BY 1)
+       |SELECT hist.g AS scope, hist.n_rows, kmv.kmv_distinct, hll.hll_s_reg,
+       |  round((0.7213 / (1 + 1.079 / 256.0)) * 65536 * 16777216
+       |        / CAST(hll.hll_s_reg AS DOUBLE), 4) AS hll_distinct,
+       |  hist.p50_est
+       |FROM hist JOIN kmv ON kmv.g = hist.g JOIN hll ON hll.g = hist.g
+       |ORDER BY scope""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    import org.apache.spark.sql.Encoders
+    val kmvU = udaf(new SketchAggregators.BottomK(256), Encoders.scalaLong)
+    val hllU = udaf(new SketchAggregators.HllRegisters(8), Encoders.scalaLong)
+    val histU = udaf(new SketchAggregators.HistCounts(1024, 60000000L),
+      Encoders.scalaLong)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("scope"))
+      .agg(count(lit(1)).as("n_rows"),
+        kmvU(col("o_custkey")).as("kmv"),
+        hllU(col("o_custkey")).as("hll"),
+        histU(round(col("o_totalprice") * 100).cast("long")).as("hist"))
+      .withColumn("kmv_distinct",
+        when(size(col("kmv")) < 256, size(col("kmv")).cast("double"))
+          .otherwise(round(lit(255.0 * 2147483647.0) /
+            element_at(col("kmv"), 256).cast("double"), 4)))
+      .withColumn("hll_s_reg", expr(
+        "aggregate(hll, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 24 - CAST(r AS INT)))"))
+      .withColumn("hll_distinct",
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(16777216.0) / col("hll_s_reg").cast("double"), 4))
+      .withColumn("p50_bin", expr(
+        """aggregate(hist,
+          |  struct(CAST(0 AS BIGINT) AS cum, -1 AS bin, 0 AS idx),
+          |  (acc, x) -> struct(acc.cum + x,
+          |    IF(acc.bin >= 0, acc.bin,
+          |       IF(acc.cum + x >= (n_rows + 1) div 2, acc.idx, -1)),
+          |    acc.idx + 1),
+          |  acc -> acc.bin)""".stripMargin))
+      .withColumn("p50_est", (col("p50_bin") + 1).cast("double") * lit(585.9375))
+      .select(col("scope"), col("n_rows"), col("kmv_distinct"),
+        col("hll_s_reg"), col("hll_distinct"), col("p50_est"))
+      .orderBy("scope")
+  }
+
   /** RETENTION MATRIX from KMV sketch algebra — the oracle-verified
     * twin of [[aggThetaRetention]]: one bottom-k sketch of active users
     * per week, then every `(week_a ≤ week_b)` pair's co-active count
@@ -1565,5 +1659,5 @@ object ExtendedQueries {
     aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
-    aggKmvSetops, aggHistMergeable, aggKmvRetention)
+    aggKmvSetops, aggHistMergeable, aggKmvRetention, aggSketchBundle)
 }
