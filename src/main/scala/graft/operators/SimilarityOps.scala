@@ -345,24 +345,44 @@ object SimilarityOps {
   def knnIvfDet(df: DataFrame, isQuery: org.apache.spark.sql.Column,
       nCells: Int = 16, iters: Int = 2, nprobe: Int = 4, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val n = normed(df, idCol, vecCol).persist()
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("__cos").desc, col("cid"))
-      n.crossJoin(broadcast(cents))
-        .withColumn("__cos",
-          expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    }
+    val cents = detTrainCells(n, nCells, iters)
+    val assigned = detAssignCells(n, cents)
+    val probes = detProbes(n, cents, isQuery, math.min(nprobe, nCells))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+    topKScored(scored, k, "cos")
+  }
+
+  /** Deterministic argmax-cosine cell assignment — `(cos DESC, cid)`
+    * tie-break, shared by the det IVF forms. */
+  private def detAssignCells(n: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__cos").desc, col("cid"))
+    n.crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
+  /** Deterministic k-means cells (lowest-id seeds, exact-BIGINT
+    * 10⁻⁹-unit re-centering, `iters` fixed passes) — the trainer the
+    * `llm_knn_ivf_det` oracle unrolls; materializes ≤ nCells rows per
+    * pass. */
+  private def detTrainCells(n: DataFrame, nCells: Int,
+      iters: Int): DataFrame = {
+    val spark = n.sparkSession
+    import spark.implicits._
     var cents = n.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     for (_ <- 1 to iters) {
-      val next = assign(cents)
+      val next = detAssignCells(n, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .withColumn("x9", round(col("x") * lit(1.0e9)).cast("long"))
         .groupBy("cid", "i")
@@ -377,23 +397,22 @@ object SimilarityOps {
         .as[(Long, Seq[Double], Double)].collect().sortBy(_._1) // ≤ nCells rows
       cents = spark.createDataset(next.toIndexedSeq).toDF("cid", "cv", "cnrm")
     }
-    val assigned = assign(cents)
-    val np = math.min(nprobe, nCells)
+    cents
+  }
+
+  /** Each query's `np` nearest cells, `(cos DESC, cid)`-ranked:
+    * `(qid, qv, qn, cid)`. */
+  private def detProbes(n: DataFrame, cents: DataFrame,
+      isQuery: org.apache.spark.sql.Column, np: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__cos").desc, col("cid"))
-    val probes = n.filter(isQuery)
+    n.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
       .withColumn("__cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cnrm")))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= np)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
-    val scored = assigned.join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
-      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
-    topKScored(scored, k, "cos")
   }
 
   /** [[knnPq]] with DETERMINISTIC, oracle-rebuildable codebook training
@@ -426,34 +445,54 @@ object SimilarityOps {
       m: Int = 8, kCodes: Int = 16, iters: Int = 2, rerank: Int = 40,
       k: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val n = normed(df, idCol, vecCol)
     val u = n.select(col("vec_id"),
       expr("transform(v, x -> x / nrm)").as("uv")).persist()
+    val sp = detSubspaces(u, m)
+    val book = detTrainBooks(sp, u, kCodes, iters)
+    val adc = detAdcScores(sp, book, isQuery)
+    detExactRerank(adc, u, isQuery, rerank, k)
+  }
+
+  /** Unit vectors split into `m` per-subspace rows `(vec_id, j, sv)`.
+    * Shared by the det PQ forms. */
+  private def detSubspaces(u: DataFrame, m: Int): DataFrame = {
     val dim = u.select(size(col("uv"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    val sp = u.select(col("vec_id"),
+    u.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col("uv"))
       .withColumn("sv", expr(s"slice(uv, j * $sub + 1, $sub)"))
       .select("vec_id", "j", "sv").persist()
+  }
+
+  /** Deterministic argmin-L2 code assignment — `(dist ASC, code ASC)`
+    * tie-break, squared-difference fold left-to-right. */
+  private def detAssignCodes(sp: DataFrame, book: DataFrame): DataFrame =
+    sp.join(broadcast(book), "j")
+      .withColumn("__d", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("__d").asc, col("c"))))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("j"), col("c"))
+
+  /** Deterministic per-subspace codebooks (lowest-id seeds, code index
+    * = seed id rank, exact-BIGINT re-centering, empty codes keep their
+    * previous centroid) — the trainer the `llm_knn_pq_det` oracle
+    * unrolls; materializes m·kCodes rows per pass. */
+  private def detTrainBooks(sp: DataFrame, u: DataFrame, kCodes: Int,
+      iters: Int): DataFrame = {
+    val spark = sp.sparkSession
+    import spark.implicits._
     val seedIds = u.orderBy("vec_id").limit(kCodes).select("vec_id")
     var book: DataFrame = sp.join(broadcast(seedIds), "vec_id")
       .withColumn("c", row_number().over(
         Window.partitionBy(col("j")).orderBy(col("vec_id"))) - 1)
       .select(col("j"), col("c"), col("sv").as("cv"))
-    def assignB(b: DataFrame): DataFrame =
-      sp.join(broadcast(b), "j")
-        .withColumn("__d", expr(
-          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("j"))
-            .orderBy(col("__d").asc, col("c"))))
-        .filter(col("__rk") === 1)
-        .select(col("vec_id"), col("j"), col("c"))
     for (_ <- 1 to iters) {
-      val means = assignB(book).join(sp, Seq("vec_id", "j"))
+      val means = detAssignCodes(sp, book).join(sp, Seq("vec_id", "j"))
         .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("i", "x")))
         .withColumn("x9", round(col("x") * lit(1.0e9)).cast("long"))
         .groupBy("j", "c", "i")
@@ -468,17 +507,36 @@ object SimilarityOps {
         .as[(Int, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2))
       book = spark.createDataset(next.toIndexedSeq).toDF("j", "c", "cv")
     }
-    val af = assignB(book)
-    val qt = sp.filter(isQuery).join(broadcast(book), "j")
-      .withColumn("t12", round(expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
-        * lit(1.0e12)).cast("long"))
-      .select(col("vec_id").as("qid"), col("j"), col("c"), col("t12"))
-    val adc = af.join(broadcast(qt),
+    book
+  }
+
+  /** ADC scores for every (query, corpus) pair: 10⁻¹²-unit-quantized
+    * per-(query, subspace, code) table entries, summed as EXACT
+    * integers per candidate — `(qid, nbr, score)`. */
+  private def detAdcScores(sp: DataFrame, book: DataFrame,
+      isQuery: org.apache.spark.sql.Column): DataFrame = {
+    val af = detAssignCodes(sp, book)
+    val qt = detAdcTable(sp, book, isQuery)
+    af.join(broadcast(qt),
         af("j") === qt("j") && af("c") === qt("c") &&
           af("vec_id") =!= qt("qid"))
       .groupBy(col("qid"), col("vec_id").as("nbr"))
       .agg(round(sum(col("t12")).cast("double") / lit(1.0e12), 6).as("score"))
+  }
+
+  /** Per-(query, subspace, code) quantized dot-product table. */
+  private def detAdcTable(sp: DataFrame, book: DataFrame,
+      isQuery: org.apache.spark.sql.Column): DataFrame =
+    sp.filter(isQuery).join(broadcast(book), "j")
+      .withColumn("t12", round(expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
+        * lit(1.0e12)).cast("long"))
+      .select(col("vec_id").as("qid"), col("j"), col("c"), col("t12"))
+
+  /** Exact-rerank tail shared by the det PQ forms: rescore the top
+    * `rerank` approximate candidates on the unit vectors, final top-k. */
+  private def detExactRerank(adc: DataFrame, u: DataFrame,
+      isQuery: org.apache.spark.sql.Column, rerank: Int, k: Int): DataFrame = {
     val short = topKScored(adc, rerank, "score").select("qid", "nbr")
     val qvecs = broadcast(u.filter(isQuery)
       .select(col("vec_id").as("qid"), col("uv").as("qv")))
@@ -487,6 +545,46 @@ object SimilarityOps {
       .withColumn("cos", round(expr("vec_dot(nv, qv)"), 6))
       .select(col("qid"), col("nbr"), col("cos"))
     topKScored(exact, k, "cos")
+  }
+
+  /** The FULL production ANN stack — IVF cells pruning the scan, PQ
+    * codes compressing it, exact rerank ordering the tail — with BOTH
+    * trainings deterministic, so the `llm_knn_ivfpq_det` oracle
+    * rebuilds cells ([[detTrainCells]]), codebooks ([[detTrainBooks]]),
+    * probe routing, in-cell ADC scoring and the rerank, hash-checking
+    * the entire pipeline (the float-Lloyd [[knnIvfPq]] stays the speed
+    * path, rows-only). Candidates are ADC-scored ONLY inside each
+    * query's `nprobe` cells. Returns `(qid, nbr, cos, rk)` with exact
+    * final cosines.
+    *
+    * @note scale: composition of the two det trainers' costs; the ADC
+    *   scan touches nprobe/nCells of the corpus — the same pruning
+    *   ratio as [[knnIvfPq]]. */
+  def knnIvfPqDet(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      nCells: Int = 16, cellIters: Int = 2, nprobe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, pqIters: Int = 2, rerank: Int = 40,
+      k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol).persist()
+    val cents = detTrainCells(n, nCells, cellIters)
+    val cellOf = detAssignCells(n, cents).select("vec_id", "cid")
+    val probes = detProbes(n, cents, isQuery, math.min(nprobe, nCells))
+      .select("qid", "cid")
+    val u = n.select(col("vec_id"),
+      expr("transform(v, x -> x / nrm)").as("uv")).persist()
+    val sp = detSubspaces(u, m)
+    val book = detTrainBooks(sp, u, kCodes, pqIters)
+    val af = detAssignCodes(sp, book)
+    val qt = detAdcTable(sp, book, isQuery)
+    // candidates = corpus rows inside each query's probed cells
+    val cand = cellOf.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val adc = cand.join(af, "vec_id")
+      .join(broadcast(qt), Seq("qid", "j", "c"))
+      .groupBy(col("qid"), col("vec_id").as("nbr"))
+      .agg(round(sum(col("t12")).cast("double") / lit(1.0e12), 6).as("score"))
+    detExactRerank(adc, u, isQuery, rerank, k)
   }
 
   /** Lloyd-refined coarse cells over the normalized working set —

@@ -205,6 +205,127 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** The FULL production ANN stack under the hash oracle
+    * ([[SimilarityOps.knnIvfPqDet]]): deterministic IVF cells prune
+    * the scan to nprobe/nCells, deterministic PQ codes ADC-score the
+    * survivors (exact-integer sums), exact rerank orders the tail —
+    * and the oracle rebuilds ALL of it: both cell-training passes,
+    * both codebook passes per subspace, probe routing, in-cell ADC
+    * and the rerank. Composes the `llm_knn_ivf_det` and
+    * `llm_knn_pq_det` oracle machinery; the float-Lloyd
+    * `llm_knn_ivfpq` stays the rows-only speed path. */
+  private val knnIvfPqDet = Q(
+    "llm_knn_ivfpq_det",
+    s"""WITH $oNormed,
+       |kc0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+       |ka1 AS (SELECT vec_id, v, nrm, cid FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN kc0 c) WHERE rk = 1),
+       |kg1 AS (SELECT cid, u.i AS i,
+       |         (CAST(sum(CAST(round(v[u.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM ka1, unnest(range(len(v))) AS u(i) GROUP BY 1, 2),
+       |kc1 AS (SELECT * FROM (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+       |  FROM (SELECT cid, list(mean ORDER BY i) AS cv FROM kg1 GROUP BY 1))
+       |  WHERE cnrm > 0),
+       |ka2 AS (SELECT vec_id, v, nrm, cid FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN kc1 c) WHERE rk = 1),
+       |kg2 AS (SELECT cid, u.i AS i,
+       |         (CAST(sum(CAST(round(v[u.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM ka2, unnest(range(len(v))) AS u(i) GROUP BY 1, 2),
+       |kc2 AS (SELECT * FROM (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnrm
+       |  FROM (SELECT cid, list(mean ORDER BY i) AS cv FROM kg2 GROUP BY 1))
+       |  WHERE cnrm > 0),
+       |kaf AS (SELECT vec_id, cid FROM (
+       |  SELECT n.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN kc2 c) WHERE rk = 1),
+       |kpr AS (SELECT qid, cid FROM (
+       |  SELECT n.vec_id AS qid, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN kc2 c WHERE n.vec_id < 5) WHERE rk <= 4),
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv FROM n),
+       |sp AS (SELECT vec_id, t.j, list_slice(uv, t.j*8 + 1, t.j*8 + 8) AS sv
+       |       FROM u, unnest(range(8)) AS t(j)),
+       |b0 AS (SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
+       |         sv AS cv
+       |       FROM sp WHERE vec_id IN (SELECT vec_id FROM u ORDER BY vec_id LIMIT 16)),
+       |a1 AS (SELECT vec_id, j, c FROM (
+       |  SELECT sp.vec_id, sp.j, b.c,
+       |    row_number() OVER (PARTITION BY sp.vec_id, sp.j ORDER BY
+       |      list_sum(list_transform(list_zip(sp.sv, b.cv),
+       |        p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c) AS rk
+       |  FROM sp JOIN b0 b ON b.j = sp.j) WHERE rk = 1),
+       |g1 AS (SELECT a.j, a.c, t.i,
+       |         (CAST(sum(CAST(round(s.sv[t.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM a1 a JOIN sp s ON s.vec_id = a.vec_id AND s.j = a.j,
+       |            unnest(range(8)) AS t(i)
+       |       GROUP BY 1, 2, 3),
+       |n1 AS (SELECT j, c, list(mean ORDER BY i) AS ncv FROM g1 GROUP BY 1, 2),
+       |b1 AS (SELECT b0.j, b0.c, coalesce(n1.ncv, b0.cv) AS cv
+       |       FROM b0 LEFT JOIN n1 ON n1.j = b0.j AND n1.c = b0.c),
+       |a2 AS (SELECT vec_id, j, c FROM (
+       |  SELECT sp.vec_id, sp.j, b.c,
+       |    row_number() OVER (PARTITION BY sp.vec_id, sp.j ORDER BY
+       |      list_sum(list_transform(list_zip(sp.sv, b.cv),
+       |        p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c) AS rk
+       |  FROM sp JOIN b1 b ON b.j = sp.j) WHERE rk = 1),
+       |g2 AS (SELECT a.j, a.c, t.i,
+       |         (CAST(sum(CAST(round(s.sv[t.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |          / count(*)) / 1000000000.0 AS mean
+       |       FROM a2 a JOIN sp s ON s.vec_id = a.vec_id AND s.j = a.j,
+       |            unnest(range(8)) AS t(i)
+       |       GROUP BY 1, 2, 3),
+       |n2 AS (SELECT j, c, list(mean ORDER BY i) AS ncv FROM g2 GROUP BY 1, 2),
+       |b2 AS (SELECT b1.j, b1.c, coalesce(n2.ncv, b1.cv) AS cv
+       |       FROM b1 LEFT JOIN n2 ON n2.j = b1.j AND n2.c = b1.c),
+       |af AS (SELECT vec_id, j, c FROM (
+       |  SELECT sp.vec_id, sp.j, b.c,
+       |    row_number() OVER (PARTITION BY sp.vec_id, sp.j ORDER BY
+       |      list_sum(list_transform(list_zip(sp.sv, b.cv),
+       |        p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, b.c) AS rk
+       |  FROM sp JOIN b2 b ON b.j = sp.j) WHERE rk = 1),
+       |qt AS (SELECT s.vec_id AS qid, b.j, b.c,
+       |         CAST(round(list_sum(list_transform(list_zip(s.sv, b.cv), p -> p[1]*p[2]))
+       |              * 1000000000000.0) AS BIGINT) AS t12
+       |       FROM sp s JOIN b2 b ON b.j = s.j WHERE s.vec_id < 5),
+       |cand AS (SELECT p.qid, a.vec_id
+       |         FROM kaf a JOIN kpr p ON a.cid = p.cid AND a.vec_id != p.qid),
+       |adc AS (SELECT c.qid, c.vec_id AS nbr,
+       |          round(CAST(sum(q.t12) AS DOUBLE) / 1000000000000.0, 6) AS score
+       |        FROM cand c JOIN af a ON a.vec_id = c.vec_id
+       |             JOIN qt q ON q.qid = c.qid AND q.j = a.j AND q.c = a.c
+       |        GROUP BY 1, 2),
+       |sh AS (SELECT qid, nbr FROM (
+       |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nbr) AS rk
+       |  FROM adc) WHERE rk <= 40),
+       |x AS (SELECT sh.qid, sh.nbr,
+       |        round(list_sum(list_transform(list_zip(a.uv, q.uv), p -> p[1]*p[2])), 6) AS cos
+       |      FROM sh JOIN u a ON a.vec_id = sh.nbr JOIN u q ON q.vec_id = sh.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM x)
+       |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    SimilarityOps.knnIvfPqDet(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, cellIters = 2, nprobe = 4,
+        m = 8, kCodes = 16, pqIters = 2, rerank = 40, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Engine-specific pruning — rows-only driver check; recall vs the
     * exact brute force is asserted by `SimilaritySpec`. Centroids are
     * Lloyd-refined from the deterministic low-id seeds
@@ -407,7 +528,7 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfDet, knnPqDet, knnIvfProbeAll,
+  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfDet, knnPqDet, knnIvfPqDet, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

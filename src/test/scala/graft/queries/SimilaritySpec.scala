@@ -54,6 +54,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low — det codebooks diverged")
   }
 
+  test("deterministic IVF-PQ composes both det trainings at the stack's recall class") {
+    val exact = pairs("llm_knn_cosine")
+    val det = pairs("llm_knn_ivfpq_det")
+    assert(det.nonEmpty && det.groupBy(_._1).forall(_._2.size <= 10))
+    val recall = (exact & det).size.toDouble / exact.size
+    // cells prune to 4/16 and PQ shortlists within them — compounded
+    // pruning; the gate guards plumbing, the oracle guards every value
+    assert(recall >= 0.2, s"recall $recall too low — det IVF-PQ composition broken")
+  }
+
   test("SQ8 ANN: int8 shortlist + exact rerank reaches recall >= 0.95") {
     val exact = pairs("llm_knn_cosine")
     val approx = pairs("llm_knn_sq8")
