@@ -481,9 +481,12 @@ object DedupOps {
     * prefix filter as [[containmentPairsComplete]], with the overlap
     * bound specialized to Jaccard: `jac ≥ t` forces
     * `c ≥ t·(na+nb)/(1+t) ≥ 2t/(1+t)·min(na,nb)`, so the smaller
-    * side's prefix of its `m − ⌈2t·m/(tDen+tNum-scaled)⌉ + 2` rarest
-    * shingles must intersect the other side. Exact full-set Jaccard
-    * then verifies. Returns `(ai, bi, jac)`, `ai < bi`, `jac ≥ t`.
+    * side's prefix of its `m − ⌈2·tNum·m/(tDen+tNum)⌉ + 2` rarest
+    * shingles must intersect the other side (the +2 absorbs the
+    * rounded-threshold boundary slot), and the length filter
+    * `t·max ≤ min` prunes size-mismatched pairs outright. Exact
+    * full-set Jaccard then verifies. Returns `(ai, bi, jac)`,
+    * `ai < bi`, `jac ≥ t`.
     *
     * Contrast the three existing regimes: [[jaccardPairs]] (df-capped
     * candidates — fast, misses pairs sharing only boilerplate),
