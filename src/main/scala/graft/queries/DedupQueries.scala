@@ -440,6 +440,42 @@ object DedupQueries {
       .orderBy("qid", "rk")
   }
 
+  /** CERTIFIED-COMPLETE related docs: top-3 neighbors PER DOC among
+    * `jac ≥ 4/5` pairs, candidates from the prefix-filtered COMPLETE
+    * join ([[DedupOps.jaccardPairsComplete]]) — unlike
+    * [[topkSimilar]]'s LSH-candidate contract, a doc provably ranks
+    * over EVERY neighbor above the threshold, so the oracle is the
+    * brute-force all-shared-pairs restatement, mirrored and ranked.
+    * The two keys bracket the production trade: unthresholded
+    * LSH-probabilistic vs thresholded deterministic-complete. */
+  private val topkRelated = Q(
+    "llm_topk_related",
+    s"""WITH $oShingles,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |j AS (SELECT ai, bi,
+       |        round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+       |      FROM inter JOIN sz sa ON sa.doc_id = ai
+       |           JOIN sz sb ON sb.doc_id = bi
+       |      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+       |d AS (SELECT ai AS qid, bi AS nbr, jac FROM j
+       |      UNION ALL SELECT bi, ai, jac FROM j),
+       |r AS (SELECT qid, nbr, jac, CAST(row_number() OVER (
+       |        PARTITION BY qid ORDER BY jac DESC, nbr) AS INT) AS rk FROM d)
+       |SELECT qid, nbr, jac, rk FROM r WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val pairs = DedupOps.jaccardPairsComplete(Tables.documents(s, d),
+      tNum = 4, tDen = 5).persist()
+    val both = pairs
+      .select(col("ai").as("qid"), col("bi").as("nbr"), col("jac"))
+      .unionByName(pairs
+        .select(col("bi").as("qid"), col("ai").as("nbr"), col("jac")))
+    graft.operators.SimilarityOps.topKScored(both, 3, "jac")
+      .orderBy("qid", "rk")
+  }
+
   /** Containment near-dups at max-containment ≥ 4/5
     * ([[DedupOps.containmentPairsComplete]]): pairs where ≥ 80% of ONE
     * side's shingles sit inside the other — the asymmetric
@@ -473,5 +509,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupNgramComplete,
     dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
-    editJoin, editJoinExact, editJoinLong, topkSimilar, containment)
+    editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment)
 }
