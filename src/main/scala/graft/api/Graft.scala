@@ -32,10 +32,27 @@ object Graft {
   /** Exact / n-gram / SimHash / MinHash+LSH dedup, asymmetric
     * containment (quote/subset detection), component clustering, URL
     * canonicalization, edit-distance similarity joins (token-blocked
-    * heuristic + PassJoin-exact). */
+    * heuristic + PassJoin-exact + hashed long-document PassJoin with
+    * the native `lev_within` verify), and the CERTIFIED-COMPLETE
+    * prefix-filtered threshold joins (`jaccardPairsComplete` /
+    * `containmentPairsComplete` — deterministically every pair at the
+    * threshold, the AllPairs/PPJoin bound, no hot-shingle caveat). */
   val dedup: DedupOps.type = DedupOps
-  /** Brute-force + IVF kNN (fixed or k-means cells), embedding near-dup. */
+  /** Brute-force kNN plus the ANN ladder: IVF (fixed or k-means
+    * cells), PQ / IVF-PQ (ADC + rerank), SQ8 / IVF-SQ8 int8
+    * quantization, and the deterministic-training certification tier
+    * (`knnIvfDet` / `knnPqDet` / `knnIvfPqDet` — exact-BIGINT Lloyd
+    * re-centering, cross-engine reproducible end to end); embedding
+    * near-dup kernels (broadcast / blocked grid / LSH banding). */
   val similarity: SimilarityOps.type = SimilarityOps
+  /** Engine-portable mergeable sketch UDAFs (every internal exact
+    * integer arithmetic, so results reproduce on ANY engine):
+    * `CountMin` (+count-mean-min debias), `BottomK` KMV distinct
+    * sketches with full set algebra, `HllRegisters` portable HLL,
+    * `HistCounts` cents-exact histogram quantiles, `TopKByScore`
+    * bounded per-partition top-k. Compose in one scan — the
+    * `agg_sketch_bundle` profile-job shape. */
+  val sketch: graft.functions.SketchAggregators.type = graft.functions.SketchAggregators
   /** Deterministic corpus sampling: fixed-rate, stratified/temperature
     * mixtures, weighted-without-replacement (priority sampling),
     * leakage-free grouped train/val/test split, epoch shuffle. */

@@ -28,14 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * is ~µs per pair. Semantics are pinned equal to the builtin by
   * `EditDistanceSpec` across random strings and edge shapes.
   *
-  * Works on UTF-16 code units (like the builtin for BMP text; the
-  * corpus contract is ASCII — see [[Hashes]]' domain note).
+  * Works on UNICODE CODE POINTS, exactly like Spark's builtin
+  * `levenshtein` — a supplementary-plane character (one surrogate
+  * pair) counts as ONE edit, so `EditDistanceSpec`'s equality pin to
+  * the builtin holds on any input, not only BMP text.
   *
   * Registered as SQL `lev_within` by [[GraftExtensions]].
   *
-  * @note scale: per-row, allocation is two int arrays of the stripped
-  *   length; stays inside whole-stage codegen via a static call — no
-  *   UDF boundary.
+  * @note scale: per-row, allocation is the two code-point arrays plus
+  *   two int DP rows of the stripped length; stays inside whole-stage
+  *   codegen via a static call — no UDF boundary.
   */
 object EditDistance {
 
@@ -45,13 +47,14 @@ object EditDistance {
 
   /** Static kernel the codegen calls. */
   def within(ua: UTF8String, ub: UTF8String, d: Int): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    // code-point arrays — the builtin levenshtein's unit of edit
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     var lo = 0
     var aHi = a.length
     var bHi = b.length
-    while (lo < aHi && lo < bHi && a.charAt(lo) == b.charAt(lo)) lo += 1
-    while (aHi > lo && bHi > lo && a.charAt(aHi - 1) == b.charAt(bHi - 1)) {
+    while (lo < aHi && lo < bHi && a(lo) == b(lo)) lo += 1
+    while (aHi > lo && bHi > lo && a(aHi - 1) == b(bHi - 1)) {
       aHi -= 1; bHi -= 1
     }
     val n = aHi - lo
@@ -69,7 +72,7 @@ object EditDistance {
       val jLo = math.max(1, i - d)
       val jHi = math.min(m, i + d)
       if (jLo > 1) cur(jLo - 1) = inf else cur(0) = if (i <= d) i else inf
-      val ca = a.charAt(lo + i - 1)
+      val ca = a(lo + i - 1)
       var best = inf
       j = jLo
       while (j <= jHi) {
@@ -77,7 +80,7 @@ object EditDistance {
         val up = if (j < i + d) prev(j) else inf // prev row's band ends at i-1+d
         val left = cur(j - 1)
         var v =
-          if (ca == b.charAt(lo + j - 1)) diag
+          if (ca == b(lo + j - 1)) diag
           else math.min(diag, math.min(up, left)) + 1
         if (v > inf) v = inf
         cur(j) = v
@@ -101,6 +104,23 @@ case class LevWithin(first: Expression, second: Expression, third: Expression)
     Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lev_within"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "lev_within threshold must be a literal (foldable) int")
+    else third.eval() match {
+      case null =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "lev_within threshold must not be null")
+      case d: Integer if d < 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lev_within threshold must be >= 0, got $d")
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any, d: Any): Any =
     EditDistance.within(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],

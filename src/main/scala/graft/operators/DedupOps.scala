@@ -17,6 +17,12 @@ object DedupOps {
 
   import Norm.normalized
 
+  /** Exact integer `ceil`-style division on a long Column — Spark's
+    * `div` (IntegralDivide), so the prefix-length bounds are integer
+    * arithmetic end to end, never a double floor. */
+  private def idiv(a: org.apache.spark.sql.Column, b: Int): org.apache.spark.sql.Column =
+    call_function("div", a, lit(b.toLong))
+
   /** Distinct n-token shingles per doc: `(doc_id, sh)`. */
   def shingles(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): DataFrame =
@@ -460,9 +466,11 @@ object DedupOps {
       n: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
     val hs = hashedShingles(df, idCol, textCol, n).persist()
-    // required overlap on the smaller side: o = ceil(t·m) − 1
+    // required overlap on the smaller side: o = ceil(t·m) − 1, with
+    // ceil(a/b) = (a+b−1) div b — true integer division (the scaladoc's
+    // exact-arithmetic contract), not a double floor
     val cands = prefixFilteredCandidates(hs,
-      m => floor((m * tNum + tDen - 1) / lit(tDen)).cast("long") - 1)
+      m => idiv(m * tNum + tDen - 1, tDen) - 1)
     val sets = hs.groupBy("doc_id")
       .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
     cands
@@ -506,8 +514,7 @@ object DedupOps {
     // length filter is Jaccard-specific: jac ≥ t ⟹ t·max ≤ min (one
     // unit of slack for the rounded threshold boundary)
     val cands = prefixFilteredCandidates(hs,
-      m => floor((m * (2 * tNum) + tDen + tNum - 1) / lit(tDen + tNum))
-        .cast("long") - 1,
+      m => idiv(m * (2 * tNum) + tDen + tNum - 1, tDen + tNum) - 1,
       sizePred = Some((pm, fm) => pm * tDen >= fm * tNum - tDen))
     jaccardForHashed(cands, hs)
       .filter(col("jac") >= lit(tNum.toDouble / tDen))

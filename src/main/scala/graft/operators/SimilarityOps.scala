@@ -215,11 +215,24 @@ object SimilarityOps {
     *   memory: 10M×128-dim at nBlocks=64 is ~640 GB shuffled across the
     *   cluster and ~320 MB per cell — both flat per-executor. Block ids
     *   come from the vector id, so every unordered pair lands in exactly
-    *   one cell (no dedup pass). */
+    *   one cell (no dedup pass). COMPUTE is still the exact N²/2 dot
+    *   products — that is this regime's contract — so the `maxRows`
+    *   guard fails fast past the point where exactness stops being the
+    *   right trade: beyond it, route through [[rhpNearDups]] (LSH
+    *   banding) or [[knnIvf]]-style cells, whose candidate mass is
+    *   bucket-bounded instead of quadratic. */
   def cosineNearDupsBlocked(df: DataFrame, minCosine: Double, nBlocks: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = 10000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // fail BEFORE the quadratic pass, naming the sub-quadratic routes —
+    // the same loud-misuse contract as cosineNearDups' broadcast cap
+    val nIn = df.count()
+    require(nIn <= maxRows,
+      s"corpus has $nIn vectors — the blocked grid is the EXACT N²/2 " +
+        s"regime and is capped at $maxRows; use rhpNearDups (LSH) or " +
+        "knnIvf cells past it, or raise maxRows deliberately")
     val rows = normed(df, idCol, vecCol)
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
       .withColumn("k", explode(sequence(lit(0), lit(nBlocks - 1))))

@@ -1575,6 +1575,163 @@ object ExtendedQueries {
       .select(col("t.item").as("user_id"), col("t.count").as("n"))
   }
 
+  private val cmsConstsSql =
+    """consts(i, a, b) AS (VALUES
+      |    (0, 1000000007, 12345), (1, 998244353, 67891),
+      |    (2, 786433, 13579), (3, 104857601, 24680))""".stripMargin
+
+  /** The 4 CMS hash-row constants as a broadcastable frame — shared by
+    * the portable heavy-hitter keys' declarative probe stage. */
+  private def cmsConstsDf(s: org.apache.spark.sql.SparkSession) = {
+    val sp = s
+    import sp.implicits._
+    Seq((0, 1000000007L, 12345L), (1, 998244353L, 67891L),
+      (2, 786433L, 13579L), (3, 104857601L, 24680L)).toDF("i", "a", "b")
+  }
+
+  /** PORTABLE heavy hitters — the oracle-verified twin of
+    * [[aggTopkMergeable]]'s DataSketches `approx_top_k`: the classic
+    * sketch+candidates composition (Cormode & Muthukrishnan's CMS
+    * paper pairs the sketch with a heap of candidates; here the
+    * candidate set is DETERMINISTIC so the whole path is
+    * reproducible). Frequencies come from the MERGED per-event_type
+    * [[graft.functions.SketchAggregators.CountMin]] sketches — the
+    * mergeable half a 100 TB deployment rolls up across epochs without
+    * re-reading history — and the candidate set is the exact current-
+    * scan counts at threshold 75 (bounded output: the threshold prunes
+    * in the map-side combine). Top-5 by (CMS estimate DESC, user_id):
+    * every internal is exact integer arithmetic, so the DuckDB oracle
+    * rebuilds the counters, the candidate set, the estimates AND the
+    * ranking — `hash_match` where `agg_topk_mergeable` can only be
+    * rows-only. `est_n ≥ n_exact` by the CMS overcount property
+    * (`CmsVariantsSpec` pins it).
+    *
+    * @note scale: sketch state is depth·width longs per group however
+    *   many rows stream in; candidate generation is one map-side-
+    *   combined groupBy pruned by the threshold; the probe stage joins
+    *   |candidates|·depth rows against the depth·width merged table —
+    *   metadata-sized at any corpus scale. */
+  private val aggTopkPortable = Q(
+    "agg_topk_portable",
+    s"""WITH $cmsConstsSql,
+       |per AS (SELECT c.i,
+       |    ((CAST(c.a AS BIGINT) * (e.user_id % 2147483647) + c.b) % 2147483647) % 2048 AS cell,
+       |    count(*) AS n
+       |  FROM events e CROSS JOIN consts c GROUP BY 1, 2),
+       |cand AS (SELECT user_id, count(*) AS n_exact FROM events
+       |         GROUP BY 1 HAVING count(*) >= 75),
+       |pc AS (SELECT cand.user_id, cand.n_exact, c.i,
+       |    ((CAST(c.a AS BIGINT) * (cand.user_id % 2147483647) + c.b) % 2147483647) % 2048 AS cell
+       |  FROM cand CROSS JOIN consts c),
+       |est AS (SELECT user_id, n_exact,
+       |    CAST(min(COALESCE(per.n, 0)) AS BIGINT) AS est_n
+       |  FROM pc LEFT JOIN per ON per.i = pc.i AND per.cell = pc.cell
+       |  GROUP BY 1, 2),
+       |r AS (SELECT user_id, n_exact, est_n,
+       |    row_number() OVER (ORDER BY est_n DESC, user_id) AS rnk FROM est)
+       |SELECT user_id, n_exact, est_n, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY rnk""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val width = 2048
+    val M = SketchAggregators.CountMin.M
+    val cms = new SketchAggregators.CountMin(4, width)
+    val per = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(cms.toColumn.name("sk"))
+      .toDF("event_type", "sk")
+    val merged = per
+      .select(posexplode(col("sk")).as(Seq("pos", "cnt")))
+      .groupBy("pos").agg(sum("cnt").as("cnt"))
+    val cand = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= 75)
+    val pc = cand.crossJoin(broadcast(cmsConstsDf(s)))
+      .withColumn("pos", col("i") * width +
+        pmod(pmod(col("a") * pmod(col("user_id"), lit(M)) + col("b"), lit(M)),
+          lit(width.toLong)))
+    val est = pc.join(merged, "pos")
+      .groupBy("user_id", "n_exact").agg(min("cnt").as("est_n"))
+    val w = Window.orderBy(col("est_n").desc, col("user_id"))
+    est.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 5)
+      .select(col("user_id"), col("n_exact"), col("est_n"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  /** [[aggTopkPortable]] PER TUMBLING WINDOW — the hash-verified twin
+    * of the rows-only [[streamTopkWindow]]: per-day
+    * [[graft.functions.SketchAggregators.CountMin]] sketches (the
+    * window is the merge unit — partials combine associatively, so the
+    * identical shape runs as a watermarked streaming agg) composed
+    * with per-window deterministic candidates (exact in-window count
+    * ≥ 4) and ranked top-3 per window by (estimate DESC, user_id).
+    * Width 256 — narrow enough that the sketch, not the exact counts,
+    * is doing the answering at production cardinalities — and every
+    * step integer-exact, so the oracle rebuilds sketch, candidates,
+    * estimates and ranks per window.
+    *
+    * @note scale: state per window = one depth·width counter block +
+    *   the threshold-pruned candidate heap — the trade
+    *   [[streamTopkWindow]] makes, now engine-portable; the probe join
+    *   is |windows|·|candidates|·depth rows. */
+  private val streamTopkWindowPortable = Q(
+    "stream_topk_window_portable",
+    s"""WITH $cmsConstsSql,
+       |ev AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws_us, user_id
+       |       FROM events),
+       |per AS (SELECT e.ws_us, c.i,
+       |    ((CAST(c.a AS BIGINT) * (e.user_id % 2147483647) + c.b) % 2147483647) % 256 AS cell,
+       |    count(*) AS n
+       |  FROM ev e CROSS JOIN consts c GROUP BY 1, 2, 3),
+       |cand AS (SELECT ws_us, user_id, count(*) AS n_exact FROM ev
+       |         GROUP BY 1, 2 HAVING count(*) >= 4),
+       |pc AS (SELECT cand.ws_us, cand.user_id, cand.n_exact, c.i,
+       |    ((CAST(c.a AS BIGINT) * (cand.user_id % 2147483647) + c.b) % 2147483647) % 256 AS cell
+       |  FROM cand CROSS JOIN consts c),
+       |est AS (SELECT pc.ws_us, user_id, n_exact,
+       |    CAST(min(COALESCE(per.n, 0)) AS BIGINT) AS est_n
+       |  FROM pc LEFT JOIN per ON per.ws_us = pc.ws_us AND per.i = pc.i
+       |    AND per.cell = pc.cell
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT ws_us, user_id, n_exact, est_n,
+       |    row_number() OVER (PARTITION BY ws_us
+       |      ORDER BY est_n DESC, user_id) AS rnk FROM est)
+       |SELECT ws_us, user_id, n_exact, est_n, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 3 ORDER BY ws_us, rnk""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val width = 256
+    val M = SketchAggregators.CountMin.M
+    val cms = new SketchAggregators.CountMin(4, width)
+    val evd = Tables.events(s, d)
+      .select(expr("unix_micros(ts) - unix_micros(ts) % 86400000000").as("ws_us"),
+        col("user_id"))
+    val per = evd.as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(cms.toColumn.name("sk"))
+      .toDF("ws_us", "sk")
+    val cells = per.select(col("ws_us"), posexplode(col("sk")).as(Seq("pos", "cnt")))
+    val cand = evd.groupBy("ws_us", "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= 4)
+    val pc = cand.crossJoin(broadcast(cmsConstsDf(s)))
+      .withColumn("pos", col("i") * width +
+        pmod(pmod(col("a") * pmod(col("user_id"), lit(M)) + col("b"), lit(M)),
+          lit(width.toLong)))
+    val est = pc.join(cells, Seq("ws_us", "pos"))
+      .groupBy("ws_us", "user_id", "n_exact").agg(min("cnt").as("est_n"))
+    val w = Window.partitionBy("ws_us").orderBy(col("est_n").desc, col("user_id"))
+    est.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("ws_us"), col("user_id"), col("n_exact"), col("est_n"), col("rnk"))
+      .orderBy("ws_us", "rnk")
+  }
+
   /** Boolean aggregates (ALL/ANY predicates per group). */
   private val aggBool = Q(
     "agg_bool",

@@ -60,10 +60,19 @@ case class SessCapRow(user_id: Long, event_id: Long, session_id: Int)
   * how many prefixes have already met their first C (`closedUpTo`) —
   * O(maxPrefix) per anchor, anchors bounded by A-events inside the
   * `within` horizon (an anchor dies the moment any later event sits
-  * past its deadline). */
+  * past its deadline, and — via the event-time timer — when the
+  * watermark passes its deadline on a key that has gone quiet, so
+  * idle keys hold no state past their last anchor's horizon). */
 case class RelaxedAnchor(aId: Long, aTsUs: Long, bIds: Seq[Long],
     closedUpTo: Int)
 case class RelaxedState(anchors: List[RelaxedAnchor])
+/** Input rows of the relaxed automata: [[KleeneEvent]] plus the raw
+  * watermark-tagged timestamp (the event-time-timeout checker needs
+  * the watermarked column to survive into the fMGWS child). */
+case class RelaxedEvent(k: Long, ts_us: Long, event_id: Long, cls: String,
+    tsw: java.sql.Timestamp)
+case class RelaxedMEvent(k: Long, ts_us: Long, event_id: Long, cls: String,
+    v6: Long, tsw: java.sql.Timestamp)
 /** [[StreamOps.cepKleeneRelaxedMeasuresStream]] rows: the relaxed
   * anchor plus cumulative micro-unit prefix sums parallel to `bIds`
   * (`bSum6s(L−1)` IS prefix L's exact decimal(18,6) sum ×10⁶). */
@@ -592,19 +601,36 @@ object StreamOps {
     *   for this pattern; one shuffle on the key. */
   def cepKleeneRelaxedStream(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, predA: Column, predB: Column, predC: Column,
-      withinUs: Long, maxPrefix: Int): Dataset[KleeneMatch] = {
+      withinUs: Long, maxPrefix: Int,
+      delay: String = "10 minutes"): Dataset[KleeneMatch] = {
     require(maxPrefix >= 1, "maxPrefix must be >= 1")
     val sp = ev.sparkSession
     import sp.implicits._
-    ev.withColumn("__cls",
+    ev.withWatermark(tsCol, delay)
+      .withColumn("__cls",
         when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
       .filter(col("__cls").isNotNull)
       .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
-        col(idCol).as("event_id"), col("__cls").as("cls"))
-      .as[KleeneEvent]
+        col(idCol).as("event_id"), col("__cls").as("cls"),
+        col(tsCol).as("tsw"))
+      .as[RelaxedEvent]
       .groupByKey(_.k)
       .flatMapGroupsWithState[RelaxedState, KleeneMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          // quiet key: the watermark passed a deadline — expire every
+          // anchor no in-horizon event can still close (an event this
+          // late would be watermark-dropped before reaching us)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val live = state.getOption.map(_.anchors).getOrElse(Nil)
+            .filter(a => wmUs <= a.aTsUs + withinUs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(RelaxedState(live))
+            armRelaxedTimer(state, live.map(a => a.aTsUs + withinUs))
+          }
+          Iterator.empty
+        } else {
         var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
         val out = scala.collection.mutable.ArrayBuffer.empty[KleeneMatch]
         it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
@@ -633,9 +659,22 @@ object StreamOps {
               }
           }
         }
-        state.update(RelaxedState(anchors))
+        if (anchors.isEmpty) state.remove()
+        else {
+          state.update(RelaxedState(anchors))
+          armRelaxedTimer(state, anchors.map(a => a.aTsUs + withinUs))
+        }
         out.iterator
+        }
       }
+  }
+
+  /** Arm the idle-key expiry timer at the EARLIEST live deadline (so
+    * each firing prunes what it can and re-arms for the next), clamped
+    * above the current watermark as the API requires. */
+  private def armRelaxedTimer(state: GroupState[_], deadlinesUs: Seq[Long]): Unit = {
+    val nextMs = deadlinesUs.min / 1000L + 1L
+    state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
   }
 
   /** [[cepKleeneRelaxedStream]] carrying MEASURES: each anchor records
@@ -647,23 +686,36 @@ object StreamOps {
   def cepKleeneRelaxedMeasuresStream(ev: DataFrame, keyCol: String,
       tsCol: String, idCol: String, predA: Column, predB: Column,
       predC: Column, withinUs: Long, maxPrefix: Int,
-      valueCol: Column): Dataset[RelaxedMMatch] = {
+      valueCol: Column, delay: String = "10 minutes"): Dataset[RelaxedMMatch] = {
     require(maxPrefix >= 1, "maxPrefix must be >= 1")
     val sp = ev.sparkSession
     import sp.implicits._
     def r4(d: Double): Double =
       java.math.BigDecimal.valueOf(d)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
-    ev.withColumn("__cls",
+    ev.withWatermark(tsCol, delay)
+      .withColumn("__cls",
         when(predA, lit("A")).when(predB, lit("B")).when(predC, lit("C")))
       .filter(col("__cls").isNotNull)
       .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
         col(idCol).as("event_id"), col("__cls").as("cls"),
-        (valueCol.cast("decimal(18,6)") * lit(1000000L)).cast("long").as("v6"))
-      .as[KleeneMEvent]
+        (valueCol.cast("decimal(18,6)") * lit(1000000L)).cast("long").as("v6"),
+        col(tsCol).as("tsw"))
+      .as[RelaxedMEvent]
       .groupByKey(_.k)
       .flatMapGroupsWithState[RelaxedMState, RelaxedMMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (key, it, state) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val live = state.getOption.map(_.anchors).getOrElse(Nil)
+            .filter(a => wmUs <= a.aTsUs + withinUs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(RelaxedMState(live))
+            armRelaxedTimer(state, live.map(a => a.aTsUs + withinUs))
+          }
+          Iterator.empty
+        } else {
         var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
         val out = scala.collection.mutable.ArrayBuffer.empty[RelaxedMMatch]
         it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
@@ -697,8 +749,13 @@ object StreamOps {
               }
           }
         }
-        state.update(RelaxedMState(anchors))
+        if (anchors.isEmpty) state.remove()
+        else {
+          state.update(RelaxedMState(anchors))
+          armRelaxedTimer(state, anchors.map(a => a.aTsUs + withinUs))
+        }
         out.iterator
+        }
       }
   }
 

@@ -76,6 +76,41 @@ class GraftApiSpec extends SparkSpec {
     assert(viaApi == viaKey && viaApi.nonEmpty)
   }
 
+  test("sketch facade exposes the portable UDAF family") {
+    val sp = spark
+    import sp.implicits._
+    val xs = Tables.orders(spark, sf).select(col("o_custkey")).as[Long]
+    val n = xs.count()
+    val cms = new Graft.sketch.CountMin(4, 512)
+    val cells = xs.select(cms.toColumn.name("sk")).head()
+    assert(cells.size == 4 * 512)
+    // every sketch row receives one increment per input row
+    assert(cells.slice(0, 512).sum == n)
+    val bk = new Graft.sketch.BottomK(64)
+    val sk = xs.select(bk.toColumn.name("sk")).head()
+    assert(sk.size == 64 && sk == sk.sorted)
+  }
+
+  test("complete joins and the det ANN tier are reachable via the facade") {
+    val docs = Tables.documents(spark, sf)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")
+    val viaApi = Graft.dedup.jaccardPairsComplete(docs, tNum = 4, tDen = 5,
+        idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaKey = graft.SparkEntry.queries("llm_dedup_ngram_complete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApi == viaKey && viaApi.nonEmpty)
+
+    val emb = Tables.embeddings(spark, sf)
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "vec")
+    val viaApi2 = Graft.similarity.knnIvfDet(emb, isQuery = col("vec_id") < 5,
+        k = 10, idCol = "id", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val viaKey2 = graft.SparkEntry.queries("llm_knn_ivf_det")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaApi2 == viaKey2 && viaApi2.size == 50)
+  }
+
   test("bpe training and domain mix accept custom column names") {
     val docs = Tables.documents(spark, sf)
       .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")

@@ -147,6 +147,17 @@ class SimilaritySpec extends SparkSpec {
       s"the guard must name the scale-safe route, got: ${e.getMessage}")
   }
 
+  test("cosineNearDupsBlocked fails loudly past its quadratic-regime cap") {
+    import graft.operators.SimilarityOps
+    import graft.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.cosineNearDupsBlocked(emb, minCosine = 0.45, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("rhpNearDups") && e.getMessage.contains("knnIvf"),
+      s"the guard must name the sub-quadratic routes, got: ${e.getMessage}")
+  }
+
   test("triangular block-grid all-pairs equals the broadcast kernel") {
     import graft.operators.SimilarityOps
     import graft.Tables
