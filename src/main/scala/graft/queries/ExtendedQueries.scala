@@ -1813,7 +1813,8 @@ object ExtendedQueries {
     windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
-    aggThetaSetops, aggTopkMergeable, aggThetaRetention, streamTopkWindow,
+    aggThetaSetops, aggTopkMergeable, aggTopkPortable, aggThetaRetention,
+    streamTopkWindow, streamTopkWindowPortable,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
     aggKmvSetops, aggHistMergeable, aggKmvRetention, aggSketchBundle)

@@ -346,13 +346,79 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** One BPE training round as oracle CTEs over vocab table `v{k}`
+    * (`w` = the raw word as the window key, `cnt`, `syms` list):
+    * weighted adjacent-pair counts → the `(support DESC, l, r)` argmax
+    * → the leftmost-first non-overlapping rewrite. The rewrite's fold
+    * ("merge unless the previous position already merged") is
+    * expressed closed-form: a position merges iff it matches (l, r) in
+    * the ORIGINAL array and an even number of consecutive matches
+    * immediately precede it (a merged pair's new symbol `l||r` can
+    * never equal `l`, so a merge only ever blocks its immediate
+    * successor — the gaps-and-islands parity argument `BpeTrainSpec`'s
+    * reference implementation also relies on). `MATERIALIZED` pins
+    * each round to evaluate once — the chain is otherwise inlined
+    * exponentially. */
+  private def bpeOracleRound(k: Int): String =
+    s"""p$k AS MATERIALIZED (SELECT l, r, sum(cnt) AS support FROM (
+       |  SELECT v.cnt, v.syms[t.i] AS l, v.syms[t.i+1] AS r
+       |  FROM v$k v, unnest(range(1, len(v.syms))) AS t(i)) GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (SELECT l, r, support FROM p$k WHERE support >= 2
+       |  ORDER BY support DESC, l, r LIMIT 1),
+       |e$k AS MATERIALIZED (SELECT v.w, v.cnt, t.i, v.syms[t.i] AS s,
+       |    CASE WHEN t.i < len(v.syms) AND v.syms[t.i] = b.l
+       |      AND v.syms[t.i+1] = b.r THEN 1 ELSE 0 END AS mt
+       |  FROM v$k v CROSS JOIN b$k b,
+       |       unnest(range(1, len(v.syms)+1)) AS t(i)),
+       |g$k AS (SELECT *, CASE WHEN mt = 1 THEN
+       |    i - row_number() OVER (PARTITION BY w, mt ORDER BY i) END AS isl
+       |  FROM e$k),
+       |h$k AS (SELECT *, CASE WHEN mt = 1 THEN
+       |    min(i) OVER (PARTITION BY w, isl) END AS rs FROM g$k),
+       |f$k AS (SELECT w, cnt, i, s,
+       |    CASE WHEN mt = 1 AND (i - rs) % 2 = 0 THEN 2
+       |         WHEN lag(CASE WHEN mt = 1 AND (i - rs) % 2 = 0 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY w ORDER BY i) = 1 THEN 0
+       |         ELSE 1 END AS kind
+       |  FROM h$k),
+       |v${k + 1} AS MATERIALIZED (SELECT w, cnt,
+       |    list(CASE WHEN kind = 2 THEN (SELECT l || r FROM b$k) ELSE s END
+       |         ORDER BY i) AS syms
+       |  FROM f$k WHERE kind != 0 GROUP BY 1, 2)""".stripMargin
+
+  /** The full chained-CTE BPE oracle: the distinct-word vocab, then
+    * `n` unrolled training rounds (the [[graft.queries
+    * .SimilarityQueries]] det-ANN pattern — the oracle replays the
+    * whole iterative computation, it does not trust the engine), then
+    * the merge table off the per-round argmax rows. A round whose best
+    * support falls under `minSupport=2` yields an empty `b{k}`, which
+    * empties every later round — exactly the trainer's early stop. */
+  private def bpeOracleSql(n: Int): String =
+    s"""WITH w0 AS (SELECT w, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |v1 AS MATERIALIZED (SELECT w, cnt,
+       |  list_append(list_transform(range(1, length(w)+1),
+       |    i -> substr(w, CAST(i AS INT), 1)), '</w>') AS syms FROM w0),
+       |""".stripMargin +
+      (1 to n).map(bpeOracleRound).mkString(",\n") +
+      "\nSELECT * FROM (" +
+      (1 to n).map(k =>
+        s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged,
+           |CAST(support AS BIGINT) AS support FROM b$k""".stripMargin)
+        .mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+
   /** BPE TRAINING on the corpus ([[TextOps.bpeTrain]]): the learned
-    * merge table. Rows-only by design — the training loop is an
-    * iterative argmax (inexpressible in one SQL statement); the real
-    * gate is `BpeTrainSpec`, which pins the distributed trainer equal
-    * to an independent in-memory reference implementation of the
-    * classic algorithm, plus determinism across reruns. */
-  private val bpeTrain = Q.noOracle("llm_bpe_train") { (s, d) =>
+    * merge table — now under the FULL hash oracle: the DuckDB side
+    * unrolls all 8 training rounds as chained materialized CTEs
+    * ([[bpeOracleSql]]), rebuilding pair counts, the deterministic
+    * `(support DESC, left, right)` argmax and the leftmost-first
+    * non-overlapping rewrite each round, so the whole iterative
+    * training loop is cross-engine verified (the last deterministic
+    * rows-only key of the library). `BpeTrainSpec` additionally pins
+    * the trainer to an independent in-memory reference. */
+  private val bpeTrain = Q("llm_bpe_train", bpeOracleSql(8)) { (s, d) =>
     TextOps.bpeTrain(Tables.documents(s, d), nMerges = 8).orderBy("rank")
   }
 

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-10 additions: the portable heavy-hitter keys
+  * (CMS + deterministic candidates) and their relationship to the
+  * exact counts.
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("agg_topk_portable: CMS estimates dominate exact counts and rank-1 is the true argmax") {
+    val rows = graft.SparkEntry.queries("agg_topk_portable")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("n_exact"),
+        s"CMS must overcount: $r")
+    }
+    // the fixture's true heaviest user must surface at rank 1 (CMS
+    // overcount can only promote, and ties break deterministically)
+    val exactTop = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .head()
+    val rank1 = rows.find(_.getAs[Int]("rnk") == 1).get
+    assert(rank1.getAs[Long]("n_exact") >= exactTop.getAs[Long]("n"),
+      "rank-1 candidate must carry at least the true max frequency")
+  }
+
+  test("stream_topk_window_portable: per-window estimates dominate and ranks are dense per window") {
+    val rows = graft.SparkEntry.queries("stream_topk_window_portable")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("n_exact"))
+    }
+    rows.groupBy(_.getAs[Long]("ws_us")).foreach { case (_, ws) =>
+      assert(ws.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to ws.length),
+        "ranks must be dense 1..k per window")
+    }
+  }
+}
