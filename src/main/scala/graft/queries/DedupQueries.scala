@@ -506,8 +506,32 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** The COMPLETE Jaccard contract on the REAL streaming path
+    * ([[graft.streaming.StreamOps.jaccardCompleteStream]]): documents
+    * replayed through 5 real micro-batches build the TTL'd keyed-state
+    * prefix index incrementally, and the union of emitted pairs must
+    * hash-match the SAME independent brute-force oracle as the batch
+    * [[dedupNgramComplete]] — closing the loop the batch complete join
+    * opened: LSH recall was certified against the complete batch form,
+    * and the complete form itself now runs incrementally. The df
+    * snapshot passed in is the batch corpus's own shingle-df table
+    * (the epoch-refresh production pattern), so the streaming index
+    * uses the identical rarity order; the one-year ttl exceeds the
+    * replay's synthetic ingest span, so no pair crosses the TTL
+    * horizon and replay == batch exactly. */
+  private val streamDedupCompleteReplay = Q(
+    "stream_dedup_complete_replay", dedupNgramComplete.oracle.get) { (s, d) =>
+    val dfStats = DedupOps.hashedShingles(Tables.documents(s, d))
+      .groupBy("h").agg(count(lit(1)).as("gdf"))
+    val out = graft.streaming.BoundedReplay.replayDocuments(s, d)(docs =>
+      graft.streaming.StreamOps.jaccardCompleteStream(docs, tNum = 4, tDen = 5,
+        tsCol = Some("ts"), ttl = "365 days", dfStats = Some(dfStats)).toDF())
+    out.orderBy("ai", "bi")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupNgramComplete,
     dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
-    editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment)
+    editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment,
+    streamDedupCompleteReplay)
 }

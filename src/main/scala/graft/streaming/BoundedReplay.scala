@@ -103,4 +103,62 @@ object BoundedReplay {
     spark.read.schema(sinkSchema).parquet(out)
       .unionByName(flush(ckpt).toDF())
   }
+
+  /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
+    * replay the streaming dedup family runs under: documents are
+    * stamped with a deterministic synthetic ingest time (T0 +
+    * doc_id seconds — the fixture has no arrival column; production
+    * replays use the store's real ingest stamp), range-split on it
+    * into `chunks` id-ordered micro-batches and fed through a REAL
+    * Structured Streaming query. No flush face: the dedup operators
+    * emit a pair the moment its second document arrives, so a
+    * complete replay leaves no closable state behind.
+    *
+    * @note scale: same one-pass staging + rename-per-trigger pattern
+    *   as [[replayEvents]]; the per-batch work is the operator's own. */
+  def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5)(
+      op: DataFrame => Dataset[_]): DataFrame = {
+    val root = Files.createTempDirectory("graft-replay-docs")
+    val src = Files.createDirectories(root.resolve("src")).toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    val docs = Tables.documents(ss, sfDir).withColumn("ts",
+      timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L)))
+    val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
+    val bucket = least(lit(chunks - 1),
+      floor((col("doc_id") - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
+    val stage = root.resolve("stage")
+    docs.withColumn("ck", bucket).repartition(col("ck"))
+      .write.partitionBy("ck").parquet(stage.toString)
+
+    val streamed = op(ss.readStream.schema(docs.schema).parquet(src))
+    val sinkSchema = streamed.schema
+    val q = streamed.coalesce(1).writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      (0 until chunks).foreach { i =>
+        val dir = stage.resolve(s"ck=$i")
+        if (Files.isDirectory(dir)) {
+          val listing = Files.list(dir)
+          try {
+            val files = listing.iterator()
+            var j = 0
+            while (files.hasNext) {
+              val f = files.next()
+              if (f.getFileName.toString.endsWith(".parquet")) {
+                Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
+                j += 1
+              }
+            }
+          } finally listing.close()
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.read.schema(sinkSchema).parquet(out)
+  }
 }

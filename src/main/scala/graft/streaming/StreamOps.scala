@@ -15,6 +15,16 @@ case class WinTopState(counts: Map[Long, Long])
 case class WinTopRow(ws_us: Long, user_id: Long, n: Long, rnk: Int)
 case class BucketState(docs: List[(Long, Seq[Long])])
 case class CandPair(ai: Long, bi: Long, est_jac: Double, band: Int)
+/** [[StreamOps.jaccardCompleteStream]] rows: one posting per
+  * (prefix-hash key, document) — the document's canonical-order hash
+  * array travels with the posting so in-state verification needs no
+  * second lookup. `p` is the document's prefix length (its first `p`
+  * ranked hashes are the indexed prefix). */
+case class PrefixRow(h: Long, doc_id: Long, ranked: Seq[Long], p: Int,
+    tsUs: Long, tsw: java.sql.Timestamp)
+case class PrefixPosting(id: Long, tsUs: Long, ranked: Seq[Long], p: Int)
+case class PrefixIndexState(docs: List[PrefixPosting])
+case class CompletePair(ai: Long, bi: Long, jac: Double)
 /** CUMULATE append-mode state: per-step exact partials (value ×10⁶ as
   * long — the [[graft.Det]] DECIMAL(18,6) grid) + high-water mark of
   * already-emitted sub-window ends. */
@@ -419,6 +429,170 @@ object StreamOps {
           if (tsCol.isDefined && maxTsMs != Long.MinValue)
             state.setTimeoutTimestamp(math.max(maxTsMs + ttlMs,
               state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+        }
+      }
+  }
+
+  /** Streaming COMPLETE Jaccard-threshold dedup — the TTL'd keyed-state
+    * twin of [[graft.operators.DedupOps.jaccardPairsComplete]]: as
+    * documents arrive, each probes (then joins) a prefix-filtered
+    * inverted index held as keyed state, and every pair with
+    * `round(jac, 6) ≥ tNum/tDen` whose two documents arrived within
+    * `ttl` of each other is emitted EXACTLY ONCE, verified exactly,
+    * the moment its second document arrives. No LSH probability — this
+    * is the deterministic-completeness contract, incremental.
+    *
+    * Index shape (AllPairs/PPJoin prefix filtering, both sides on
+    * prefixes): order the shingle-hash universe canonically — by
+    * `(snapshot df ASC, hash ASC)` when a `dfStats` snapshot is given
+    * (the batch form's rarity order: production refreshes it from the
+    * doc store each epoch, like [[nearDupVerified]]'s corpus
+    * re-resolve), else by hash alone — and give each document of `m`
+    * distinct shingles the prefix of its first `m − ⌈t·m⌉ + 2`
+    * canonical hashes. `jac ≥ t` (even after `round(·,6)`) forces the
+    * intersection `c ≥ ⌈t·m⌉ − 1` ON EACH side's own size (since
+    * `jac ≥ t ⟹ min ≥ t·max`), and two documents whose prefixes were
+    * disjoint would put every common hash past one side's prefix —
+    * at most `⌈t·m⌉ − 2 < c` of them — so qualifying pairs ALWAYS
+    * share a prefix hash: state keyed by prefix hashes alone is a
+    * complete index (the order only steers candidate mass toward rare
+    * shingles; completeness holds for ANY fixed total order, so a
+    * stale snapshot can never cost a pair). Each posting carries the
+    * document's full canonical hash array, so the exact-Jaccard verify
+    * runs in-state with no second join; a pair sharing several prefix
+    * hashes is emitted only at the canonically FIRST shared one.
+    *
+    * State lifetime mirrors [[nearDupCandidates]]: postings older than
+    * `ttl` relative to the arriving document are dropped at probe time
+    * (deterministic — eviction depends only on the two event times, so
+    * a document expires from every key consistently), and an
+    * event-time timer `ttl` past a key's latest arrival clears idle
+    * keys outright once the watermark passes it. With `tsCol = None`
+    * (bounded replays, or the one-shot batch face) no watermark is
+    * attached and postings live for the query's lifetime — a complete
+    * replay then equals the batch operator exactly, which is what puts
+    * this code path under `llm_dedup_ngram_complete`'s independent
+    * brute-force oracle as `stream_dedup_complete_replay`.
+    *
+    * @note scale: state = Σ over in-TTL documents of
+    *   `p_i · (m_i + p_i)` longs (each of the `p_i ≈ (1−t)·m_i + 2`
+    *   prefix keys holds the `m_i`-long hash array) — the price of
+    *   in-state verification; at t = 4/5 that is ~20% of the corpus
+    *   shingle mass replicated ~20%·m times per doc, bounded by the
+    *   TTL window, NOT corpus lifetime. Shuffle is one exchange on the
+    *   prefix hash, Σ p_i·m_i longs per batch. Candidate work per pair
+    *   is O(m) — the same verify cost as the batch join — and hot
+    *   boilerplate shingles enter the index only for documents whose
+    *   prefix reaches them (mostly-boilerplate docs: true-positive
+    *   mass), the batch form's own argument. */
+  def jaccardCompleteStream(docs: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      n: Int = 3, tsCol: Option[String] = None, ttl: String = "1 hour",
+      delay: String = "10 minutes", dfStats: Option[DataFrame] = None,
+      maxDfSnapshot: Long = 5000000L): Dataset[CompletePair] = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val ttlUs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      require(iv.months == 0, s"ttl must be a fixed duration, got '$ttl'")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    // canonical order: (df snapshot, hash) — collected ONCE, broadcast;
+    // the snapshot is vocabulary metadata (cap it loudly), not corpus data
+    val rankOf: Long => (Long, Long) = dfStats match {
+      case Some(st) =>
+        val cnt = st.count()
+        require(cnt <= maxDfSnapshot,
+          s"df snapshot has $cnt shingles (> $maxDfSnapshot) — cap it to " +
+            "the hot tail (completeness never depends on the order; rare " +
+            "shingles default to df=1) or raise maxDfSnapshot deliberately")
+        val m = st.select(col("h").cast("long"), col("gdf").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val bc = sp.sparkContext.broadcast(m)
+        h => (bc.value.getOrElse(h, 1L), h)
+      case None => h => (1L, h)
+    }
+    val base = tsCol.fold(docs.withColumn("__ts", lit(null).cast("timestamp")))(
+      c => docs.withColumn("__ts", col(c)))
+    val exploded = base
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("__ts"))
+      .filter(size(col("t")) >= n)
+      .withColumn("hs", transform(
+        array_distinct(expr(
+          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")),
+        s => graft.functions.Hashes.polyHash(s)))
+      .select(col("doc_id"), col("hs"), col("__ts"))
+      .as[(Long, Seq[Long], java.sql.Timestamp)]
+      .flatMap { case (id, hs, ts) =>
+        val ranked = hs.sortBy(rankOf)
+        val m = ranked.size
+        // o = ceil(t·m) − 1 (the −1 absorbs the round(·,6) boundary for
+        // any doc under 2M shingles), prefix p = m − o + 1
+        val o = (tNum.toLong * m + tDen - 1) / tDen - 1
+        val p = math.max(1L, math.min(m.toLong, m - o + 1)).toInt
+        val tsUs = if (ts == null) 0L else ts.getTime * 1000L
+        ranked.take(p).map(h => PrefixRow(h, id, ranked, p, tsUs, ts))
+      }
+    // the watermark must tag a column of the fMGWS child — the typed
+    // flatMap above rebuilds the row, so attach it to tsw HERE
+    val rows = if (tsCol.isDefined) exploded.withWatermark("tsw", delay)
+      else exploded
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val tMin = tNum.toDouble / tDen
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    rows.groupByKey(_.h)
+      .flatMapGroupsWithState[PrefixIndexState, CompletePair](
+        OutputMode.Append, timeoutConf) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          // ttl past the key's last arrival: clear the idle postings
+          state.remove()
+          Iterator.empty
+        } else {
+          var posts = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CompletePair]
+          var maxTsMs = Long.MinValue
+          it.toSeq.sortBy(r => (r.tsUs, r.doc_id)).foreach { r =>
+            if (r.tsw != null) maxTsMs = math.max(maxTsMs, r.tsw.getTime)
+            // deterministic per-posting expiry: age is a function of
+            // the two event times only, so a document leaves EVERY
+            // key's postings at the same arrival horizon
+            if (tsCol.isDefined) posts = posts.filter(p => r.tsUs - p.tsUs <= ttlUs)
+            if (!posts.exists(_.id == r.doc_id)) {
+              val dPrefix = r.ranked.take(r.p)
+              val dSet = r.ranked.toSet
+              posts.foreach { pe =>
+                val pPrefSet = pe.ranked.take(pe.p).toSet
+                // canonically-first shared prefix hash — the ONE key
+                // this pair emits at (both prefixes are canonically
+                // sorted, so the first hit while walking the newer
+                // doc's prefix is the intersection's minimum)
+                val firstShared = dPrefix.find(pPrefSet.contains)
+                if (firstShared.contains(key)) {
+                  val pSet = pe.ranked.toSet
+                  val c = dSet.count(pSet.contains)
+                  if (c > 0) {
+                    val jac = r6(c.toDouble / (dSet.size + pSet.size - c))
+                    if (jac >= tMin)
+                      out += CompletePair(math.min(pe.id, r.doc_id),
+                        math.max(pe.id, r.doc_id), jac)
+                  }
+                }
+              }
+              posts = PrefixPosting(r.doc_id, r.tsUs, r.ranked, r.p) :: posts
+            }
+          }
+          if (posts.isEmpty) state.remove()
+          else {
+            state.update(PrefixIndexState(posts))
+            if (tsCol.isDefined && maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
           out.iterator
         }
       }
