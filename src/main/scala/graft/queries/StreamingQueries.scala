@@ -679,6 +679,24 @@ object StreamingQueries {
       .orderBy("user_id", "a_id", "n_b")
   }
 
+  /** The relaxed shape through the MATCH_RECOGNIZE STRING face — the
+    * `A B+? C` marker ([[graft.streaming.MatchRecognize]]) compiling
+    * onto [[graft.streaming.CepOps.cepKleeneRelaxed]], under the SAME
+    * oracle as [[cepKleeneRelaxed]]: proves the SQL-face compilation
+    * of the relaxed-contiguity shape end to end, not only by parity
+    * spec. */
+  private val cepMrRelaxed = Q(
+    "cep_mr_relaxed", cepKleeneRelaxed.oracle.get) { (s, d) =>
+    graft.streaming.MatchRecognize(Tables.events(s, d),
+      "user_id", "ts", "event_id",
+      """PATTERN (A B+? C)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+      .orderBy("user_id", "a_id", "n_b")
+  }
+
   /** MEASURES over the relaxed prefixes
     * ([[graft.streaming.CepOps.cepKleeneRelaxedMeasures]]): per emitted
     * prefix, exact decimal SUM/AVG of the click values riding the
@@ -1016,7 +1034,8 @@ object StreamingQueries {
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
-    cepKleeneUntil, cepKleeneRelaxed, cepMeasuresRelaxed, streamKleeneRelaxedReplay,
+    cepKleeneUntil, cepKleeneRelaxed, cepMrRelaxed, cepMeasuresRelaxed,
+    streamKleeneRelaxedReplay,
     streamMeasuresRelaxedReplay,
     streamKleeneReplay, streamOverReplay, cepMeasures,
     streamMeasuresReplay, streamSessioncapReplay, streamGapfillReplay,

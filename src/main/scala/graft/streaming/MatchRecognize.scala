@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   *  - `A B+ C`        — exactly-three with a middle Kleene plus →
   *                      [[CepOps.cepKleene]] (greedy consecutive,
   *                      skip past last row)
+  *  - `A B+? C`       — RELAXED-contiguity Kleene →
+  *                      [[CepOps.cepKleeneRelaxed]]: Flink's default
+  *                      `followedBy … oneOrMore` semantics (loop events
+  *                      need not be adjacent; every prefix 1..maxPrefix
+  *                      of each anchor's loop closes at its first
+  *                      in-horizon terminator). The `+?` marker is
+  *                      reluctant-quantifier SYNTAX repurposed — Flink
+  *                      SQL's own `B+?` (reluctant) differs; the
+  *                      divergence and the `relaxedPrefix` bound (the
+  *                      same cap as the Pattern DSL's `.relaxed(k)`)
+  *                      are this face's documented contract
   *  - `A{n}`          — single quantified variable →
   *                      [[CepOps.cepTimes]] (strict contiguity)
   *
@@ -62,7 +73,7 @@ object MatchRecognize {
     raw"(?i)(COUNT|SUM|AVG|FIRST|LAST)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)".r
   private val DefineRe = raw"(?is)DEFINE\s+(.*?)\s*(?:WITHIN\s+.*)?$$".r.unanchored
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
-  private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)([+?]|\{(\d+)\})?".r
+  private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+)\})?".r
   private val IntervalRe = raw"(?i)(?:INTERVAL\s+)?'?(\d+)'?\s+([A-Za-z]+)".r
   private val SkipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+(?:ROW|EVENT))".r.unanchored
@@ -70,7 +81,7 @@ object MatchRecognize {
   private case class Tok(name: String, quant: String)
 
   def apply(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
-      clause: String): DataFrame = {
+      clause: String, relaxedPrefix: Int = 3): DataFrame = {
     // AFTER MATCH SKIP … sits before PATTERN in standard SQL; strip it
     // out of the clause before the other extractors see it
     val skip = SkipRe.findFirstMatchIn(clause)
@@ -178,6 +189,31 @@ object MatchRecognize {
           }
           base.select(Seq(col(keyCol)) ++ renamed :+ col("span_us"): _*)
         }
+      case Seq(Tok(a, ""), Tok(b, "+?"), Tok(c, "")) =>
+        measures(rest, b, idCol) match {
+          case Nil =>
+            CepOps.cepKleeneRelaxed(ev, keyCol, tsCol, idCol,
+              binds(a), binds(b), binds(c), normWithin, relaxedPrefix)
+          case ms =>
+            val valueCols = ms.collect {
+              case ("SUM", c0, _) => c0
+              case ("AVG", c0, _) => c0
+            }.distinct
+            require(valueCols.size <= 1,
+              s"MEASURES SUM/AVG must agree on one column, got $valueCols")
+            val base = CepOps.cepKleeneRelaxedMeasures(ev, keyCol, tsCol,
+              idCol, binds(a), binds(b), binds(c), normWithin, relaxedPrefix,
+              valueCol = expr(valueCols.headOption.getOrElse(idCol)))
+            val renamed = ms.map {
+              case ("COUNT", _, as) => col("n_b").as(as)
+              case ("SUM", _, as) => col("sum_b").as(as)
+              case ("AVG", _, as) => col("avg_b").as(as)
+              case ("FIRST", _, as) => col("first_b_id").as(as)
+              case ("LAST", _, as) => col("last_b_id").as(as)
+            }
+            base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
+              col("span_us")) ++ renamed: _*)
+        }
       case Seq(Tok(a, ""), Tok(b, "+"), Tok(c, "")) =>
         measures(rest, b, idCol) match {
           case Nil =>
@@ -220,7 +256,7 @@ object MatchRecognize {
           keyCol, spanCol = Some("total_us"))
       case _ =>
         sys.error(s"unsupported PATTERN shape '$pat' — supported: " +
-          "plain/optional sequence, A B+ C, A{n}")
+          "plain/optional sequence, A B+ C, A B+? C (relaxed), A{n}")
     }
   }
 

@@ -91,6 +91,50 @@ class MatchRecognizeSpec extends SparkSpec {
     }
   }
 
+  test("PATTERN (A B+? C) compiles to cepKleeneRelaxed — batch and streaming parity") {
+    val clause =
+      """PATTERN (A B+? C)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id", clause)
+    val direct = CepOps.cepKleeneRelaxed(ev, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase", "360 MINUTE", maxPrefix = 3)
+    assert(rows(mr) == rows(direct) && mr.count() > 0)
+    // the same clause's rows ARE what the streaming automaton replays to
+    import spark.implicits._
+    val streamed = BoundedReplay.replayEvents(spark, sf)(s =>
+      StreamOps.cepKleeneRelaxedStream(s, "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase",
+        withinUs = 360L * 60L * 1000000L, maxPrefix = 3))(
+      _ => spark.emptyDataset[KleeneMatch])
+    assert(rows(streamed) == rows(mr))
+  }
+
+  test("MEASURES on PATTERN (A B+? C) compiles to cepKleeneRelaxedMeasures") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """MEASURES COUNT(B.*) AS n, SUM(B.value) AS sv, AVG(B.value) AS av,
+        |         FIRST(B.event_id) AS f, LAST(B.event_id) AS l
+        |PATTERN (A B+? C)
+        |DEFINE A AS event_type = 'view',
+        |       B AS event_type = 'click',
+        |       C AS event_type = 'purchase'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+    assert(mr.columns.toSeq ==
+      Seq("user_id", "a_id", "c_id", "span_us", "n", "sv", "av", "f", "l"))
+    val direct = CepOps.cepKleeneRelaxedMeasures(ev, "user_id", "ts",
+        "event_id", col("event_type") === "view",
+        col("event_type") === "click", col("event_type") === "purchase",
+        "360 MINUTE", maxPrefix = 3, valueCol = col("value"))
+      .select(col("user_id"), col("a_id"), col("c_id"), col("span_us"),
+        col("n_b"), col("sum_b"), col("avg_b"), col("first_b_id"),
+        col("last_b_id"))
+    assert(rows(mr) == rows(direct) && mr.count() > 0)
+  }
+
   test("MEASURES compiles to cepKleeneMeasures; match set unchanged") {
     val clause =
       """MEASURES COUNT(B.*) AS n_clicks, SUM(B.value) AS sv,
