@@ -23,19 +23,15 @@ import sys
 
 ABS_FLOOR_SEC = 0.25  # ratio on a 0.1 s key is noise by construction
 # Slow-drift alarm: current vs the key's calibration-normalized history
-# median. 1.15 (was 1.3) — Bench's calib_sec key (a fixed pure-CPU loop)
-# lets history rows from faster/slower host eras be rescaled to the
-# current host's speed, so the tighter band no longer false-positives on
-# ambient VM drift; rows without calib_sec (pre-r7) stay unnormalized
-# and keep the old slack via LEGACY_DRIFT_RATIO.
+# median. Bench's calib_sec key (a fixed pure-CPU loop) rescales every
+# history row to the current host's speed, so the tight band doesn't
+# false-positive on ambient VM drift. The calib rollout is COMPLETE:
+# every key that ever appeared in a pre-calib row now has >= 4
+# calibrated rows (verified r10), so uncalibrated legacy rows are
+# simply ignored and the legacy slack ratio is deleted. New history
+# rows are REQUIRED to carry calib_sec; a bench run without one is
+# diffed but never recorded.
 DRIFT_RATIO = 1.15
-LEGACY_DRIFT_RATIO = 1.3
-# Once a key has this many calibrated history rows, its median is taken
-# over the calibrated rows ONLY (legacy uncalibrated rows are ignored
-# and the tight DRIFT_RATIO applies) — the ledgered end state of the
-# calib normalization rollout. New history rows are REQUIRED to carry
-# calib_sec; a bench run without one is diffed but never recorded.
-CALIB_ONLY_MIN_ROWS = 4
 QUIET_STEAL_MAX = 500  # jiffies; noisier runs are diffed but not recorded
 
 
@@ -90,33 +86,23 @@ def drift_check(history_path, cur, label):
     drifts = []
     cur_calib = cur.get("calib_sec")
     for k, sec in cur["queries"].items():
-        # rescale each history row to the CURRENT host's measured speed
-        # (row_sec * cur_calib / row_calib); rows without calib_sec are
-        # kept as-is and the comparison falls back to the looser ratio
-        cal_past, legacy_past = [], []
-        for h in hist:
-            if k in h.get("queries", {}):
-                row_calib = h.get("calib_sec")
-                if cur_calib and row_calib:
-                    cal_past.append(h["queries"][k] * cur_calib / row_calib)
-                else:
-                    legacy_past.append(h["queries"][k])
-        if len(cal_past) >= CALIB_ONLY_MIN_ROWS:
-            past, normalized = cal_past, True
-        else:
-            past, normalized = cal_past + legacy_past, not legacy_past
-        past.sort()
-        ratio_bound = DRIFT_RATIO if normalized else LEGACY_DRIFT_RATIO
+        # rescale each calibrated history row to the CURRENT host's
+        # measured speed (row_sec * cur_calib / row_calib); pre-calib
+        # legacy rows are ignored (rollout complete — see header note)
+        past = sorted(
+            h["queries"][k] * cur_calib / h["calib_sec"]
+            for h in hist
+            if k in h.get("queries", {}) and cur_calib and h.get("calib_sec"))
         if len(past) >= 2 and sec > ABS_FLOOR_SEC:
             mid = len(past) // 2
             med = (past[mid] if len(past) % 2 == 1
                    else (past[mid - 1] + past[mid]) / 2.0)
-            if med > 0 and sec > ratio_bound * med:
+            if med > 0 and sec > DRIFT_RATIO * med:
                 drifts.append({"key": k, "history_median_sec": round(med, 3),
                                "run_sec": sec,
                                "ratio": round(sec / med, 2),
-                               "ratio_bound": ratio_bound,
-                               "calib_normalized": normalized,
+                               "ratio_bound": DRIFT_RATIO,
+                               "calib_normalized": True,
                                "n_history_rounds": len(past)})
     steal = cur.get("steal_jiffies")
     if cur_calib is None:
