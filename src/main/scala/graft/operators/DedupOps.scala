@@ -152,6 +152,24 @@ object DedupOps {
         round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jac"))
   }
 
+  /** Exact CONTAINMENT for GIVEN candidate pairs `(ai, bi)` — the
+    * directional twin of [[jaccardForHashed]]: `(ai, bi, cont_a,
+    * cont_b)` over the pairs' FULL shingle sets, cost ∝ |candidates|.
+    * The verify half of the streaming flag→confirm split
+    * ([[graft.streaming.StreamOps.containmentCandidatesStream]]). */
+  def containmentForHashed(cands: DataFrame, hashedSh: DataFrame): DataFrame = {
+    val sets = hashedSh
+      .groupBy("doc_id")
+      .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
+    cands
+      .join(sets.as("sa"), col("ai") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("bi") === col("sb.doc_id"))
+      .withColumn("c", size(array_intersect(col("sa.xs"), col("sb.xs"))).cast("double"))
+      .select(col("ai"), col("bi"),
+        round(col("c") / col("sa.n"), 6).as("cont_a"),
+        round(col("c") / col("sb.n"), 6).as("cont_b"))
+  }
+
   /** SimHash near-dup pairs at Hamming ≤ `maxHamming`: `(ai, bi, hd)`.
     * 57-bit signatures (the hash domain) via the one-pass Aggregator.
     *

@@ -529,9 +529,35 @@ object DedupQueries {
     out.orderBy("ai", "bi")
   }
 
+  /** The COMPLETE containment contract on the REAL streaming path, in
+    * the production flag→confirm split
+    * ([[graft.streaming.StreamOps.containmentCandidatesStream]]):
+    * documents replayed through 5 real micro-batches maintain the
+    * TTL'd id+size inverted index (prefix-flagged postings — the
+    * batch prefix⋈full bound, incremental), the union of flagged
+    * pairs is exact-verified against the doc store
+    * ([[DedupOps.containmentForHashed]]), and the confirmed set must
+    * hash-match the SAME independent brute-force oracle as the batch
+    * [[containment]] key. Jaccard got the in-state-verified twin
+    * ([[streamDedupCompleteReplay]]); containment gets the
+    * candidates+verify split because its bound covers only the
+    * smaller side (full-array postings would be O(m²)/doc — the
+    * scaladoc documents the trade). */
+  private val streamContainmentCompleteReplay = Q(
+    "stream_containment_complete_replay", containment.oracle.get) { (s, d) =>
+    val cands = graft.streaming.BoundedReplay.replayDocuments(s, d)(docs =>
+      graft.streaming.StreamOps.containmentCandidatesStream(docs,
+        tNum = 4, tDen = 5, tsCol = Some("ts"), ttl = "365 days").toDF())
+      .distinct()
+    DedupOps.containmentForHashed(cands,
+        DedupOps.hashedShingles(Tables.documents(s, d)))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= lit(4.0 / 5))
+      .orderBy("ai", "bi")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupNgramComplete,
     dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
     editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment,
-    streamDedupCompleteReplay)
+    streamDedupCompleteReplay, streamContainmentCompleteReplay)
 }

@@ -25,6 +25,15 @@ case class PrefixRow(h: Long, doc_id: Long, ranked: Seq[Long], p: Int,
 case class PrefixPosting(id: Long, tsUs: Long, ranked: Seq[Long], p: Int)
 case class PrefixIndexState(docs: List[PrefixPosting])
 case class CompletePair(ai: Long, bi: Long, jac: Double)
+/** [[StreamOps.containmentCandidatesStream]] rows: one row per
+  * (hash, document) — the FULL inverted index entry, flagged when the
+  * hash sits inside the document's containment prefix. Postings are
+  * id+size only (no arrays — the verify half is downstream). */
+case class ContPrefixRow(h: Long, doc_id: Long, m: Int, isPrefix: Boolean,
+    tsUs: Long, tsw: java.sql.Timestamp)
+case class ContPosting(id: Long, m: Int, tsUs: Long, isPrefix: Boolean)
+case class ContIndexState(docs: List[ContPosting])
+case class ContCand(ai: Long, bi: Long)
 /** CUMULATE append-mode state: per-step exact partials (value ×10⁶ as
   * long — the [[graft.Det]] DECIMAL(18,6) grid) + high-water mark of
   * already-emitted sub-window ends. */
@@ -589,6 +598,119 @@ object StreamOps {
           if (posts.isEmpty) state.remove()
           else {
             state.update(PrefixIndexState(posts))
+            if (tsCol.isDefined && maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        }
+      }
+  }
+
+  /** Streaming COMPLETE containment CANDIDATES — the incremental face
+    * of [[graft.operators.DedupOps.containmentPairsComplete]], in the
+    * flag→confirm split ([[nearDupCandidates]]' documented production
+    * pattern: the stream flags, a downstream verify confirms): every
+    * pair with `max(cont_a, cont_b) ≥ tNum/tDen` whose documents
+    * arrive within `ttl` is flagged at least once; exact directional
+    * containment is the verifier's job
+    * ([[graft.operators.DedupOps.containmentForHashed]] against the
+    * doc store the ingest is appending to anyway).
+    *
+    * Why candidates-only where [[jaccardCompleteStream]] verifies
+    * in-state: containment's prefix bound holds ONLY on the pair's
+    * SMALLER side (`c ≥ ⌈t·m_small⌉ − 1`; the larger side's
+    * containment can be arbitrarily low), so the complete index is
+    * prefix(smaller) ⋈ FULL(larger) — the batch form's own join. The
+    * streaming index therefore keeps a full posting per (hash, doc),
+    * and carrying every document's hash array on every full posting
+    * (the in-state-verify price) would be O(m²) state per doc.
+    * Id+size postings keep state at m·16 bytes per doc and push the
+    * set intersection to the verify join, which costs ∝ flagged
+    * pairs.
+    *
+    * A qualifying pair is flagged when its LATER document arrives: at
+    * any shared hash where the smaller side's posting (or arriving
+    * row) is prefix-flagged and its size is ≤ the other's. A pair may
+    * flag at several keys — the verifier's `distinct()` absorbs it
+    * (exactly [[nearDupCandidates]]' contract). TTL semantics are
+    * [[jaccardCompleteStream]]'s: probe-time per-posting expiry
+    * (deterministic in the two event times) + an event-time timer for
+    * idle keys; `tsCol = None` = no eviction (the replay/batch face,
+    * whose flagged ∪ verify equals the batch complete join —
+    * `stream_containment_complete_replay`'s oracle gate).
+    *
+    * @note scale: state is the TTL-window's full inverted index at
+    *   16 bytes/posting — Σ m_i over live documents, NOT corpus
+    *   lifetime (this is what incremental containment costs; the
+    *   batch form re-sorts the epoch instead). Shuffle per batch is
+    *   one exchange of Σ m_i id+size rows; candidate mass is the
+    *   batch prefix⋈full bound. */
+  def containmentCandidatesStream(docs: DataFrame, tNum: Int = 4,
+      tDen: Int = 5, n: Int = 3, tsCol: Option[String] = None,
+      ttl: String = "1 hour", delay: String = "10 minutes"): Dataset[ContCand] = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < t <= 1")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val ttlUs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      require(iv.months == 0, s"ttl must be a fixed duration, got '$ttl'")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val base = tsCol.fold(docs.withColumn("__ts", lit(null).cast("timestamp")))(
+      c => docs.withColumn("__ts", col(c)))
+    val exploded = base
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("__ts"))
+      .filter(size(col("t")) >= n)
+      .withColumn("hs", transform(
+        array_distinct(expr(
+          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")),
+        s => graft.functions.Hashes.polyHash(s)))
+      .select(col("doc_id"), col("hs"), col("__ts"))
+      .as[(Long, Seq[Long], java.sql.Timestamp)]
+      .flatMap { case (id, hs, ts) =>
+        val ranked = hs.sorted // hash order — candidates only, any fixed order
+        val m = ranked.size
+        val o = (tNum.toLong * m + tDen - 1) / tDen - 1
+        val p = math.max(1L, math.min(m.toLong, m - o + 1)).toInt
+        val tsUs = if (ts == null) 0L else ts.getTime * 1000L
+        ranked.iterator.zipWithIndex.map { case (h, i) =>
+          ContPrefixRow(h, id, m, i < p, tsUs, ts)
+        }
+      }
+    val rows = if (tsCol.isDefined) exploded.withWatermark("tsw", delay)
+      else exploded
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.h)
+      .flatMapGroupsWithState[ContIndexState, ContCand](
+        OutputMode.Append, timeoutConf) { (key, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var posts = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ContCand]
+          var maxTsMs = Long.MinValue
+          it.toSeq.sortBy(r => (r.tsUs, r.doc_id)).foreach { r =>
+            if (r.tsw != null) maxTsMs = math.max(maxTsMs, r.tsw.getTime)
+            if (tsCol.isDefined) posts = posts.filter(p => r.tsUs - p.tsUs <= ttlUs)
+            if (!posts.exists(_.id == r.doc_id)) {
+              posts.foreach { pe =>
+                // smaller side's prefix ∩ larger side's full set — the
+                // batch complete join's own candidate condition
+                if ((r.isPrefix && r.m <= pe.m) || (pe.isPrefix && pe.m <= r.m))
+                  out += ContCand(math.min(pe.id, r.doc_id),
+                    math.max(pe.id, r.doc_id))
+              }
+              posts = ContPosting(r.doc_id, r.m, r.tsUs, r.isPrefix) :: posts
+            }
+          }
+          if (posts.isEmpty) state.remove()
+          else {
+            state.update(ContIndexState(posts))
             if (tsCol.isDefined && maxTsMs != Long.MinValue)
               state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
                 state.getCurrentWatermarkMs() + 1L))

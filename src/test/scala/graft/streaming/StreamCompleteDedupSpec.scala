@@ -98,6 +98,25 @@ class StreamCompleteDedupSpec extends SparkSpec {
       s"only the in-horizon pair may flag, got $got")
   }
 
+  test("containment candidates cover the batch complete join; verify confirms exactly") {
+    val sp = spark
+    import sp.implicits._
+    val batch = DedupOps.containmentPairsComplete(docsDf, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain containment pairs")
+    // one-shot batch face of the candidates stream
+    val cands = StreamOps.containmentCandidatesStream(docsDf, tNum = 4, tDen = 5)
+      .toDF().distinct()
+    val candSet = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.subsetOf(candSet),
+      s"flagged set must cover every qualifying pair; missing=${batch -- candSet}")
+    val verified = DedupOps.containmentForHashed(cands,
+        DedupOps.hashedShingles(docsDf))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= lit(4.0 / 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == batch, "flag -> confirm must equal the batch complete join")
+  }
+
   test("the df-snapshot cap fails loudly") {
     val dfStats = DedupOps.hashedShingles(docsDf)
       .groupBy("h").agg(count(lit(1)).as("gdf"))
