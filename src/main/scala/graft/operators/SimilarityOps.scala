@@ -78,6 +78,76 @@ object SimilarityOps {
     topKScored(scored, k, "cos")
   }
 
+  /** Exact top-k cosine LOOKUP against a broadcast corpus — the
+    * retrieval-SERVING kernel, and [[knnCosine]]'s role-flip: there
+    * the (few) queries broadcast and the corpus scans; here the
+    * corpus broadcasts and each arriving QUERY row computes its own
+    * top-k inline. Because it is completely STATELESS per row (no
+    * aggregation, no window), the same code runs unchanged as a
+    * Structured Streaming transform in append mode — the real-time
+    * retrieval shape: a stream of query vectors, each answered the
+    * micro-batch it arrives (`stream_knn_lookup_replay` puts exactly
+    * that path under [[knnCosine]]'s own oracle). Arithmetic is
+    * bit-identical to [[knnCosine]]: same left-to-right dot product,
+    * same HALF_UP round(·,6), ranking by `(cos DESC, nbr ASC)` on the
+    * ROUNDED score, self excluded by id. Returns `(qid, nbr, cos, rk)`.
+    *
+    * @note scale: the broadcast side is N·dim·8 bytes — same 1M-row
+    *   default cap and loud-fail contract as [[cosineNearDups]];
+    *   beyond it, serve from a partitioned saved index
+    *   ([[saveIvfIndex]]/[[knnIvfSaved]]) instead of a broadcast
+    *   corpus. Per query the scan is N dot products with a k-bounded
+    *   buffer — no shuffle at all on the query side. */
+  def knnLookup(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = normed(corpus, idCol, vecCol)
+      .select("vec_id", "v", "nrm").as[(Long, Seq[Double], Double)]
+    val nSide = typed.count()
+    require(nSide <= maxBroadcastRows,
+      s"corpus has $nSide vectors — beyond the broadcast lookup's reach " +
+        s"($maxBroadcastRows); serve from a saved IVF index (knnIvfSaved)")
+    val side = typed.collect().map { case (id, v, nr) => (id, v.toArray, nr) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    val slack = 4 * k
+    normed(queries, idCol, vecCol)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val corpusArr = bc.value
+        it.flatMap { case (qid, qvSeq, qn) =>
+          val qv = qvSeq.toArray
+          var buf = Vector.empty[(Double, Long)]
+          def trim(b: Vector[(Double, Long)]) =
+            if (b.length <= k) b
+            else b.sortBy { case (s, id) => (-s, id) }.take(k)
+          var i = 0
+          while (i < corpusArr.length) {
+            val (nid, nv, nn) = corpusArr(i)
+            if (nid != qid) {
+              val m = math.min(qv.length, nv.length)
+              var s = 0.0
+              var j = 0
+              while (j < m) { s += nv(j) * qv(j); j += 1 }
+              val c = java.math.BigDecimal.valueOf(s / (nn * qn))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              buf = buf :+ ((c, nid))
+              if (buf.length >= slack) buf = trim(buf)
+            }
+            i += 1
+          }
+          trim(buf).sortBy { case (s, id) => (-s, id) }
+            .iterator.zipWithIndex
+            .map { case ((c, nid), r) => (qid, nid, c, r + 1) }
+        }
+      }
+      .toDF("qid", "nbr", "cos", "rk")
+      .withColumn("rk", col("rk").cast("int"))
+  }
+
   /** Int8 scalar-quantized (SQ8) top-k cosine — the storage-tier ANN
     * form vector stores default to: each normalized vector is kept as
     * `array<tinyint>` (per-vector symmetric scale `maxAbs/127`), 4×
@@ -362,6 +432,69 @@ object SimilarityOps {
     val cents = detTrainCells(n, nCells, iters)
     val assigned = detAssignCells(n, cents)
     val probes = detProbes(n, cents, isQuery, math.min(nprobe, nCells))
+    val scored = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .select(col("qid"), col("vec_id").as("nbr"), col("cos"))
+    topKScored(scored, k, "cos")
+  }
+
+  /** PERSIST a deterministically-trained IVF index — the
+    * train-once/serve-many split every production ANN deployment
+    * makes: [[knnIvfDet]]'s trainer runs once (offline, the expensive
+    * pass), and the resulting index lands as TWO PLAIN PARQUET tables
+    * under `path` — `centroids/` (≤ nCells rows: cid, cv, cnrm) and
+    * `assigned/` (one row per corpus vector: vec_id, v, nrm, cid) —
+    * readable by any engine, no custom format. [[knnIvfSaved]] serves
+    * queries against it without ever re-touching the training path.
+    * Because the training is the det (exact-BIGINT) form and parquet
+    * round-trips doubles exactly, save → load → query is
+    * bit-identical to [[knnIvfDet]] — which is what lets the
+    * `llm_knn_ivf_saved` key reuse the det oracle verbatim, gating
+    * the PERSISTENCE itself.
+    *
+    * @note scale: `assigned/` is the corpus + one int — write it
+    *   partitioned/bucketed by `cid` in a real deployment and the
+    *   serve-side join prunes to the probed cells' files. */
+  def saveIvfIndex(df: DataFrame, path: String, nCells: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val n = normed(df, idCol, vecCol).persist()
+    val cents = detTrainCells(n, nCells, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    detAssignCells(n, cents).write.mode("overwrite").parquet(s"$path/assigned")
+    n.unpersist()
+    ()
+  }
+
+  /** Serve kNN queries from a [[saveIvfIndex]] index: route each query
+    * to its `nprobe` nearest saved centroids, hash-join the probed
+    * cells' members, exact-rerank — the online half. Query vectors
+    * come from `queries` (any frame with id + vector columns;
+    * `isQuery` filters it after id normalization); self-matches are
+    * excluded by id, matching [[knnIvfDet]]. Returns
+    * `(qid, nbr, cos, rk)`.
+    *
+    * @note scale: serve cost is a broadcast of ≤ nCells centroid rows
+    *   + one hash join of the probe list against the assigned table —
+    *   no training pass, no full-corpus scan beyond the probed cells
+    *   when `assigned/` is partitioned by cid. */
+  def knnIvfSaved(queries: DataFrame, path: String,
+      isQuery: org.apache.spark.sql.Column, nprobe: Int = 4, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val nq = normed(queries, idCol, vecCol).filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("cid"))
+    val probes = nq.crossJoin(broadcast(cents))
+      .withColumn("__cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cnrm")))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
     val scored = assigned.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",

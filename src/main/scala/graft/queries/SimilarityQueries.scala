@@ -39,6 +39,22 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** The retrieval-SERVING path on the REAL streaming runtime
+    * ([[SimilarityOps.knnLookup]] + `BoundedReplay.replayEmbeddings`):
+    * query vectors replayed through 5 micro-batches, each answered
+    * with its exact top-10 against the broadcast corpus inside its
+    * own batch (stateless — no state store, no flush), the union
+    * hash-matching [[knnCosine]]'s own oracle. Gates that the serving
+    * kernel's inline ranking is bit-identical to the batch path under
+    * real micro-batch execution. */
+  private val streamKnnLookupReplay = Q(
+    "stream_knn_lookup_replay", knnCosine.oracle.get) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEmbeddings(s, d)(emb =>
+      SimilarityOps.knnLookup(emb.filter(col("vec_id") < 5),
+        Tables.embeddings(s, d), k = 10))
+      .orderBy("qid", "rk")
+  }
+
   private val oEmbCosSql =
     s"""WITH $oNormed,
        |p AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
@@ -126,6 +142,25 @@ object SimilarityQueries {
        |ORDER BY qid, rk""".stripMargin) { (s, d) =>
     SimilarityOps.knnIvfDet(Tables.embeddings(s, d),
         isQuery = col("vec_id") < 5, nCells = 16, iters = 2, nprobe = 4, k = 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** The train-once/serve-many split under the hash oracle
+    * ([[SimilarityOps.saveIvfIndex]] / [[SimilarityOps.knnIvfSaved]]):
+    * the det-trained IVF index is WRITTEN as plain parquet
+    * (centroids + cid-assigned corpus), re-READ, and served —
+    * save → load → query must be bit-identical to [[knnIvfDet]], so
+    * this key reuses its oracle verbatim and what it gates is the
+    * PERSISTENCE roundtrip itself (the production shape: training
+    * offline, serving from the stored index without re-touching the
+    * trainer). */
+  private val knnIvfSaved = Q(
+    "llm_knn_ivf_saved", knnIvfDet.oracle.get) { (s, d) =>
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    SimilarityOps.saveIvfIndex(Tables.embeddings(s, d), path,
+      nCells = 16, iters = 2)
+    SimilarityOps.knnIvfSaved(Tables.embeddings(s, d), path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
       .orderBy("qid", "rk")
   }
 
@@ -528,7 +563,9 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, embCos, embCosBlocked, knnIvf, knnIvfDet, knnPqDet, knnIvfPqDet, knnIvfProbeAll,
+  val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, embCos,
+    embCosBlocked, knnIvf, knnIvfDet,
+    knnIvfSaved, knnPqDet, knnIvfPqDet, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

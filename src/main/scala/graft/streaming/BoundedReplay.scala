@@ -108,6 +108,56 @@ object BoundedReplay {
       .unionByName(flush(ckpt).toDF())
   }
 
+  /** [[replayDocuments]] for the EMBEDDINGS table — the query-stream
+    * replay the serving-shape keys run under (synthetic arrival stamp
+    * from vec_id, id-ordered chunks, REAL streaming query, no flush —
+    * stateless lookups answer within their own micro-batch). */
+  def replayEmbeddings(spark: SparkSession, sfDir: String, chunks: Int = 5)(
+      op: DataFrame => Dataset[_]): DataFrame = {
+    val root = Files.createTempDirectory("graft-replay-emb")
+    val src = Files.createDirectories(root.resolve("src")).toString
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 2)
+    val emb = Tables.embeddings(ss, sfDir).withColumn("ts",
+      timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L)))
+    val b = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+    val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
+    val bucket = least(lit(chunks - 1),
+      floor((col("vec_id") - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
+    val stage = root.resolve("stage")
+    emb.withColumn("ck", bucket).repartition(col("ck"))
+      .write.partitionBy("ck").parquet(stage.toString)
+
+    val streamed = op(ss.readStream.schema(emb.schema).parquet(src))
+    val sinkSchema = streamed.schema
+    val q = streamed.coalesce(1).writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      (0 until chunks).foreach { i =>
+        val dir = stage.resolve(s"ck=$i")
+        if (Files.isDirectory(dir)) {
+          val listing = Files.list(dir)
+          try {
+            val files = listing.iterator()
+            var j = 0
+            while (files.hasNext) {
+              val f = files.next()
+              if (f.getFileName.toString.endsWith(".parquet")) {
+                Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
+                j += 1
+              }
+            }
+          } finally listing.close()
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    spark.read.schema(sinkSchema).parquet(out)
+  }
+
   /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
     * replay the streaming dedup family runs under: documents are
     * stamped with a deterministic synthetic ingest time (T0 +

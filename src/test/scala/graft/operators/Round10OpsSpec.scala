@@ -29,6 +29,38 @@ class Round10OpsSpec extends SparkSpec {
       "rank-1 candidate must carry at least the true max frequency")
   }
 
+  test("saved IVF index: save -> load -> query is bit-identical to the in-session det form") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx-spec").toString
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 16, iters = 2)
+    // the index is PLAIN parquet — any reader sees it
+    assert(spark.read.parquet(s"$path/centroids").columns.toSeq ==
+      Seq("cid", "cv", "cnrm"))
+    assert(spark.read.parquet(s"$path/assigned").count() == emb.count())
+    val served = SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilarityOps.knnIvfDet(emb, isQuery = col("vec_id") < 5,
+        nCells = 16, iters = 2, nprobe = 4, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct && served.size == 50)
+  }
+
+  test("knnLookup kernel equals knnCosine on the corpus; the broadcast cap fires") {
+    val emb = Tables.embeddings(spark, sf)
+    val viaLookup = SimilarityOps.knnLookup(
+        emb.filter(col("vec_id") < 5), emb, k = 10)
+      .collect().map(_.toSeq).toSet
+    val viaBatch = SimilarityOps.knnCosine(emb, col("vec_id") < 5, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaLookup == viaBatch && viaLookup.size == 50)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnLookup(emb, emb, maxBroadcastRows = 10L)
+    }
+    assert(e.getMessage.contains("knnIvfSaved"),
+      s"the guard must name the saved-index route, got: ${e.getMessage}")
+  }
+
   test("stream_topk_window_portable: per-window estimates dominate and ranks are dense per window") {
     val rows = graft.SparkEntry.queries("stream_topk_window_portable")(spark, sf)
       .collect()
