@@ -503,6 +503,97 @@ object SimilarityOps {
     topKScored(scored, k, "cos")
   }
 
+  /** Serve kNN queries from a [[saveIvfIndex]] index held IN MEMORY —
+    * the online ANN-serving kernel, and the stateless/streaming twin
+    * of [[knnIvfSaved]] (whose probe ranking is a window function —
+    * fine batch-side, unavailable on a stream): the centroid table
+    * and the cid-grouped corpus load once, broadcast, and each
+    * arriving query row routes itself to its `nprobe` nearest cells
+    * and scans ONLY those cells' vectors, top-k inline. No shuffle,
+    * no state — the same code answers a Structured Streaming query
+    * stream in append mode within its own micro-batch
+    * (`stream_knn_ivf_serve_replay` gates exactly that against the
+    * FULL det-training oracle: train → persist → serve, end to end).
+    * Arithmetic is bit-identical to [[knnIvfDet]]: probe ranking on
+    * the raw cosine with `(cos DESC, cid)` ties, candidate cosine
+    * `round(·,6)`, final `(cos DESC, nbr ASC)`, self excluded.
+    *
+    * @note scale: this is the ANN serving deployment shape — the
+    *   index LIVES in the serving fleet's memory (N·dim·8 bytes;
+    *   the `maxIndexRows` cap fails loudly past it — shard the
+    *   id space across serving jobs, or fall back to the
+    *   [[knnIvfSaved]] join form where the index stays on disk and
+    *   cid-partition pruning does the cell selection). Per query:
+    *   nCells centroid dots + the probed cells' ≈ nprobe/nCells
+    *   corpus fraction. */
+  def knnLookupIvf(queries: DataFrame, path: String, nprobe: Int = 4,
+      k: Int = 10, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIndexRows: Long = 1000000L): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("cv"), col("cnrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map(c => (c._1, c._2.toArray, c._3)).sortBy(_._1)
+    val assignedDs = spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id").cast("long"), col("v"), col("nrm"),
+        col("cid").cast("long"))
+      .as[(Long, Seq[Double], Double, Long)]
+    val nIdx = assignedDs.count()
+    require(nIdx <= maxIndexRows,
+      s"saved index holds $nIdx vectors — beyond the in-memory serving " +
+        s"cap ($maxIndexRows); shard the id space across serving jobs or " +
+        "use the knnIvfSaved join form (index stays on disk)")
+    val cells: Map[Long, Array[(Long, Array[Double], Double)]] =
+      assignedDs.collect().groupBy(_._4).map { case (cid, rows) =>
+        cid -> rows.map(r => (r._1, r._2.toArray, r._3)).sortBy(_._1)
+      }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCells = spark.sparkContext.broadcast(cells)
+    val np = math.min(nprobe, cents.length)
+    normed(queries, idCol, vecCol)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cen = bcC.value
+        val byCell = bcCells.value
+        it.flatMap { case (qid, qvSeq, qn) =>
+          val qv = qvSeq.toArray
+          // probe routing: raw cosine, (cos DESC, cid) — detProbes' order
+          val probed = cen.map { case (cid, cv, cnrm) =>
+            val m = math.min(qv.length, cv.length)
+            var s = 0.0
+            var j = 0
+            while (j < m) { s += qv(j) * cv(j); j += 1 }
+            (s / (qn * cnrm), cid)
+          }.sortBy { case (c, cid) => (-c, cid) }.take(np).map(_._2)
+          var buf = Vector.empty[(Double, Long)]
+          def trim(b: Vector[(Double, Long)]) =
+            if (b.length <= k) b
+            else b.sortBy { case (s, id) => (-s, id) }.take(k)
+          probed.foreach { cid =>
+            byCell.getOrElse(cid, Array.empty).foreach { case (nid, nv, nn) =>
+              if (nid != qid) {
+                val m = math.min(qv.length, nv.length)
+                var s = 0.0
+                var j = 0
+                while (j < m) { s += nv(j) * qv(j); j += 1 }
+                val c = java.math.BigDecimal.valueOf(s / (nn * qn))
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                buf = buf :+ ((c, nid))
+                if (buf.length >= 4 * k) buf = trim(buf)
+              }
+            }
+          }
+          trim(buf).sortBy { case (s, id) => (-s, id) }
+            .iterator.zipWithIndex
+            .map { case ((c, nid), r) => (qid, nid, c, r + 1) }
+        }
+      }
+      .toDF("qid", "nbr", "cos", "rk")
+      .withColumn("rk", col("rk").cast("int"))
+  }
+
   /** Deterministic argmax-cosine cell assignment — `(cos DESC, cid)`
     * tie-break, shared by the det IVF forms. */
   private def detAssignCells(n: DataFrame, cents: DataFrame): DataFrame = {

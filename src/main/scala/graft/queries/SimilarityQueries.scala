@@ -164,6 +164,26 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** The FULL ANN serving loop on the REAL streaming runtime: det
+    * training ([[SimilarityOps.saveIvfIndex]]) persists the index as
+    * parquet, the serving kernel ([[SimilarityOps.knnLookupIvf]])
+    * loads it into memory, and a STREAM of query vectors replayed
+    * through 5 micro-batches is answered cell-probed + reranked
+    * within each batch — the union hash-matching [[knnIvfDet]]'s
+    * oracle, which rebuilds BOTH Lloyd passes, the probe routing and
+    * the rerank in SQL. Train offline → store → serve online,
+    * cross-engine-verified end to end. */
+  private val streamKnnIvfServeReplay = Q(
+    "stream_knn_ivf_serve_replay", knnIvfDet.oracle.get) { (s, d) =>
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-serve").toString
+    SimilarityOps.saveIvfIndex(Tables.embeddings(s, d), path,
+      nCells = 16, iters = 2)
+    graft.streaming.BoundedReplay.replayEmbeddings(s, d)(emb =>
+      SimilarityOps.knnLookupIvf(emb.filter(col("vec_id") < 5), path,
+        nprobe = 4, k = 10))
+      .orderBy("qid", "rk")
+  }
+
   /** PQ with the CODEBOOKS under the hash oracle
     * ([[SimilarityOps.knnPqDet]] — the [[knnIvfDet]] template applied
     * per subspace): both Lloyd passes of every subspace codebook,
@@ -565,7 +585,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, embCos,
     embCosBlocked, knnIvf, knnIvfDet,
-    knnIvfSaved, knnPqDet, knnIvfPqDet, knnIvfProbeAll,
+    knnIvfSaved, streamKnnIvfServeReplay, knnPqDet, knnIvfPqDet, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

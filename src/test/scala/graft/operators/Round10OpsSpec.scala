@@ -46,6 +46,25 @@ class Round10OpsSpec extends SparkSpec {
     assert(served == direct && served.size == 50)
   }
 
+  test("in-memory IVF serving kernel equals the join form and the det oracle path; cap fires") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivf-serve-spec").toString
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 16, iters = 2)
+    val served = SimilarityOps.knnLookupIvf(emb.filter(col("vec_id") < 5),
+        path, nprobe = 4, k = 10)
+      .collect().map(_.toSeq).toSet
+    val joined = SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == joined && served.size == 50,
+      "the in-memory kernel and the disk-join form must agree row-for-row")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnLookupIvf(emb, path, maxIndexRows = 10L)
+    }
+    assert(e.getMessage.contains("knnIvfSaved"),
+      s"the guard must name the on-disk route, got: ${e.getMessage}")
+  }
+
   test("knnLookup kernel equals knnCosine on the corpus; the broadcast cap fires") {
     val emb = Tables.embeddings(spark, sf)
     val viaLookup = SimilarityOps.knnLookup(
