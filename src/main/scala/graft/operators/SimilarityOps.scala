@@ -824,6 +824,167 @@ object SimilarityOps {
     detExactRerank(adc, u, isQuery, rerank, k)
   }
 
+  /** PERSIST the full det-trained IVF-PQ index — [[saveIvfIndex]]'s
+    * big sibling, five plain parquet tables under `path`:
+    * `centroids/` (coarse cells), `cellOf/` (vec_id → cid routing),
+    * `books/` (m·kCodes subspace codebooks), `codes/` (the PQ-ENCODED
+    * corpus — one small int per (vector, subspace), the compressed
+    * form a serving fleet actually holds hot), and `unit/` (the full
+    * unit vectors, which production keeps COLD — the rerank touches
+    * only `rerank` of them per query as point fetches). Training is
+    * [[knnIvfPqDet]]'s deterministic form, so persist → serve is
+    * bit-identical to it and `stream_knn_ivfpq_serve_replay` gates
+    * the whole loop under its oracle.
+    *
+    * @note scale: `codes/` is the hot set — m small-ints per vector
+    *   (~8 B at m=8) vs dim·8 B for raw doubles, the 64× compression
+    *   that makes billion-vector serving fit memory; partition
+    *   `cellOf/`+`codes/` by cid in a real deployment. */
+  def saveIvfPqIndex(df: DataFrame, path: String, nCells: Int = 16,
+      cellIters: Int = 2, m: Int = 8, kCodes: Int = 16, pqIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val n = normed(df, idCol, vecCol).persist()
+    val cents = detTrainCells(n, nCells, cellIters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    detAssignCells(n, cents).select("vec_id", "cid")
+      .write.mode("overwrite").parquet(s"$path/cellOf")
+    val u = n.select(col("vec_id"),
+      expr("transform(v, x -> x / nrm)").as("uv")).persist()
+    val sp = detSubspaces(u, m)
+    val book = detTrainBooks(sp, u, kCodes, pqIters)
+    book.write.mode("overwrite").parquet(s"$path/books")
+    detAssignCodes(sp, book).write.mode("overwrite").parquet(s"$path/codes")
+    u.write.mode("overwrite").parquet(s"$path/unit")
+    n.unpersist(); u.unpersist(); sp.unpersist()
+    ()
+  }
+
+  /** Serve kNN from a [[saveIvfPqIndex]] index — the full production
+    * ANN serving kernel, stateless per query row (so it runs
+    * unchanged on a Structured Streaming query stream): route to
+    * `nprobe` cells against the in-memory centroids, ADC-score the
+    * probed cells' PQ CODES against the query's per-(subspace, code)
+    * table (10⁻¹²-unit integer sums — [[knnIvfPqDet]]'s exact
+    * arithmetic), shortlist `rerank` by `(score DESC, id)`, exact
+    * rerank via point fetches of the shortlisted unit vectors, final
+    * top-k. Bit-identical to [[knnIvfPqDet]] end to end.
+    *
+    * @note scale: hot memory = codes (m bytes-ish/vector) + books +
+    *   centroids; the unit-vector map stands in for the cold
+    *   point-fetch store (a KV store / the `unit/` files in a real
+    *   deployment — only `rerank` lookups per query touch it). The
+    *   `maxIndexRows` cap fails loudly; shard the id space past it. */
+  def knnLookupIvfPq(queries: DataFrame, path: String, nprobe: Int = 4,
+      rerank: Int = 40, k: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxIndexRows: Long = 1000000L): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("cv"), col("cnrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map(c => (c._1, c._2.toArray, c._3)).sortBy(_._1)
+    val cellOf = spark.read.parquet(s"$path/cellOf")
+      .select(col("cid").cast("long"), col("vec_id").cast("long"))
+      .as[(Long, Long)].collect()
+    require(cellOf.length <= maxIndexRows,
+      s"saved index holds ${cellOf.length} vectors — beyond the in-memory " +
+        s"serving cap ($maxIndexRows); shard the id space across serving jobs")
+    val members: Map[Long, Array[Long]] =
+      cellOf.groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).sorted }
+    val bookRows = spark.read.parquet(s"$path/books")
+      .select(col("j").cast("int"), col("c").cast("int"), col("cv"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val mSub = bookRows.map(_._1).max + 1
+    val kC = bookRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](mSub, kC)
+    bookRows.foreach { case (j, c, cv) => books(j)(c) = cv.toArray }
+    val codes: Map[Long, Array[Int]] = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").cast("long"), col("j").cast("int"),
+        col("c").cast("int"))
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        val arr = new Array[Int](mSub)
+        rs.foreach { case (_, j, c) => arr(j) = c }
+        id -> arr
+      }
+    val unit: Map[Long, Array[Double]] = spark.read.parquet(s"$path/unit")
+      .select(col("vec_id").cast("long"), col("uv"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, uv) => id -> uv.toArray }.toMap
+    val bc = spark.sparkContext.broadcast((cents, members, books, codes, unit))
+    val np = math.min(nprobe, cents.length)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    normed(queries, idCol, vecCol)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val (cen, mem, bks, cds, uni) = bc.value
+        val sub = bks(0)(0).length
+        it.flatMap { case (qid, qvSeq, qn) =>
+          val qv = qvSeq.toArray
+          // probe routing on the RAW vector — detProbes' arithmetic
+          val probed = cen.map { case (cid, cv, cnrm) =>
+            val mm = math.min(qv.length, cv.length)
+            var s = 0.0
+            var j = 0
+            while (j < mm) { s += qv(j) * cv(j); j += 1 }
+            (s / (qn * cnrm), cid)
+          }.sortBy { case (c0, cid) => (-c0, cid) }.take(np).map(_._2)
+          // the query's unit vector + per-(subspace, code) ADC table,
+          // quantized to 10⁻¹² units — detAdcTable's arithmetic
+          val uq = qv.map(_ / qn)
+          val t12 = Array.ofDim[Long](bks.length, bks(0).length)
+          var j = 0
+          while (j < bks.length) {
+            var c = 0
+            while (c < bks(j).length) {
+              val cv = bks(j)(c)
+              var s = 0.0
+              var i = 0
+              while (i < sub) { s += uq(j * sub + i) * cv(i); i += 1 }
+              t12(j)(c) = java.math.BigDecimal.valueOf(s * 1.0e12)
+                .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+              c += 1
+            }
+            j += 1
+          }
+          // ADC over the probed cells' codes — exact integer sums
+          var adc = Vector.empty[(Double, Long)]
+          def trimTo(b: Vector[(Double, Long)], kk: Int) =
+            if (b.length <= kk) b
+            else b.sortBy { case (s, id) => (-s, id) }.take(kk)
+          probed.foreach { cid =>
+            mem.getOrElse(cid, Array.empty[Long]).foreach { nid =>
+              if (nid != qid) {
+                val code = cds(nid)
+                var sumL = 0L
+                var jj = 0
+                while (jj < code.length) { sumL += t12(jj)(code(jj)); jj += 1 }
+                adc = adc :+ ((r6(sumL.toDouble / 1.0e12), nid))
+                if (adc.length >= 4 * rerank) adc = trimTo(adc, rerank)
+              }
+            }
+          }
+          // exact rerank of the shortlist via unit-vector point fetches
+          val short = trimTo(adc, rerank).sortBy { case (s, id) => (-s, id) }
+          val exact = short.map { case (_, nid) =>
+            val nv = uni(nid)
+            val mm = math.min(nv.length, uq.length)
+            var s = 0.0
+            var i = 0
+            while (i < mm) { s += nv(i) * uq(i); i += 1 }
+            (r6(s), nid)
+          }
+          exact.sortBy { case (s, id) => (-s, id) }.take(k)
+            .iterator.zipWithIndex
+            .map { case ((c0, nid), r) => (qid, nid, c0, r + 1) }
+        }
+      }
+      .toDF("qid", "nbr", "cos", "rk")
+      .withColumn("rk", col("rk").cast("int"))
+  }
+
   /** Lloyd-refined coarse cells over the normalized working set —
     * shared by [[knnIvfKmeans]] and [[knnIvfPq]]. */
   private def trainCells(

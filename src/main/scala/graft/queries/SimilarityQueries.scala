@@ -583,9 +583,33 @@ object SimilarityQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** The FULL IVF-PQ serving loop on the streaming runtime
+    * ([[SimilarityOps.saveIvfPqIndex]] /
+    * [[SimilarityOps.knnLookupIvfPq]]): det cell + codebook training
+    * persists five parquet tables (the PQ CODES being the hot
+    * compressed set), the serving kernel loads them, and the replayed
+    * query stream is cell-probed, ADC-scored from codes (exact
+    * 10⁻¹²-unit integer sums), shortlisted and exact-reranked via
+    * unit-vector point fetches — per micro-batch, stateless. The
+    * union hash-matches [[knnIvfPqDet]]'s oracle, which rebuilds both
+    * trainings, the routing, the ADC and the rerank in SQL: the
+    * entire train → compress → store → serve pipeline cross-engine
+    * verified. */
+  private val streamKnnIvfPqServeReplay = Q(
+    "stream_knn_ivfpq_serve_replay", knnIvfPqDet.oracle.get) { (s, d) =>
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-serve").toString
+    SimilarityOps.saveIvfPqIndex(Tables.embeddings(s, d), path,
+      nCells = 16, cellIters = 2, m = 8, kCodes = 16, pqIters = 2)
+    graft.streaming.BoundedReplay.replayEmbeddings(s, d)(emb =>
+      SimilarityOps.knnLookupIvfPq(emb.filter(col("vec_id") < 5), path,
+        nprobe = 4, rerank = 40, k = 10))
+      .orderBy("qid", "rk")
+  }
+
   val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, embCos,
     embCosBlocked, knnIvf, knnIvfDet,
-    knnIvfSaved, streamKnnIvfServeReplay, knnPqDet, knnIvfPqDet, knnIvfProbeAll,
+    knnIvfSaved, streamKnnIvfServeReplay, knnPqDet, knnIvfPqDet,
+    streamKnnIvfPqServeReplay, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

@@ -65,6 +65,27 @@ class Round10OpsSpec extends SparkSpec {
       s"the guard must name the on-disk route, got: ${e.getMessage}")
   }
 
+  test("IVF-PQ serving kernel: persist -> load -> serve equals the det pipeline; cap fires") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-serve-spec").toString
+    SimilarityOps.saveIvfPqIndex(emb, path, nCells = 16, cellIters = 2,
+      m = 8, kCodes = 16, pqIters = 2)
+    val served = SimilarityOps.knnLookupIvfPq(emb.filter(col("vec_id") < 5),
+        path, nprobe = 4, rerank = 40, k = 10)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilarityOps.knnIvfPqDet(emb, isQuery = col("vec_id") < 5,
+        nCells = 16, cellIters = 2, nprobe = 4, m = 8, kCodes = 16,
+        pqIters = 2, rerank = 40, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct && served.size == 50,
+      "serve-from-store must be bit-identical to the in-session det pipeline")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.knnLookupIvfPq(emb, path, maxIndexRows = 10L)
+    }
+    assert(e.getMessage.contains("shard"),
+      s"the guard must name the shard route, got: ${e.getMessage}")
+  }
+
   test("knnLookup kernel equals knnCosine on the corpus; the broadcast cap fires") {
     val emb = Tables.embeddings(spark, sf)
     val viaLookup = SimilarityOps.knnLookup(
