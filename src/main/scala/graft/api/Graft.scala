@@ -43,7 +43,12 @@ object Graft {
     * quantization, and the deterministic-training certification tier
     * (`knnIvfDet` / `knnPqDet` / `knnIvfPqDet` — exact-BIGINT Lloyd
     * re-centering, cross-engine reproducible end to end); embedding
-    * near-dup kernels (broadcast / blocked grid / LSH banding). */
+    * near-dup kernels (broadcast / blocked grid / LSH banding); and
+    * the SERVING tier — parquet index persistence (`saveIvfIndex` /
+    * `saveIvfPqIndex`) with stateless streaming-capable lookup
+    * kernels (`knnLookup` brute, `knnIvfSaved` disk-join,
+    * `knnLookupIvf` / `knnLookupIvfPq` in-memory), each bit-identical
+    * to its training-side twin. */
   val similarity: SimilarityOps.type = SimilarityOps
   /** Engine-portable mergeable sketch UDAFs (every internal exact
     * integer arithmetic, so results reproduce on ANY engine):

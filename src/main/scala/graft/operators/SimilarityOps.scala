@@ -985,6 +985,57 @@ object SimilarityOps {
       .withColumn("rk", col("rk").cast("int"))
   }
 
+  /** HYBRID retrieval — lexical + dense arms fused by Reciprocal Rank
+    * Fusion (Cormack, Clarke & Buettcher, SIGIR'09: `Σ 1/(c + rank)`,
+    * the standard zero-tuning fusion every hybrid-search stack
+    * ships): for each query id, the text arm ranks the corpus by
+    * exact n-gram Jaccard against the query's document and the dense
+    * arm by exact cosine against its embedding ([[knnCosine]]'s
+    * arithmetic); the top `kText`/`kVec` of each arm full-outer-merge
+    * on the candidate id and re-rank by
+    * `round(1/(c+rk_text) + 1/(c+rk_vec), 6)` (each term one IEEE
+    * division, summed in a fixed order — cross-engine exact, which is
+    * what lets the `llm_hybrid_rrf` oracle rebuild BOTH arms and the
+    * fusion in SQL). A doc found by only one arm keeps that arm's
+    * term — RRF's native missing-rank handling. Returns
+    * `(qid, nbr, rrf, rk)`.
+    *
+    * @note scale: both arms rank through the partial top-k aggregate
+    *   (no window over the scored mass); the text arm here scores
+    *   query×corpus exactly — at 100 TB generate its candidates with
+    *   [[graft.operators.DedupOps.jaccardPairsComplete]] /
+    *   the banded LSH and feed the same fusion; the dense arm routes
+    *   through the IVF serving tier. The fusion itself touches only
+    *   kText + kVec rows per query. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryIds: Seq[Long],
+      kText: Int = 20, kVec: Int = 20, k: Int = 10, c: Int = 60,
+      docIdCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val hs = graft.operators.DedupOps.hashedShingles(docs, docIdCol, textCol)
+    val sets = hs.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("xs"), count(lit(1)).as("n"))
+    val qsets = sets.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("qid"), col("xs").as("qxs"), col("n").as("qn"))
+    val scoredT = sets.crossJoin(broadcast(qsets))
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("cc", size(array_intersect(col("xs"), col("qxs"))).cast("double"))
+      .filter(col("cc") > 0)
+      .withColumn("jac", round(col("cc") / (col("qn") + col("n") - col("cc")), 6))
+      .select(col("qid"), col("doc_id").as("nbr"), col("jac"))
+    val textTop = topKScored(scoredT, kText, "jac")
+      .select(col("qid"), col("nbr"), col("rk").as("rk_t"))
+    val vecTop = knnCosine(emb, col("vec_id").isin(queryIds: _*), kVec,
+        vecIdCol, vecCol)
+      .select(col("qid"), col("nbr"), col("rk").as("rk_v"))
+    val fused = textTop.join(vecTop, Seq("qid", "nbr"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("rk_t")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rk_v")), lit(0.0)), 6))
+      .select(col("qid"), col("nbr"), col("rrf"))
+    topKScored(fused, k, "rrf")
+  }
+
   /** Lloyd-refined coarse cells over the normalized working set —
     * shared by [[knnIvfKmeans]] and [[knnIvfPq]]. */
   private def trainCells(

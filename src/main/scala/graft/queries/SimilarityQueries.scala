@@ -55,6 +55,50 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Hybrid lexical+dense retrieval fused by RRF
+    * ([[SimilarityOps.hybridRrf]]): the oracle rebuilds BOTH arms —
+    * exact n-gram Jaccard ranks and exact cosine ranks — and the
+    * `round(1/(60+rk_t) + 1/(60+rk_v), 6)` fusion in SQL, so the key
+    * certifies end-to-end hybrid ranking, missing-arm handling (full
+    * outer merge) included. */
+  private val hybridRrf = Q(
+    "llm_hybrid_rrf",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(t) - 2),
+       |         i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))) AS sh FROM toks),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT q.doc_id AS qid, s.doc_id AS nbr, count(*) AS c
+       |          FROM sh s JOIN sh q ON s.sh = q.sh
+       |          WHERE q.doc_id < 5 AND s.doc_id != q.doc_id GROUP BY 1, 2),
+       |jt AS (SELECT qid, nbr,
+       |         round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+       |       FROM inter JOIN sz sa ON sa.doc_id = qid
+       |                  JOIN sz sb ON sb.doc_id = nbr),
+       |rt AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+       |         ORDER BY jac DESC, nbr) AS rk_t FROM jt),
+       |$oNormed,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |xv AS (SELECT q.qid, n.vec_id AS nbr,
+       |         round(list_sum(list_transform(list_zip(n.v, q.qv), p -> p[1]*p[2]))
+       |               / (n.nrm * q.qn), 6) AS cos
+       |       FROM n CROSS JOIN q WHERE n.vec_id != q.qid),
+       |rv AS (SELECT qid, nbr, row_number() OVER (PARTITION BY qid
+       |         ORDER BY cos DESC, nbr) AS rk_v FROM xv),
+       |f AS (SELECT COALESCE(t.qid, v.qid) AS qid, COALESCE(t.nbr, v.nbr) AS nbr,
+       |        round(COALESCE(1.0 / (60 + t.rk_t), 0)
+       |              + COALESCE(1.0 / (60 + v.rk_v), 0), 6) AS rrf
+       |      FROM (SELECT * FROM rt WHERE rk_t <= 20) t
+       |      FULL JOIN (SELECT * FROM rv WHERE rk_v <= 20) v
+       |        ON t.qid = v.qid AND t.nbr = v.nbr),
+       |r AS (SELECT qid, nbr, rrf, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf DESC, nbr) AS rk FROM f)
+       |SELECT qid, nbr, rrf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    SimilarityOps.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), kText = 20, kVec = 20, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   private val oEmbCosSql =
     s"""WITH $oNormed,
        |p AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
@@ -606,7 +650,7 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
-  val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, embCos,
+  val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, hybridRrf, embCos,
     embCosBlocked, knnIvf, knnIvfDet,
     knnIvfSaved, streamKnnIvfServeReplay, knnPqDet, knnIvfPqDet,
     streamKnnIvfPqServeReplay, knnIvfProbeAll,

@@ -101,6 +101,24 @@ class Round10OpsSpec extends SparkSpec {
       s"the guard must name the saved-index route, got: ${e.getMessage}")
   }
 
+  test("hybrid RRF: dense ranks per query, score bounds, and both arms contribute") {
+    val rows = graft.SparkEntry.queries("llm_hybrid_rrf")(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, qs) =>
+      assert(qs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 10))
+    }
+    // rrf ∈ (0, 2/61]: at most two rank-1 terms, at least one term
+    rows.foreach { r =>
+      val s = r.getAs[Double]("rrf")
+      assert(s > 0 && s <= 2.0 / 61 + 1e-9, s"rrf out of bounds: $r")
+    }
+    // a candidate found by BOTH arms at rank 1 would score 2/61; the
+    // fixture's planted near-dups make at least one fused candidate
+    // exceed any single-arm maximum (1/61)
+    assert(rows.exists(_.getAs[Double]("rrf") > 1.0 / 61 + 1e-9),
+      "at least one candidate must be surfaced by both arms")
+  }
+
   test("stream_topk_window_portable: per-window estimates dominate and ranks are dense per window") {
     val rows = graft.SparkEntry.queries("stream_topk_window_portable")(spark, sf)
       .collect()
