@@ -1333,6 +1333,116 @@ object ExtendedQueries {
       .orderBy("scope")
   }
 
+  /** Sketch ROLLUP THROUGH STORAGE — [[aggSketchBundle]]'s claim
+    * ("per-epoch sketches roll up without re-reading history") made
+    * literal: per-WEEK partial sketches (bottom-k KMV + HLL registers
+    * + cents-exact histogram + row count) are computed once, WRITTEN
+    * TO PARQUET, re-read as the stored profile table a warehouse
+    * would keep, and merged — KMV by distinct-union + re-trim, HLL by
+    * elementwise register max, histogram by elementwise count add,
+    * all exact integer operations whose merge-of-partials equals the
+    * direct global sketch BY CONSTRUCTION — into the whole-corpus
+    * estimates. The oracle computes the global sketches straight from
+    * base data, so the hash gate certifies that the storage roundtrip
+    * + merge lose nothing: the incremental profile answer IS the
+    * full-scan answer.
+    *
+    * @note scale: the only base-data pass is the one per-epoch
+    *   groupBy (each epoch's job in production); the rollup reads
+    *   |epochs| sketch rows of fixed size — history never re-scans.
+    *   Merges are commutative/associative exact integer ops, so
+    *   collect_list order and partitioning are immaterial. */
+  private val aggSketchRollup = Q(
+    "agg_sketch_rollup",
+    s"""WITH kh AS (SELECT DISTINCT
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("o_custkey")} AS h
+       |  FROM orders),
+       |ksk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+       |         FROM kh) WHERE rk <= 256),
+       |kmv AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+       |                    ELSE round(547608329985.0 / CAST(max(h) AS DOUBLE), 4)
+       |               END AS kmv_distinct
+       |        FROM ksk),
+       |hh0 AS (SELECT
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("o_custkey")} AS h0
+       |  FROM orders),
+       |hh AS (SELECT (h0 * h0 + h0) % 2147483647 AS h FROM hh0),
+       |hbr AS (SELECT CAST(h % 256 AS INT) AS bucket,
+       |    CASE WHEN h // 256 = 0 THEN 24 ELSE 24 - length(bin(h // 256)) END AS rho
+       |  FROM hh),
+       |hregs AS (SELECT bucket, max(rho) AS r FROM hbr GROUP BY 1),
+       |hll AS (SELECT
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(24 - r AS INT)) +
+       |         (256 - count(*)) * 16777216 AS BIGINT) AS hll_s_reg
+       |  FROM hregs),
+       |hb AS (SELECT least(1023, (CAST(round(o_totalprice * 100) AS BIGINT) * 1024)
+       |                // 60000000) AS bin
+       |  FROM orders),
+       |hc AS (SELECT bin, count(*) AS cnt FROM hb GROUP BY 1),
+       |hw AS (SELECT bin, cnt,
+       |        sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+       |        sum(cnt) OVER () AS n
+       |      FROM hc),
+       |hist AS (SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 1 AS DOUBLE)
+       |      * 585.9375 AS p50_est
+       |  FROM hw)
+       |SELECT 'ALL' AS scope, hist.n_rows, kmv.kmv_distinct, hll.hll_s_reg,
+       |  round((0.7213 / (1 + 1.079 / 256.0)) * 65536 * 16777216
+       |        / CAST(hll.hll_s_reg AS DOUBLE), 4) AS hll_distinct,
+       |  hist.p50_est
+       |FROM hist CROSS JOIN kmv CROSS JOIN hll""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    import org.apache.spark.sql.Encoders
+    val kmvU = udaf(new SketchAggregators.BottomK(256), Encoders.scalaLong)
+    val hllU = udaf(new SketchAggregators.HllRegisters(8), Encoders.scalaLong)
+    val histU = udaf(new SketchAggregators.HistCounts(1024, 60000000L),
+      Encoders.scalaLong)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sketch-store").toString
+    // epoch jobs: one bounded sketch row per week, persisted
+    Tables.orders(s, d)
+      .groupBy(expr("datediff(o_orderdate, DATE '1995-01-01') div 7").as("wk"))
+      .agg(count(lit(1)).as("n_rows"),
+        kmvU(col("o_custkey")).as("kmv"),
+        hllU(col("o_custkey")).as("hll"),
+        histU(round(col("o_totalprice") * 100).cast("long")).as("hist"))
+      .write.mode("overwrite").parquet(store)
+    // the rollup job: reads ONLY the stored profile table
+    s.read.parquet(store)
+      .agg(sum("n_rows").as("n_rows"),
+        expr("slice(array_sort(array_distinct(flatten(collect_list(kmv)))), 1, 256)")
+          .as("kmv"),
+        expr("""aggregate(collect_list(hll),
+          |  array_repeat(CAST(0 AS BIGINT), 256),
+          |  (acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))""".stripMargin)
+          .as("hll"),
+        expr("""aggregate(collect_list(hist),
+          |  array_repeat(CAST(0 AS BIGINT), 1024),
+          |  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""".stripMargin)
+          .as("hist"))
+      .withColumn("kmv_distinct",
+        when(size(col("kmv")) < 256, size(col("kmv")).cast("double"))
+          .otherwise(round(lit(255.0 * 2147483647.0) /
+            element_at(col("kmv"), 256).cast("double"), 4)))
+      .withColumn("hll_s_reg", expr(
+        "aggregate(hll, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 24 - CAST(r AS INT)))"))
+      .withColumn("hll_distinct",
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(16777216.0) / col("hll_s_reg").cast("double"), 4))
+      .withColumn("p50_bin", expr(
+        """aggregate(hist,
+          |  struct(CAST(0 AS BIGINT) AS cum, -1 AS bin, 0 AS idx),
+          |  (acc, x) -> struct(acc.cum + x,
+          |    IF(acc.bin >= 0, acc.bin,
+          |       IF(acc.cum + x >= (n_rows + 1) div 2, acc.idx, -1)),
+          |    acc.idx + 1),
+          |  acc -> acc.bin)""".stripMargin))
+      .withColumn("p50_est", (col("p50_bin") + 1).cast("double") * lit(585.9375))
+      .select(lit("ALL").as("scope"), col("n_rows"), col("kmv_distinct"),
+        col("hll_s_reg"), col("hll_distinct"), col("p50_est"))
+  }
+
   /** RETENTION MATRIX from KMV sketch algebra — the oracle-verified
     * twin of [[aggThetaRetention]]: one bottom-k sketch of active users
     * per week, then every `(week_a ≤ week_b)` pair's co-active count
@@ -1817,5 +1927,6 @@ object ExtendedQueries {
     streamTopkWindow, streamTopkWindowPortable,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
-    aggKmvSetops, aggHistMergeable, aggKmvRetention, aggSketchBundle)
+    aggKmvSetops, aggHistMergeable, aggKmvRetention, aggSketchBundle,
+    aggSketchRollup)
 }
