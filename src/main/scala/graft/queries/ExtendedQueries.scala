@@ -1398,8 +1398,7 @@ object ExtendedQueries {
     val hllU = udaf(new SketchAggregators.HllRegisters(8), Encoders.scalaLong)
     val histU = udaf(new SketchAggregators.HistCounts(1024, 60000000L),
       Encoders.scalaLong)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-sketch-store").toString
+    val store = graft.Scratch.dirString("graft-sketch-store")
     // epoch jobs: one bounded sketch row per week, persisted
     Tables.orders(s, d)
       .groupBy(expr("datediff(o_orderdate, DATE '1995-01-01') div 7").as("wk"))

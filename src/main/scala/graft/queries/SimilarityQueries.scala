@@ -200,7 +200,7 @@ object SimilarityQueries {
     * trainer). */
   private val knnIvfSaved = Q(
     "llm_knn_ivf_saved", knnIvfDet.oracle.get) { (s, d) =>
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val path = graft.Scratch.dirString("graft-ivf-index")
     SimilarityOps.saveIvfIndex(Tables.embeddings(s, d), path,
       nCells = 16, iters = 2)
     SimilarityOps.knnIvfSaved(Tables.embeddings(s, d), path,
@@ -219,7 +219,7 @@ object SimilarityQueries {
     * cross-engine-verified end to end. */
   private val streamKnnIvfServeReplay = Q(
     "stream_knn_ivf_serve_replay", knnIvfDet.oracle.get) { (s, d) =>
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-serve").toString
+    val path = graft.Scratch.dirString("graft-ivf-serve")
     SimilarityOps.saveIvfIndex(Tables.embeddings(s, d), path,
       nCells = 16, iters = 2)
     graft.streaming.BoundedReplay.replayEmbeddings(s, d)(emb =>
@@ -641,7 +641,7 @@ object SimilarityQueries {
     * verified. */
   private val streamKnnIvfPqServeReplay = Q(
     "stream_knn_ivfpq_serve_replay", knnIvfPqDet.oracle.get) { (s, d) =>
-    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-serve").toString
+    val path = graft.Scratch.dirString("graft-ivfpq-serve")
     SimilarityOps.saveIvfPqIndex(Tables.embeddings(s, d), path,
       nCells = 16, cellIters = 2, m = 8, kCodes = 16, pqIters = 2)
     graft.streaming.BoundedReplay.replayEmbeddings(s, d)(emb =>

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
 
   private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_roundtrip/$name"
+    s"${graft.Scratch.root}/graft_roundtrip/$name"
 
   private val csvRoundtrip = Q(
     "source_csv_roundtrip",

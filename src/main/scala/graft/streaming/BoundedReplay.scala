@@ -41,7 +41,7 @@ object BoundedReplay {
     *              checkpoint (a [[StateFlush]] method) */
   def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5)(
       op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame = {
-    val root = Files.createTempDirectory("graft-replay")
+    val root = graft.Scratch.dir("graft-replay")
     val src = Files.createDirectories(root.resolve("src")).toString
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
@@ -61,6 +61,9 @@ object BoundedReplay {
     // index.)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 2)
+    // 5-batch bounded replay: no restart-from-old-batch scenario, so keep
+    // only the latest committed batch of checkpoint/state files
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
     val ev = Tables.events(ss, sfDir)
     val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
@@ -114,12 +117,15 @@ object BoundedReplay {
     * stateless lookups answer within their own micro-batch). */
   def replayEmbeddings(spark: SparkSession, sfDir: String, chunks: Int = 5)(
       op: DataFrame => Dataset[_]): DataFrame = {
-    val root = Files.createTempDirectory("graft-replay-emb")
+    val root = graft.Scratch.dir("graft-replay-emb")
     val src = Files.createDirectories(root.resolve("src")).toString
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 2)
+    // 5-batch bounded replay: no restart-from-old-batch scenario, so keep
+    // only the latest committed batch of checkpoint/state files
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
     val emb = Tables.embeddings(ss, sfDir).withColumn("ts",
       timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L)))
     val b = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
@@ -172,12 +178,15 @@ object BoundedReplay {
     *   as [[replayEvents]]; the per-batch work is the operator's own. */
   def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5)(
       op: DataFrame => Dataset[_]): DataFrame = {
-    val root = Files.createTempDirectory("graft-replay-docs")
+    val root = graft.Scratch.dir("graft-replay-docs")
     val src = Files.createDirectories(root.resolve("src")).toString
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 2)
+    // 5-batch bounded replay: no restart-from-old-batch scenario, so keep
+    // only the latest committed batch of checkpoint/state files
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
     val docs = Tables.documents(ss, sfDir).withColumn("ts",
       timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L)))
     val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
