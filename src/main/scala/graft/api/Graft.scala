@@ -36,7 +36,12 @@ object Graft {
     * the native `lev_within` verify), and the CERTIFIED-COMPLETE
     * prefix-filtered threshold joins (`jaccardPairsComplete` /
     * `containmentPairsComplete` — deterministically every pair at the
-    * threshold, the AllPairs/PPJoin bound, no hot-shingle caveat). */
+    * threshold, the AllPairs/PPJoin bound, no hot-shingle caveat).
+    * Incremental twins live on [[streams]]: `jaccardCompleteStream`
+    * (tight thresholds, in-state verify),
+    * `containmentCandidatesStream` and `jaccardCappedStream`
+    * (permissive thresholds, flag→confirm) — same contracts, TTL'd
+    * keyed state. */
   val dedup: DedupOps.type = DedupOps
   /** Brute-force kNN plus the ANN ladder: IVF (fixed or k-means
     * cells), PQ / IVF-PQ (ADC + rerank), SQ8 / IVF-SQ8 int8

@@ -555,9 +555,38 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** The PERMISSIVE-threshold (t = 1/2) dedup contract on the REAL
+    * streaming path, in the flag→confirm split
+    * ([[graft.streaming.StreamOps.jaccardCappedStream]]): documents
+    * replayed through 5 real micro-batches maintain the TTL'd
+    * df-capped id-only inverted index (the batch
+    * [[DedupOps.jaccardPairs]] hot-shingle contract, incremental —
+    * only the HOT set is broadcast), the union of flagged pairs is
+    * exact-verified against the doc store
+    * ([[DedupOps.jaccardForHashed]], full sets incl. hot shingles)
+    * and thresholded at 0.5, and the confirmed set must hash-match
+    * [[dedupNgram]]'s own capped oracle. Completes the streaming
+    * dedup regime split: t = 4/5 runs the COMPLETE prefix index
+    * ([[streamDedupCompleteReplay]]), exploratory t = 1/2 runs this
+    * capped form — same levers as batch. */
+  private val streamDedupCappedReplay = Q(
+    "stream_dedup_capped_replay", dedupNgram.oracle.get) { (s, d) =>
+    val dfStats = DedupOps.hashedShingles(Tables.documents(s, d))
+      .groupBy("h").agg(count(lit(1)).as("gdf"))
+    val cands = graft.streaming.BoundedReplay.replayDocuments(s, d)(docs =>
+      graft.streaming.StreamOps.jaccardCappedStream(docs, dfStats,
+        maxShingleDf = 1000L, tsCol = Some("ts"), ttl = "365 days").toDF())
+      .distinct()
+    DedupOps.jaccardForHashed(cands,
+        DedupOps.hashedShingles(Tables.documents(s, d)))
+      .filter(col("jac") >= 0.5)
+      .orderBy("ai", "bi")
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupNgramComplete,
     dedupSimhash, dedupSimhashBanded,
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
     editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment,
-    streamDedupCompleteReplay, streamContainmentCompleteReplay)
+    streamDedupCompleteReplay, streamContainmentCompleteReplay,
+    streamDedupCappedReplay)
 }

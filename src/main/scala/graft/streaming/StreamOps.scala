@@ -34,6 +34,14 @@ case class ContPrefixRow(h: Long, doc_id: Long, m: Int, isPrefix: Boolean,
 case class ContPosting(id: Long, m: Int, tsUs: Long, isPrefix: Boolean)
 case class ContIndexState(docs: List[ContPosting])
 case class ContCand(ai: Long, bi: Long)
+/** [[StreamOps.jaccardCappedStream]] rows: one row per (COLD hash,
+  * document) — the df-capped inverted index entry. Postings are
+  * id-only (the verify half is downstream, like the containment
+  * split). */
+case class ColdRow(h: Long, doc_id: Long, tsUs: Long,
+    tsw: java.sql.Timestamp)
+case class ColdPosting(id: Long, tsUs: Long)
+case class ColdIndexState(docs: List[ColdPosting])
 /** CUMULATE append-mode state: per-step exact partials (value ×10⁶ as
   * long — the [[graft.Det]] DECIMAL(18,6) grid) + high-water mark of
   * already-emitted sub-window ends. */
@@ -711,6 +719,126 @@ object StreamOps {
           if (posts.isEmpty) state.remove()
           else {
             state.update(ContIndexState(posts))
+            if (tsCol.isDefined && maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        }
+      }
+  }
+
+  /** Streaming CAPPED-candidate Jaccard dedup for PERMISSIVE
+    * thresholds — the TTL'd keyed-state twin of
+    * [[graft.operators.DedupOps.jaccardPairs]]' df-cap contract, in
+    * the flag→confirm split: every pair sharing at least one COLD
+    * shingle (snapshot document frequency ≤ `maxShingleDf`) whose two
+    * documents arrive within `ttl` of each other is flagged when the
+    * later one arrives; exact Jaccard + the threshold are the
+    * downstream verifier's job
+    * ([[graft.operators.DedupOps.jaccardForHashed]] against the doc
+    * store, so reported `jac` is true full-set n-gram Jaccard, hot
+    * shingles included — the batch contract restated incrementally).
+    *
+    * Why this form exists next to [[jaccardCompleteStream]]: the
+    * complete index's prefix fraction is `1 − 2t/(1+t)` — 11% of each
+    * document's shingles at t = 4/5, but 33% at t = 1/2 and growing
+    * toward 100% as t → 0, with candidate mass growing faster (the
+    * 10× stress probe measured 29.6 M candidates at t = 1/2 where
+    * t = 4/5 stayed output-bounded). The EXPLORATORY regime therefore
+    * runs the batch df-cap contract instead: index every shingle
+    * that is NOT boilerplate, and accept that a pair sharing only
+    * hot shingles is missed (it shares only boilerplate — the
+    * documented trade). Only the HOT set is broadcast (the
+    * boilerplate tail — vocabulary metadata, orders of magnitude
+    * smaller than the vocabulary itself), refreshed per epoch from
+    * the doc store like [[jaccardCompleteStream]]'s rarity snapshot;
+    * an unseen shingle is cold by default (new = rare).
+    *
+    * TTL semantics are [[jaccardCompleteStream]]'s: probe-time
+    * per-posting expiry deterministic in the two event times + an
+    * event-time timer for idle keys; `tsCol = None` = no eviction
+    * (the replay/batch face). A complete replay's flagged ∪ verify
+    * then equals the batch capped key exactly —
+    * `stream_dedup_capped_replay` runs under `llm_dedup_ngram`'s own
+    * oracle.
+    *
+    * @note scale: state is the TTL-window's COLD inverted index at
+    *   16 bytes/posting with per-key fan-out bounded by
+    *   `maxShingleDf` (the same Σ min(df,cap)² candidate bound as the
+    *   batch join, incremental); shuffle per batch is one exchange of
+    *   Σ m_i id rows. The hot-set broadcast is |{h : df > cap}|
+    *   longs — the skew killer stays out of the index entirely. */
+  def jaccardCappedStream(docs: DataFrame, dfStats: DataFrame,
+      maxShingleDf: Long = 1000L, n: Int = 3,
+      tsCol: Option[String] = None, ttl: String = "1 hour",
+      delay: String = "10 minutes",
+      maxHotSnapshot: Long = 50000000L): Dataset[ContCand] = {
+    require(maxShingleDf > 0, "need maxShingleDf > 0")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val ttlUs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+      require(iv.months == 0, s"ttl must be a fixed duration, got '$ttl'")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    // hot set only: the boilerplate tail is broadcastable metadata at
+    // any corpus scale; cap it loudly all the same
+    val hotRows = dfStats.filter(col("gdf") > maxShingleDf)
+      .select(col("h").cast("long"))
+    val hotCnt = hotRows.count()
+    require(hotCnt <= maxHotSnapshot,
+      s"hot-shingle set has $hotCnt entries (> $maxHotSnapshot) — raise " +
+        "maxShingleDf (a cap this low marks signal as boilerplate) or " +
+        "raise maxHotSnapshot deliberately")
+    val hot = sp.sparkContext.broadcast(
+      hotRows.collect().map(_.getLong(0)).toSet)
+    val base = tsCol.fold(docs.withColumn("__ts", lit(null).cast("timestamp")))(
+      c => docs.withColumn("__ts", col(c)))
+    val exploded = base
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("__ts"))
+      .filter(size(col("t")) >= n)
+      .withColumn("hs", transform(
+        array_distinct(expr(
+          s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))")),
+        s => graft.functions.Hashes.polyHash(s)))
+      .select(col("doc_id"), col("hs"), col("__ts"))
+      .as[(Long, Seq[Long], java.sql.Timestamp)]
+      .flatMap { case (id, hs, ts) =>
+        val tsUs = if (ts == null) 0L else ts.getTime * 1000L
+        hs.iterator.filterNot(hot.value.contains)
+          .map(h => ColdRow(h, id, tsUs, ts))
+      }
+    val rows = if (tsCol.isDefined) exploded.withWatermark("tsw", delay)
+      else exploded
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.h)
+      .flatMapGroupsWithState[ColdIndexState, ContCand](
+        OutputMode.Append, timeoutConf) { (_, it, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var posts = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ContCand]
+          var maxTsMs = Long.MinValue
+          it.toSeq.sortBy(r => (r.tsUs, r.doc_id)).foreach { r =>
+            if (r.tsw != null) maxTsMs = math.max(maxTsMs, r.tsw.getTime)
+            if (tsCol.isDefined) posts = posts.filter(p => r.tsUs - p.tsUs <= ttlUs)
+            if (!posts.exists(_.id == r.doc_id)) {
+              posts.foreach { pe =>
+                out += ContCand(math.min(pe.id, r.doc_id),
+                  math.max(pe.id, r.doc_id))
+              }
+              posts = ColdPosting(r.doc_id, r.tsUs) :: posts
+            }
+          }
+          if (posts.isEmpty) state.remove()
+          else {
+            state.update(ColdIndexState(posts))
             if (tsCol.isDefined && maxTsMs != Long.MinValue)
               state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
