@@ -53,7 +53,9 @@ object Graft {
     * `saveIvfPqIndex`) with stateless streaming-capable lookup
     * kernels (`knnLookup` brute, `knnIvfSaved` disk-join,
     * `knnLookupIvf` / `knnLookupIvfPq` in-memory), each bit-identical
-    * to its training-side twin. */
+    * to its training-side twin — plus index MAINTENANCE
+    * (`ivfAssignSaved` / `appendToIvfIndex`: stateless streamed
+    * assignment of new vectors, append == rebuild certified). */
   val similarity: SimilarityOps.type = SimilarityOps
   /** Engine-portable mergeable sketch UDAFs (every internal exact
     * integer arithmetic, so results reproduce on ANY engine):

@@ -459,12 +459,83 @@ object SimilarityOps {
     *   serve-side join prunes to the probed cells' files. */
   def saveIvfIndex(df: DataFrame, path: String, nCells: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", trainOn: Option[DataFrame] = None): Unit = {
     val n = normed(df, idCol, vecCol).persist()
-    val cents = detTrainCells(n, nCells, iters)
+    // trainOn: centroids from a designated training corpus (the bulk
+    // epoch) while `df` is what gets indexed — the split the append
+    // maintenance path ([[ivfAssignSaved]]) relies on
+    val nt = trainOn.fold(n)(t => normed(t, idCol, vecCol))
+    val cents = detTrainCells(nt, nCells, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     detAssignCells(n, cents).write.mode("overwrite").parquet(s"$path/assigned")
     n.unpersist()
+    ()
+  }
+
+  /** INDEX MAINTENANCE kernel: assign NEW vectors to their cells in a
+    * [[saveIvfIndex]] index — the stateless ingest half of the ANN
+    * lifecycle (train once → bulk build → APPEND deltas → serve).
+    * The saved centroid table loads once and broadcasts; each arriving
+    * vector routes to its argmax-cosine cell with arithmetic
+    * bit-identical to the batch builder's `detAssignCells` (`vec_dot`
+    * left-to-right sum, `(cos DESC, cid)` tie-break), so rows appended
+    * by [[appendToIvfIndex]] are indistinguishable from rows the bulk
+    * build would have written — append-maintenance loses NOTHING vs a
+    * from-scratch rebuild, which is exactly what
+    * `stream_ann_upsert_replay` hash-certifies. No shuffle, no state:
+    * the same code answers a Structured Streaming delta feed in append
+    * mode within its own micro-batch.
+    *
+    * Returns `(vec_id, v, nrm, cid)` — the `assigned/` table's schema.
+    *
+    * @note scale: per new vector the cost is nCells dot products
+    *   against broadcast metadata (nCells·dim doubles). Centroids are
+    *   deliberately FROZEN between epoch retrains — cell drift under
+    *   append is the standard IVF trade (recall decays as the delta
+    *   distribution shifts; the epoch trainer re-runs offline and
+    *   rebuilds, exactly [[saveIvfIndex]]'s train-once split). */
+  def ivfAssignSaved(newVecs: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("cv"), col("cnrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map(c => (c._1, c._2.toArray, c._3)).sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    normed(newVecs, idCol, vecCol)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val cen = bc.value
+        it.map { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          var bestCos = Double.NegativeInfinity
+          var bestCid = Long.MaxValue
+          cen.foreach { case (cid, cv, cnrm) =>
+            val m = math.min(v.length, cv.length)
+            var s = 0.0
+            var j = 0
+            while (j < m) { s += v(j) * cv(j); j += 1 }
+            val c = s / (nrm * cnrm)
+            if (c > bestCos || (c == bestCos && cid < bestCid)) {
+              bestCos = c; bestCid = cid
+            }
+          }
+          (id, vSeq, nrm, bestCid)
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "cid")
+  }
+
+  /** Append [[ivfAssignSaved]] rows to the index's `assigned/` table —
+    * the commit half of ANN index maintenance. Plain parquet append:
+    * any engine can read the result, and [[knnIvfSaved]] /
+    * [[knnLookupIvf]] serve the maintained index unchanged. */
+  def appendToIvfIndex(assigned: DataFrame, path: String): Unit = {
+    assigned.select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      .write.mode("append").parquet(s"$path/assigned")
     ()
   }
 

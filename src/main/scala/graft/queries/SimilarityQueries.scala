@@ -133,16 +133,21 @@ object SimilarityQueries {
     * step of the ANN family's CMS-ification: probe-all was already
     * verified; now the nprobe < nCells path is too. Recall vs exact
     * additionally spec-gated. */
-  private val knnIvfDet = Q(
-    "llm_knn_ivf_det",
+  /** det-IVF oracle builder, parameterized by the TRAINING subset:
+    * both Lloyd passes run over `nb` (`n` filtered by `trainWhere`)
+    * while the final corpus assignment `af` and the probe routing
+    * `pr` use the FULL `n` — `TRUE` is the classic train-on-everything
+    * form; the append-maintenance key trains on the bulk epoch only. */
+  private def oIvfDetSql(trainWhere: String): String =
     s"""WITH $oNormed,
-       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+       |nb AS (SELECT * FROM n WHERE $trainWhere),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nb ORDER BY vec_id LIMIT 16),
        |a1 AS (SELECT vec_id, v, nrm, cid FROM (
        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
        |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
-       |  FROM n CROSS JOIN c0 c) WHERE rk = 1),
+       |  FROM nb n CROSS JOIN c0 c) WHERE rk = 1),
        |g1 AS (SELECT cid, u.i AS i,
        |         (CAST(sum(CAST(round(v[u.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
        |          / count(*)) / 1000000000.0 AS mean
@@ -156,7 +161,7 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
        |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
-       |  FROM n CROSS JOIN c1 c) WHERE rk = 1),
+       |  FROM nb n CROSS JOIN c1 c) WHERE rk = 1),
        |g2 AS (SELECT cid, u.i AS i,
        |         (CAST(sum(CAST(round(v[u.i + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
        |          / count(*)) / 1000000000.0 AS mean
@@ -183,7 +188,10 @@ object SimilarityQueries {
        |      FROM af a JOIN pr p ON a.cid = p.cid AND a.vec_id != p.qid),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM x)
        |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
-       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+       |ORDER BY qid, rk""".stripMargin
+
+  private val knnIvfDet = Q(
+    "llm_knn_ivf_det", oIvfDetSql("TRUE")) { (s, d) =>
     SimilarityOps.knnIvfDet(Tables.embeddings(s, d),
         isQuery = col("vec_id") < 5, nCells = 16, iters = 2, nprobe = 4, k = 10)
       .orderBy("qid", "rk")
@@ -225,6 +233,34 @@ object SimilarityQueries {
     graft.streaming.BoundedReplay.replayEmbeddings(s, d)(emb =>
       SimilarityOps.knnLookupIvf(emb.filter(col("vec_id") < 5), path,
         nprobe = 4, k = 10))
+      .orderBy("qid", "rk")
+  }
+
+  /** ANN INDEX MAINTENANCE on the REAL streaming runtime — the append
+    * half of the lifecycle, hash-certified lossless: the index bulk-
+    * builds from the FIRST 400 vectors only
+    * ([[SimilarityOps.saveIvfIndex]] — centroids trained on the bulk
+    * epoch, the production "train before the delta exists" shape),
+    * the remaining vectors arrive as a 5-micro-batch STREAM through
+    * the stateless assignment kernel
+    * ([[SimilarityOps.ivfAssignSaved]] — broadcast centroids, argmax
+    * cell, arithmetic bit-identical to the bulk builder), are
+    * APPENDED as plain parquet ([[SimilarityOps.appendToIvfIndex]]),
+    * and the MAINTAINED index serves k-NN — hash-matching the oracle
+    * that rebuilds both Lloyd passes over the bulk epoch, assigns the
+    * FULL corpus, routes and reranks in SQL. Append == rebuild,
+    * cross-engine-verified: streamed upsert loses nothing. */
+  private val streamAnnUpsertReplay = Q(
+    "stream_ann_upsert_replay", oIvfDetSql("vec_id < 400")) { (s, d) =>
+    val path = graft.Scratch.dirString("graft-ivf-upsert")
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.saveIvfIndex(emb.filter(col("vec_id") < 400), path,
+      nCells = 16, iters = 2)
+    val delta = graft.streaming.BoundedReplay.replayEmbeddings(s, d)(embS =>
+      SimilarityOps.ivfAssignSaved(embS.filter(col("vec_id") >= 400), path))
+    SimilarityOps.appendToIvfIndex(delta, path)
+    SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
       .orderBy("qid", "rk")
   }
 
@@ -652,7 +688,8 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, hybridRrf, embCos,
     embCosBlocked, knnIvf, knnIvfDet,
-    knnIvfSaved, streamKnnIvfServeReplay, knnPqDet, knnIvfPqDet,
+    knnIvfSaved, streamKnnIvfServeReplay, streamAnnUpsertReplay,
+    knnPqDet, knnIvfPqDet,
     streamKnnIvfPqServeReplay, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)

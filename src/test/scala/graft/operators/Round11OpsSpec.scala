@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins for the round-11 additions: ANN index maintenance (the
+  * streamed-append half of the lifecycle) — the assignment kernel is
+  * bit-identical to the bulk builder, and append-maintenance equals a
+  * from-scratch rebuild.
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("ivfAssignSaved is bit-identical to the bulk builder's assignment") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-asg-spec").toString
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
+    val bulk = spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "cid", "nrm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val kernel = SimilarityOps.ivfAssignSaved(emb, path)
+      .select("vec_id", "cid", "nrm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(kernel == bulk,
+      s"kernel/bulk disagree on ${(kernel -- bulk).size + (bulk -- kernel).size} rows")
+  }
+
+  test("append-maintenance equals a from-scratch rebuild (index AND serve output)") {
+    val base = emb.filter(col("vec_id") < 30)
+    val delta = emb.filter(col("vec_id") >= 30)
+    // maintained: bulk-build on base, stream-assign + append the delta
+    val maintained = java.nio.file.Files.createTempDirectory("ivf-maint").toString
+    SimilarityOps.saveIvfIndex(base, maintained, nCells = 8, iters = 2)
+    SimilarityOps.appendToIvfIndex(
+      SimilarityOps.ivfAssignSaved(delta, maintained), maintained)
+    // rebuilt: one-shot index over everything, trained on the SAME base
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    SimilarityOps.saveIvfIndex(emb, rebuilt, nCells = 8, iters = 2,
+      trainOn = Some(base))
+    def assigned(p: String) = spark.read.parquet(s"$p/assigned")
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assigned(maintained) == assigned(rebuilt),
+      "appended index must equal the from-scratch build row for row")
+    def serve(p: String) = SimilarityOps.knnIvfSaved(emb, p,
+        isQuery = col("vec_id") < 5, nprobe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(serve(maintained) == serve(rebuilt),
+      "serving the maintained index must be bit-identical to the rebuild")
+  }
+
+  test("empty delta appends are safe; missing centroids fail loudly") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
+    val before = spark.read.parquet(s"$path/assigned").count()
+    SimilarityOps.appendToIvfIndex(
+      SimilarityOps.ivfAssignSaved(emb.filter(col("vec_id") < 0), path), path)
+    assert(spark.read.parquet(s"$path/assigned").count() == before)
+    val e = intercept[Exception] {
+      SimilarityOps.ivfAssignSaved(emb,
+        java.nio.file.Files.createTempDirectory("no-index").toString + "/nope")
+    }
+    assert(e != null)
+  }
+}
