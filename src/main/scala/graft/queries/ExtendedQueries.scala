@@ -1841,6 +1841,63 @@ object ExtendedQueries {
       .orderBy("ws_us", "rnk")
   }
 
+  /** PORTABLE DISTINCT COUNTS PER TUMBLING WINDOW — the windowed form
+    * of [[aggKmvMergeable]], completing the per-window portable sketch
+    * family next to [[streamTopkWindowPortable]]: per-day
+    * [[graft.functions.SketchAggregators.BottomK]] KMV sketches (the
+    * bottom-k set is the merge unit — union + re-trim is associative,
+    * so the identical shape runs as a watermarked streaming agg), the
+    * k-th-minimum estimator as one IEEE division, and EXACT counts
+    * whenever a window holds fewer than k distinct users (the
+    * degenerate regime — KMV's advantage over HLL here: daily windows
+    * sit at hundreds of users where raw HLL is in its small-range
+    * bias regime, while KMV is simply exact). Every step cross-engine
+    * arithmetic, so the oracle rebuilds the per-window bottom-k sets
+    * and both estimator branches — `hash_match` where a DataSketches
+    * windowed approx-distinct could only be rows-only.
+    *
+    * @note scale: state per window is ≤ k hashes however many events
+    *   stream in — the daily-active-users shape a 100 TB deployment
+    *   keeps per (segment, day) and rolls up across days by
+    *   union+trim without re-reading history; above k distinct the
+    *   estimator's relative error is ~1/√(k−1) ≈ 6%. */
+  private val streamDistinctWindowPortable = Q(
+    "stream_distinct_window_portable",
+    s"""WITH ev AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws_us, user_id
+       |           FROM events),
+       |h AS (SELECT DISTINCT ws_us,
+       |    ${graft.functions.SketchAggregators.BottomK.oHash("user_id")} AS h
+       |  FROM ev),
+       |rk AS (SELECT ws_us, h,
+       |    row_number() OVER (PARTITION BY ws_us ORDER BY h) AS rk
+       |  FROM h),
+       |sk AS (SELECT ws_us, h FROM rk WHERE rk <= 256)
+       |SELECT ws_us,
+       |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+       |       ELSE round(547608329985.0 / CAST(max(h) AS DOUBLE), 4)
+       |  END AS est_distinct
+       |FROM sk GROUP BY 1 ORDER BY ws_us""".stripMargin) { (s, d) =>
+    import graft.functions.SketchAggregators
+    val sp = s
+    import sp.implicits._
+    val k = 256
+    val kmv = new SketchAggregators.BottomK(k)
+    // 255 · (2³¹−1) — exact below 2⁵³, matching the oracle's literal
+    val scale = 255.0 * 2147483647.0
+    Tables.events(s, d)
+      .select(expr("unix_micros(ts) - unix_micros(ts) % 86400000000").as("ws_us"),
+        col("user_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(kmv.toColumn.name("sk"))
+      .toDF("ws_us", "sk")
+      .select(col("ws_us"),
+        when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(round(lit(scale) / element_at(col("sk"), k).cast("double"), 4))
+          .as("est_distinct"))
+      .orderBy("ws_us")
+  }
+
   /** Boolean aggregates (ALL/ANY predicates per group). */
   private val aggBool = Q(
     "agg_bool",
@@ -1924,6 +1981,7 @@ object ExtendedQueries {
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggTopkPortable, aggThetaRetention,
     streamTopkWindow, streamTopkWindowPortable,
+    streamDistinctWindowPortable,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
     aggKmvSetops, aggHistMergeable, aggKmvRetention, aggSketchBundle,

@@ -51,6 +51,26 @@ class Round11OpsSpec extends SparkSpec {
       "serving the maintained index must be bit-identical to the rebuild")
   }
 
+  test("stream_distinct_window_portable: per-window estimates track exact distinct counts") {
+    val sfq = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("stream_distinct_window_portable")(spark, sfq)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sfq)
+      .select(expr("unix_micros(ts) - unix_micros(ts) % 86400000000").as("ws_us"),
+        col("user_id"))
+      .groupBy("ws_us").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet, "one sketch row per window")
+    // k=256 bottom-k: EXACT below k distinct, ~1/√(k−1) ≈ 6% (3σ 20%) above
+    rows.foreach { case (w, est) =>
+      val n = exact(w).toDouble
+      if (n < 256) assert(est == n, s"window $w must be exact below k: $est vs $n")
+      else assert(math.abs(est - n) <= 0.20 * n,
+        s"window $w: est $est vs exact $n drifts past 3 sigma")
+    }
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
