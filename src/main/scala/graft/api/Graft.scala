@@ -48,7 +48,8 @@ object Graft {
     * quantization, and the deterministic-training certification tier
     * (`knnIvfDet` / `knnPqDet` / `knnIvfPqDet` — exact-BIGINT Lloyd
     * re-centering, cross-engine reproducible end to end); embedding
-    * near-dup kernels (broadcast / blocked grid / LSH banding); and
+    * near-dup kernels (broadcast / blocked grid / LSH banding /
+    * SemDeDup det-cell blocking); and
     * the SERVING tier — parquet index persistence (`saveIvfIndex` /
     * `saveIvfPqIndex`) with stateless streaming-capable lookup
     * kernels (`knnLookup` brute, `knnIvfSaved` disk-join,

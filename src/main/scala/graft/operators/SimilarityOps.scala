@@ -539,6 +539,46 @@ object SimilarityOps {
     ()
   }
 
+  /** CELL-BLOCKED embedding near-dup — the SemDeDup-shaped semantic
+    * dedup route (Abbas et al., arXiv:2303.09540: cluster the
+    * embedding space, search for duplicates only WITHIN each
+    * cluster): vectors det-k-means-assign to `nCells` cells
+    * ([[knnIvfDet]]'s deterministic trainer, so the whole pipeline is
+    * oracle-rebuildable), and exact pairwise cosine runs per cell —
+    * quadratic only in the CELL population, never the corpus.
+    * Returns `(ai, bi, cos ≥ minCosine)` for same-cell pairs.
+    *
+    * Recall contract: a pair is found iff BOTH vectors land in the
+    * same cell — near-identical vectors route together except
+    * boundary-straddling pairs (the SemDeDup trade; raise `nprobe`-
+    * style recall by lowering `nCells`, or run [[rhpNearDups]] for
+    * the probabilistic any-pair route and [[cosineNearDups]] for the
+    * exact kernel below its cap). Within-cell recall is COMPLETE —
+    * `llm_dedup_embcell`'s oracle replays training, assignment and
+    * the in-cell join, and the spec pins the subset/coverage
+    * relations against the exact kernel.
+    *
+    * @note scale: one shuffle on `cid`; per-cell cost is
+    *   Σ |cell|²/2 dot products — at balanced cells corpus²/(2·nCells)
+    *   vs the kernel's corpus²/2, and `nCells` scales with corpus so
+    *   per-cell populations stay bounded (the SemDeDup paper runs
+    *   100k clusters over web-scale corpora). A hot cell (mass near a
+    *   centroid) is the skew risk: re-train with higher `nCells`, or
+    *   sub-split the offender — the standard IVF imbalance levers. */
+  def cosineNearDupsCelled(df: DataFrame, minCosine: Double,
+      nCells: Int = 16, iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol).persist()
+    val a = detAssignCells(n, detTrainCells(n, nCells, iters))
+    a.as("a").hint("shuffle_hash")
+      .join(a.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(expr("vec_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= minCosine)
+      .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"), col("cos"))
+  }
+
   /** Serve kNN queries from a [[saveIvfIndex]] index: route each query
     * to its `nprobe` nearest saved centroids, hash-join the probed
     * cells' members, exact-rerank — the online half. Query vectors

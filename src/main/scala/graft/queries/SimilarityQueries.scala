@@ -121,6 +121,29 @@ object SimilarityQueries {
       .orderBy("ai", "bi")
   }
 
+  /** SemDeDup-shaped CELL-BLOCKED near-dup
+    * ([[SimilarityOps.cosineNearDupsCelled]]): det-k-means cells
+    * partition the embedding space and exact pairwise cosine runs
+    * only WITHIN cells — quadratic in the cell population, never the
+    * corpus (the scale route between the capped broadcast kernel and
+    * the probabilistic LSH). Same 0.45 threshold as [[embCos]], so
+    * the two keys bracket the route's recall trade on identical
+    * ground; the oracle replays det training, assignment and the
+    * in-cell join end to end. */
+  private val embCosCelled = Q(
+    "llm_dedup_embcell",
+    s"""WITH $oNormed,
+       |${oIvfTrainCtes("TRUE")},
+       |p AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |        round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+       |              / (a.nrm * b.nrm), 6) AS cos
+       |      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT ai, bi, cos FROM p WHERE cos >= 0.45 ORDER BY ai, bi""".stripMargin) { (s, d) =>
+    SimilarityOps.cosineNearDupsCelled(Tables.embeddings(s, d),
+        minCosine = 0.45, nCells = 16, iters = 2)
+      .orderBy("ai", "bi")
+  }
+
   /** IVF with the SHORTLIST under the hash oracle
     * ([[SimilarityOps.knnIvfDet]]): the rows-only `llm_knn_ivf` key
     * exists because float-partial Lloyd training is order-dependent at
@@ -133,14 +156,13 @@ object SimilarityQueries {
     * step of the ANN family's CMS-ification: probe-all was already
     * verified; now the nprobe < nCells path is too. Recall vs exact
     * additionally spec-gated. */
-  /** det-IVF oracle builder, parameterized by the TRAINING subset:
-    * both Lloyd passes run over `nb` (`n` filtered by `trainWhere`)
-    * while the final corpus assignment `af` and the probe routing
-    * `pr` use the FULL `n` — `TRUE` is the classic train-on-everything
-    * form; the append-maintenance key trains on the bulk epoch only. */
-  private def oIvfDetSql(trainWhere: String): String =
-    s"""WITH $oNormed,
-       |nb AS (SELECT * FROM n WHERE $trainWhere),
+  /** det-IVF training-CTE prefix (`nb` → … → `af`), parameterized by
+    * the TRAINING subset: both Lloyd passes run over `nb` (`n`
+    * filtered by `trainWhere`) while the final corpus assignment `af`
+    * uses the FULL `n`. Shared by the serving oracle ([[oIvfDetSql]])
+    * and the cell-blocked near-dup oracle ([[embCellSql]]). */
+  private def oIvfTrainCtes(trainWhere: String): String =
+    s"""nb AS (SELECT * FROM n WHERE $trainWhere),
        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nb ORDER BY vec_id LIMIT 16),
        |a1 AS (SELECT vec_id, v, nrm, cid FROM (
        |  SELECT n.vec_id, n.v, n.nrm, c.cid,
@@ -175,7 +197,14 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
        |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
-       |  FROM n CROSS JOIN c2 c) WHERE rk = 1),
+       |  FROM n CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
+
+  /** det-IVF serving oracle: [[oIvfTrainCtes]] + probe routing +
+    * exact rerank — `TRUE` is the classic train-on-everything form;
+    * the append-maintenance key trains on the bulk epoch only. */
+  private def oIvfDetSql(trainWhere: String): String =
+    s"""WITH $oNormed,
+       |${oIvfTrainCtes(trainWhere)},
        |pr AS (SELECT qid, qv, qn, cid FROM (
        |  SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qn, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -687,7 +716,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, hybridRrf, embCos,
-    embCosBlocked, knnIvf, knnIvfDet,
+    embCosBlocked, embCosCelled, knnIvf, knnIvfDet,
     knnIvfSaved, streamKnnIvfServeReplay, streamAnnUpsertReplay,
     knnPqDet, knnIvfPqDet,
     streamKnnIvfPqServeReplay, knnIvfProbeAll,

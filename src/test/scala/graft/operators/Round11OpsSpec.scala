@@ -71,6 +71,33 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupsCelled: subset of the exact kernel, complete within cells") {
+    val sfq = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sfq)
+    val celled = SimilarityOps.cosineNearDupsCelled(e, minCosine = 0.45,
+        nCells = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val kernel = SimilarityOps.cosineNearDups(e, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(celled.nonEmpty, "fixture must contain same-cell near-dups")
+    assert(celled.keySet.subsetOf(kernel.keySet),
+      s"celled may never invent pairs: ${celled.keySet -- kernel.keySet}")
+    celled.foreach { case (p, c) =>
+      assert(c == kernel(p), s"cos must match the kernel exactly on $p")
+    }
+    // completeness within cells: every kernel pair whose vectors share
+    // a cell must be found
+    val assigned = {
+      val path = java.nio.file.Files.createTempDirectory("cell-cov").toString
+      SimilarityOps.saveIvfIndex(e, path, nCells = 16, iters = 2)
+      spark.read.parquet(s"$path/assigned")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    }
+    val sameCell = kernel.keySet.filter { case (a, b) => assigned(a) == assigned(b) }
+    assert(sameCell.subsetOf(celled.keySet),
+      s"within-cell recall must be complete; missing=${sameCell -- celled.keySet}")
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
