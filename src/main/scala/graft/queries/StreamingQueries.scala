@@ -901,6 +901,30 @@ object StreamingQueries {
       .orderBy("user_id", "h_us")
   }
 
+  /** Flink `countWindow(n)` on the REAL streaming path
+    * ([[graft.streaming.StreamOps.countWindows]]): per-user blocks of
+    * 10 events in (ts, event_id) order, full buckets emitted as they
+    * fill across 5 real micro-batches, each key's partial tail drained
+    * from the checkpoint ([[graft.streaming.StateFlush.countWindows]])
+    * — streamed ∪ flush hash-matches the batch `window_count_based`
+    * twin's own oracle (sums ride the exact micro-unit grid, so even
+    * the doubles agree bit for bit). */
+  private val streamCountwinReplay = Q(
+    "stream_countwin_replay",
+    s"""SELECT user_id, CAST((rn - 1) // 10 AS INT) AS bucket,
+       |  count(*) AS n, ${Det.osum("value")} AS sum_value
+       |FROM (SELECT user_id, value,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |      FROM events)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEvents(s, d)(
+        ev => graft.streaming.StreamOps.countWindows(ev, n = 10))(
+        ckpt => graft.streaming.StateFlush.countWindows(s, ckpt))
+      .select(col("user_id"), col("bucket"),
+        col("n").cast("long").as("n"), col("sum_value"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** AFTER MATCH SKIP TO NEXT ROW ([[graft.streaming.CepOps.cepSkipToNext]]):
     * each view-start matches its earliest purchase within 2 h — at most
     * one match per start, overlaps allowed. Declarative join + argmin,
@@ -1033,7 +1057,8 @@ object StreamingQueries {
     cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
-    streamCumulateAppend, streamTopnReplay, streamFfillReplay, cepKleene,
+    streamCumulateAppend, streamTopnReplay, streamFfillReplay,
+    streamCountwinReplay, cepKleene,
     cepKleeneUntil, cepKleeneRelaxed, cepMrRelaxed, cepMeasuresRelaxed,
     streamKleeneRelaxedReplay,
     streamMeasuresRelaxedReplay,

@@ -137,6 +137,25 @@ object StateFlush {
       }
   }
 
+  /** Partial-tail drain for a stopped [[StreamOps.countWindows]]
+    * query: each key's in-progress bucket (cnt > 0) emits with its
+    * exact-decimal running sum — streamed full buckets ∪ this tail
+    * equals the batch `window_count_based` twin row for row. */
+  def countWindows(spark: SparkSession,
+      checkpoint: String): Dataset[CountWinRow] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.bucket").as("bucket"),
+        col("value.groupState.cnt").as("cnt"),
+        col("value.groupState.sum6").as("sum6"))
+      .as[(Long, Int, Int, Long)]
+      .filter(_._3 > 0)
+      .map { case (uid, bucket, cnt, s6) =>
+        CountWinRow(uid, bucket, cnt, gapSum4(s6))
+      }
+  }
+
   /** The shared emission rounding of [[StreamOps.gapFillHourlyStream]]:
     * decimal(18,6) micro-units → `round(·, 4)` double, exactly Spark's
     * `round(sum(CAST ... DECIMAL(18,6)), 4)` in the batch oracle. */

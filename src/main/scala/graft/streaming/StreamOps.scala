@@ -9,7 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class FillEvent(user_id: Long, ts_us: Long, event_id: Long, value: Double)
 case class FillState(curHourUs: Long, curTsUs: Long, curEventId: Long, curValue: Double)
 case class FillRow(user_id: Long, h_us: Long, v_fill: Double)
-case class CountWinState(bucket: Int, cnt: Int, sum: Double)
+/** [[StreamOps.countWindows]] rows: the running bucket accumulates
+  * exact decimal micro-units (the [[graft.Det]] DECIMAL(18,6) grid as
+  * a long), so streamed sums equal the batch twin's `Det.dsum` BIT
+  * FOR BIT and the replay key sits under its oracle. */
+case class CountWinEvent(user_id: Long, ts_us: Long, event_id: Long, v6: Long)
+case class CountWinState(bucket: Int, cnt: Int, sum6: Long)
 case class CountWinRow(user_id: Long, bucket: Int, n: Int, sum_value: Double)
 case class WinTopState(counts: Map[Long, Long])
 case class WinTopRow(ws_us: Long, user_id: Long, n: Long, rnk: Int)
@@ -1610,28 +1615,34 @@ object StreamOps {
 
   /** Count-based tumbling windows (Flink `countWindow(n)`): per key,
     * emit one row per completed block of `n` events in arrival order.
-    * State is one (bucket, count, sum) triple per key; a partial final
-    * bucket stays in state (the batch twin `window_count_based` includes
-    * it — same tail caveat as [[forwardFill]]).
+    * State is one (bucket, count, exact-decimal sum) triple per key; a
+    * partial final bucket stays in state and
+    * [[StateFlush.countWindows]] drains it — streamed ∪ flush equals
+    * the batch twin `window_count_based` exactly
+    * (`stream_countwin_replay` gates it under the same oracle).
     * Arrival order within a micro-batch is pinned by sorting on
-    * (ts, event_id), matching the batch twin's ordering. */
+    * (ts, event_id), matching the batch twin's ordering; sums ride the
+    * [[graft.Det]] micro-unit grid so they are order-independent and
+    * cross-engine exact. */
   def countWindows(ev: DataFrame, n: Int = 10): Dataset[CountWinRow] = {
     val sp = ev.sparkSession
     import sp.implicits._
     ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("value"))
-      .as[FillEvent]
+        col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+          lit(1000000L)).cast("long").as("v6"))
+      .as[CountWinEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CountWinState, CountWinRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
         val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-        var st = state.getOption.getOrElse(CountWinState(0, 0, 0.0))
+        var st = state.getOption.getOrElse(CountWinState(0, 0, 0L))
         val out = scala.collection.mutable.ArrayBuffer.empty[CountWinRow]
         evs.foreach { e =>
-          st = CountWinState(st.bucket, st.cnt + 1, st.sum + e.value)
+          st = CountWinState(st.bucket, st.cnt + 1, st.sum6 + e.v6)
           if (st.cnt == n) {
-            out += CountWinRow(uid, st.bucket, st.cnt, st.sum)
-            st = CountWinState(st.bucket + 1, 0, 0.0)
+            out += CountWinRow(uid, st.bucket, st.cnt, StateFlush.gapSum4(st.sum6))
+            st = CountWinState(st.bucket + 1, 0, 0L)
           }
         }
         state.update(st)

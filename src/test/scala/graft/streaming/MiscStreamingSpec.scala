@@ -72,15 +72,15 @@ class MiscStreamingSpec extends SparkSpec {
     val batch = graft.SparkEntry.queries("window_count_based")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     // streaming emits a bucket only when it FILLS; the batch twin also
-    // carries each user's partial tail bucket
+    // carries each user's partial tail bucket (the flush face drains
+    // it — stream_countwin_replay gates streamed ∪ flush == batch)
     val expected = batch.filter(_._3 == 10L)
     assert(got.map(t => (t._1, t._2, t._3.toLong)).toSet ==
       expected.map(t => (t._1, t._2, t._3)).toSet)
-    // sums: streaming folds raw doubles, batch goes through exact
-    // decimals — equal to 1e-6 at these magnitudes
+    // sums ride the exact micro-unit grid — bit-equal to Det.dsum
     val gotSums = got.map(t => (t._1, t._2) -> t._4).toMap
     expected.foreach { case (u, b, _, s) =>
-      assert(math.abs(gotSums((u, b)) - s) < 1e-6, s"user=$u bucket=$b")
+      assert(gotSums((u, b)) == s, s"user=$u bucket=$b must be bit-exact")
     }
   }
 
