@@ -942,6 +942,17 @@ object StreamOps {
     * never marks an event late — lateness manifests at batch
     * boundaries, exactly like Spark's own watermark advancement.
     *
+    * THE IDLENESS HALF (Flink `withIdleness`): not needed here, by
+    * construction. Flink's watermark is the MIN across source
+    * partitions, so one quiet partition stalls event time for the
+    * whole job unless marked idle; Spark's watermark is
+    * max(observed event time) − delay — a MAX — so an idle key or
+    * partition can never hold it back, and a quiet key's open windows
+    * close off any active key's progress (PerKeyWatermarkSpec pins
+    * this). The divergence to engineer around is the OPPOSITE one
+    * this operator addresses: the global clock dropping a slow key's
+    * fresh events.
+    *
     * @note scale: one long of state per key, one shuffle on the key
     *   ([[PerKeyWatermarkProcessor]]; TTL the state if the keyspace
     *   churns). */

@@ -61,4 +61,43 @@ class PerKeyWatermarkSpec extends SparkSpec {
       }
     }
   }
+
+  test("idle keys never stall Spark's watermark — withIdleness is unnecessary by construction") {
+    // Flink needs `withIdleness` because its watermark is the MIN
+    // across source partitions: one quiet partition stalls event time
+    // for the whole job. Spark's watermark is max(observed event time)
+    // − delay, a MAX — so an idle key can never hold it back: the
+    // active key's progress closes the idle key's open windows.
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("ts"), "1 hour"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .count()
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("count"))
+    val ckpt = Files.createTempDirectory("ckpt-idlewm").toString
+    val q = agg.writeStream.format("memory").queryName("t_idle_wm")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // both keys live in hour 0; then key 1 goes idle FOREVER
+      input.addData((1L, ts(10)), (2L, ts(15)))
+      q.processAllAvailable()
+      // only key 2 advances — 3 h and then 4 h past the idle key
+      input.addData((2L, ts(200)))
+      q.processAllAvailable()
+      input.addData((2L, ts(260)))
+      q.processAllAvailable()
+      val emitted = spark.table("t_idle_wm").collect()
+        .map(_.getLong(0)).toSet
+      assert(emitted.contains(1L),
+        "the IDLE key's hour-0 window must close off the active key's progress")
+      assert(emitted.contains(2L))
+    } finally q.stop()
+  }
 }
