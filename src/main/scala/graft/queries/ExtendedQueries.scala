@@ -1898,6 +1898,61 @@ object ExtendedQueries {
       .orderBy("ws_us")
   }
 
+  /** PORTABLE QUANTILES PER TUMBLING WINDOW — the windowed form of
+    * [[aggHistMergeable]], completing the per-window portable sketch
+    * trio (heavy hitters [[streamTopkWindowPortable]], distinct counts
+    * [[streamDistinctWindowPortable]], now quantiles): per-day
+    * cents-exact 1024-bin histograms over the documented [0, 600)
+    * value domain (`bin = (round(v·100)·1024) div 60000` — pure
+    * integer arithmetic; per-bin counts merge by ADDITION, so the
+    * window is the merge unit and the identical shape runs as a
+    * watermarked streaming agg), p50/p95 read off as the upper edge of
+    * the bin reaching `⌈p·n⌉`. The bin width 600/1024 = 75/128 is an
+    * exact dyadic, so even the double outputs are bit-deterministic
+    * and the oracle rebuilds bins, cumulative ranks and both
+    * estimates per window. Honest error: one bin width (0.586).
+    *
+    * @note scale: ≤ 1024 longs per (partition, window) however many
+    *   events stream in — the per-(segment, day) latency-percentile
+    *   shape, rolled up across days by count addition without
+    *   re-reading history. */
+  private val streamHistWindowPortable = Q(
+    "stream_hist_window_portable",
+    """WITH ev AS (SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS ws_us,
+      |       least(1023, (CAST(round(value * 100) AS BIGINT) * 1024) // 60000) AS bin
+      |     FROM events),
+      |c AS (SELECT ws_us, bin, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |w AS (SELECT ws_us, bin, cnt,
+      |        sum(cnt) OVER (PARTITION BY ws_us ORDER BY bin
+      |                       ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(cnt) OVER (PARTITION BY ws_us) AS n
+      |      FROM c)
+      |SELECT ws_us, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 1 AS DOUBLE)
+      |    * 0.5859375 AS p50_est,
+      |  CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END) + 1 AS DOUBLE)
+      |    * 0.5859375 AS p95_est
+      |FROM w GROUP BY ws_us ORDER BY ws_us""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.events(s, d)
+      .select(expr("unix_micros(ts) - unix_micros(ts) % 86400000000").as("ws_us"),
+        least(lit(1023L),
+          expr("(CAST(round(value * 100) AS BIGINT) * 1024) div 60000")).as("bin"))
+    val cnts = binned.groupBy("ws_us", "bin").agg(count(lit(1)).as("cnt"))
+    cnts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("ws_us")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("ws_us"))))
+      .groupBy("ws_us")
+      .agg(max(col("n")).as("n_rows"),
+        ((min(when(col("cum") >= expr("(n + 1) div 2"), col("bin"))) + 1)
+          .cast("double") * lit(0.5859375)).as("p50_est"),
+        ((min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("bin"))) + 1)
+          .cast("double") * lit(0.5859375)).as("p95_est"))
+      .orderBy("ws_us")
+  }
+
   /** Boolean aggregates (ALL/ANY predicates per group). */
   private val aggBool = Q(
     "agg_bool",
@@ -1981,7 +2036,7 @@ object ExtendedQueries {
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggTopkPortable, aggThetaRetention,
     streamTopkWindow, streamTopkWindowPortable,
-    streamDistinctWindowPortable,
+    streamDistinctWindowPortable, streamHistWindowPortable,
     aggBool, windowLocf, enrichAsync, aggGapFill, stateSessionCapped,
     aggCmsMergeable, aggCmsMeanmin, aggKmvMergeable, aggHllPortable,
     aggKmvSetops, aggHistMergeable, aggKmvRetention, aggSketchBundle,

@@ -98,6 +98,32 @@ class Round11OpsSpec extends SparkSpec {
       s"within-cell recall must be complete; missing=${sameCell -- celled.keySet}")
   }
 
+  test("stream_hist_window_portable: per-window p50/p95 within one bin width of exact") {
+    val sfq = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("stream_hist_window_portable")(spark, sfq)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    val binW = 0.5859375
+    // the histogram's contract is the CEIL-RANK (type-1) percentile:
+    // the estimate is the upper edge of the bin containing the value
+    // at rank ⌈p·n⌉, so v < est ≤ v + binW
+    val byW = Tables.events(spark, sfq)
+      .select(expr("unix_micros(ts) - unix_micros(ts) % 86400000000").as("ws_us"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sorted }
+    assert(rows.keySet == byW.keySet)
+    def rankVal(vs: Array[Double], num: Int, den: Int): Double =
+      vs((num * vs.length + den - 1) / den - 1) // value at rank ⌈p·n⌉
+    rows.foreach { case (w, (p50, p95)) =>
+      val (v50, v95) = (rankVal(byW(w).toArray, 1, 2), rankVal(byW(w).toArray, 95, 100))
+      assert(p50 > v50 - 1e-9 && p50 <= v50 + binW + 1e-9,
+        s"window $w p50: $p50 vs rank value $v50")
+      assert(p95 > v95 - 1e-9 && p95 <= v95 + binW + 1e-9,
+        s"window $w p95: $p95 vs rank value $v95")
+    }
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
