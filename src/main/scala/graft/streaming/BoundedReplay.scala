@@ -1,13 +1,13 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** End-to-end bounded replay harness: runs a REAL Structured Streaming
-  * query (file source → stateful operator → parquet sink) over the
-  * events table split into event-time-ordered micro-batches, then
+  * query (file source → stateful operator → parquet sink) over a
+  * fixture table split into ordered micro-batches, then optionally
   * drains the stopped query's surviving state with the operator's
   * [[StateFlush]] emission. Streamed ∪ flushed is a complete result —
   * so the t2 keys built on this harness put the actual streaming code
@@ -15,7 +15,7 @@ import java.nio.file.Files
   * timers, state-store round-trips, end-of-replay drain) under the
   * DuckDB oracle, not only under specs.
   *
-  * Chunking: the events table is range-split on event time into
+  * Chunking: the table is range-split on its order column into
   * `chunks` files written one at a time while the query runs, so each
   * file becomes one micro-batch and the watermark genuinely advances
   * between batches (a single-file replay would process everything at
@@ -31,55 +31,51 @@ import java.nio.file.Files
   */
 object BoundedReplay {
 
-  /** Replay `op` over the events table in `chunks` event-time-ordered
-    * micro-batches; return streamed output ∪ `flush`(checkpoint).
+  /** Shared replay core: stage `df` into `chunks` files range-split on
+    * `orderCol` (one pass), feed them to a file-source streaming query
+    * built by `op` one rename per trigger, and return streamed output
+    * ∪ `flush`(checkpoint).
     *
-    * @param op    builds the streaming query from the (streaming)
-    *              events frame — same signature as the batch twin, so
-    *              the SAME operator code runs in both modes
-    * @param flush drains the stopped query's surviving state from the
-    *              checkpoint (a [[StateFlush]] method) */
-  def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5)(
-      op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame = {
-    val root = graft.Scratch.dir("graft-replay")
+    * The stream runs in an isolated session with few shuffle/state
+    * partitions: each micro-batch carries 1/chunks of the input, so
+    * the session-wide partition count (sized for full-table batch
+    * queries) would spend the whole batch on per-partition state-store
+    * file I/O — 32 partitions × chunks batches of checkpoint deltas
+    * for kilobytes of state each. The partition count is baked into
+    * the query's checkpoint, so this must be decided here, not by the
+    * caller's conf. (A real deployment sizes it to peak per-batch
+    * volume; 2 keeps multi-partition semantics — partitioned state,
+    * cross-partition watermark, partition-independent results — under
+    * test at the minimum per-batch store overhead: 8 → 2 measured
+    * −20–40% on every replay key, most on the state-heavy dedup
+    * index.) */
+  private def replayCore(spark: SparkSession, df: SparkSession => DataFrame,
+      orderCol: Column, chunks: Int, prefix: String)(
+      op: DataFrame => Dataset[_])(
+      flush: Option[String => Dataset[_]]): DataFrame = {
+    val root = graft.Scratch.dir(prefix)
     val src = Files.createDirectories(root.resolve("src")).toString
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
-
-    // Run the stream in an isolated session with few shuffle/state
-    // partitions: each micro-batch carries 1/chunks of the input, so
-    // the session-wide partition count (sized for full-table batch
-    // queries) would spend the whole batch on per-partition state-store
-    // file I/O — 32 partitions × chunks batches of checkpoint deltas
-    // for kilobytes of state each. The partition count is baked into
-    // the query's checkpoint, so this must be decided here, not by the
-    // caller's conf. (A real deployment sizes it to peak per-batch
-    // volume; 2 keeps multi-partition semantics — partitioned state,
-    // cross-partition watermark, partition-independent results — under
-    // test at the minimum per-batch store overhead: 8 → 2 measured
-    // −20–40% on every replay key, most on the state-heavy dedup
-    // index.)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 2)
-    // 5-batch bounded replay: no restart-from-old-batch scenario, so keep
+    // bounded replay: no restart-from-old-batch scenario, so keep
     // only the latest committed batch of checkpoint/state files
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
-    val ev = Tables.events(ss, sfDir)
-    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+    val base = df(ss)
+    val b = base.agg(min(orderCol).as("lo"), max(orderCol).as("hi")).head()
     val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
     val bucket = least(lit(chunks - 1),
-      floor((unix_micros(col("ts")) - lit(lo)) * lit(chunks.toLong) / lit(span)))
-      .cast("int")
+      floor((orderCol - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
 
     // stage every chunk in ONE range-partitioned pass (per-chunk
     // filter+write jobs would rescan the input `chunks` times), then
     // feed the source dir one rename at a time
     val stage = root.resolve("stage")
-    ev.withColumn("ck", bucket).repartition(col("ck"))
+    base.withColumn("ck", bucket).repartition(col("ck"))
       .write.partitionBy("ck").parquet(stage.toString)
 
-    val streamed = op(ss.readStream.schema(ev.schema).parquet(src))
+    val streamed = op(ss.readStream.schema(base.schema).parquet(src))
     val sinkSchema = streamed.schema
     // coalesce(1) shrinks only the SINK side (state partitioning is
     // fixed by the shuffle above it) — one output file per batch
@@ -102,67 +98,37 @@ object BoundedReplay {
               }
             }
           } finally listing.close()
-          // files of one chunk per trigger → one micro-batch, in time order
+          // files of one chunk per trigger → one micro-batch, in order
           q.processAllAvailable()
         }
       }
     } finally q.stop()
-    spark.read.schema(sinkSchema).parquet(out)
-      .unionByName(flush(ckpt).toDF())
+    val streamedOut = spark.read.schema(sinkSchema).parquet(out)
+    flush.fold(streamedOut)(f => streamedOut.unionByName(f(ckpt).toDF()))
   }
 
-  /** [[replayDocuments]] for the EMBEDDINGS table — the query-stream
+  /** Replay `op` over the EVENTS table in `chunks` event-time-ordered
+    * micro-batches; return streamed output ∪ `flush`(checkpoint).
+    *
+    * @param op    builds the streaming query from the (streaming)
+    *              events frame — same signature as the batch twin, so
+    *              the SAME operator code runs in both modes
+    * @param flush drains the stopped query's surviving state from the
+    *              checkpoint (a [[StateFlush]] method) */
+  def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5)(
+      op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame =
+    replayCore(spark, ss => Tables.events(ss, sfDir),
+      unix_micros(col("ts")), chunks, "graft-replay")(op)(Some(flush))
+
+  /** [[replayEvents]] for the EMBEDDINGS table — the query-stream
     * replay the serving-shape keys run under (synthetic arrival stamp
     * from vec_id, id-ordered chunks, REAL streaming query, no flush —
     * stateless lookups answer within their own micro-batch). */
   def replayEmbeddings(spark: SparkSession, sfDir: String, chunks: Int = 5)(
-      op: DataFrame => Dataset[_]): DataFrame = {
-    val root = graft.Scratch.dir("graft-replay-emb")
-    val src = Files.createDirectories(root.resolve("src")).toString
-    val ckpt = root.resolve("ckpt").toString
-    val out = root.resolve("out").toString
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 2)
-    // 5-batch bounded replay: no restart-from-old-batch scenario, so keep
-    // only the latest committed batch of checkpoint/state files
-    ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
-    val emb = Tables.embeddings(ss, sfDir).withColumn("ts",
-      timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L)))
-    val b = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
-    val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
-    val bucket = least(lit(chunks - 1),
-      floor((col("vec_id") - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
-    val stage = root.resolve("stage")
-    emb.withColumn("ck", bucket).repartition(col("ck"))
-      .write.partitionBy("ck").parquet(stage.toString)
-
-    val streamed = op(ss.readStream.schema(emb.schema).parquet(src))
-    val sinkSchema = streamed.schema
-    val q = streamed.coalesce(1).writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    try {
-      (0 until chunks).foreach { i =>
-        val dir = stage.resolve(s"ck=$i")
-        if (Files.isDirectory(dir)) {
-          val listing = Files.list(dir)
-          try {
-            val files = listing.iterator()
-            var j = 0
-            while (files.hasNext) {
-              val f = files.next()
-              if (f.getFileName.toString.endsWith(".parquet")) {
-                Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
-                j += 1
-              }
-            }
-          } finally listing.close()
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
-    spark.read.schema(sinkSchema).parquet(out)
-  }
+      op: DataFrame => Dataset[_]): DataFrame =
+    replayCore(spark, ss => Tables.embeddings(ss, sfDir).withColumn("ts",
+        timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L))),
+      col("vec_id"), chunks, "graft-replay-emb")(op)(None)
 
   /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
     * replay the streaming dedup family runs under: documents are
@@ -172,56 +138,10 @@ object BoundedReplay {
     * into `chunks` id-ordered micro-batches and fed through a REAL
     * Structured Streaming query. No flush face: the dedup operators
     * emit a pair the moment its second document arrives, so a
-    * complete replay leaves no closable state behind.
-    *
-    * @note scale: same one-pass staging + rename-per-trigger pattern
-    *   as [[replayEvents]]; the per-batch work is the operator's own. */
+    * complete replay leaves no closable state behind. */
   def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5)(
-      op: DataFrame => Dataset[_]): DataFrame = {
-    val root = graft.Scratch.dir("graft-replay-docs")
-    val src = Files.createDirectories(root.resolve("src")).toString
-    val ckpt = root.resolve("ckpt").toString
-    val out = root.resolve("out").toString
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 2)
-    // 5-batch bounded replay: no restart-from-old-batch scenario, so keep
-    // only the latest committed batch of checkpoint/state files
-    ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
-    val docs = Tables.documents(ss, sfDir).withColumn("ts",
-      timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L)))
-    val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
-    val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
-    val bucket = least(lit(chunks - 1),
-      floor((col("doc_id") - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
-    val stage = root.resolve("stage")
-    docs.withColumn("ck", bucket).repartition(col("ck"))
-      .write.partitionBy("ck").parquet(stage.toString)
-
-    val streamed = op(ss.readStream.schema(docs.schema).parquet(src))
-    val sinkSchema = streamed.schema
-    val q = streamed.coalesce(1).writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    try {
-      (0 until chunks).foreach { i =>
-        val dir = stage.resolve(s"ck=$i")
-        if (Files.isDirectory(dir)) {
-          val listing = Files.list(dir)
-          try {
-            val files = listing.iterator()
-            var j = 0
-            while (files.hasNext) {
-              val f = files.next()
-              if (f.getFileName.toString.endsWith(".parquet")) {
-                Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
-                j += 1
-              }
-            }
-          } finally listing.close()
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
-    spark.read.schema(sinkSchema).parquet(out)
-  }
+      op: DataFrame => Dataset[_]): DataFrame =
+    replayCore(spark, ss => Tables.documents(ss, sfDir).withColumn("ts",
+        timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L))),
+      col("doc_id"), chunks, "graft-replay-docs")(op)(None)
 }
