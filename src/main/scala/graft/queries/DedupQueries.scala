@@ -573,7 +573,8 @@ object DedupQueries {
     "stream_dedup_capped_replay", dedupNgram.oracle.get) { (s, d) =>
     val dfStats = DedupOps.hashedShingles(Tables.documents(s, d))
       .groupBy("h").agg(count(lit(1)).as("gdf"))
-    val cands = graft.streaming.BoundedReplay.replayDocuments(s, d)(docs =>
+    val cands = graft.streaming.BoundedReplay.replayDocuments(s, d,
+        sinkPartitions = 8)(docs =>
       graft.streaming.StreamOps.jaccardCappedStream(docs, dfStats,
         maxShingleDf = 1000L, tsCol = Some("ts"), ttl = "365 days").toDF())
       .distinct()

@@ -50,7 +50,7 @@ object BoundedReplay {
     * −20–40% on every replay key, most on the state-heavy dedup
     * index.) */
   private def replayCore(spark: SparkSession, df: SparkSession => DataFrame,
-      orderCol: Column, chunks: Int, prefix: String)(
+      orderCol: Column, chunks: Int, prefix: String, sinkPartitions: Int)(
       op: DataFrame => Dataset[_])(
       flush: Option[String => Dataset[_]]): DataFrame = {
     val root = graft.Scratch.dir(prefix)
@@ -77,9 +77,12 @@ object BoundedReplay {
 
     val streamed = op(ss.readStream.schema(base.schema).parquet(src))
     val sinkSchema = streamed.schema
-    // coalesce(1) shrinks only the SINK side (state partitioning is
-    // fixed by the shuffle above it) — one output file per batch
-    val q = streamed.coalesce(1).writeStream.format("parquet")
+    // coalesce shrinks only the SINK side (state partitioning is
+    // fixed by the shuffle above it) — one output file per batch by
+    // default; high-fan-out operators (candidate flagging emits a row
+    // per shared shingle) raise sinkPartitions so the parquet encode
+    // isn't serialized through one thread
+    val q = streamed.coalesce(sinkPartitions).writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", ckpt).outputMode("append").start()
     try {
@@ -118,7 +121,7 @@ object BoundedReplay {
   def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5)(
       op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.events(ss, sfDir),
-      unix_micros(col("ts")), chunks, "graft-replay")(op)(Some(flush))
+      unix_micros(col("ts")), chunks, "graft-replay", 1)(op)(Some(flush))
 
   /** [[replayEvents]] for the EMBEDDINGS table — the query-stream
     * replay the serving-shape keys run under (synthetic arrival stamp
@@ -128,7 +131,7 @@ object BoundedReplay {
       op: DataFrame => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.embeddings(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L))),
-      col("vec_id"), chunks, "graft-replay-emb")(op)(None)
+      col("vec_id"), chunks, "graft-replay-emb", 1)(op)(None)
 
   /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
     * replay the streaming dedup family runs under: documents are
@@ -139,9 +142,10 @@ object BoundedReplay {
     * Structured Streaming query. No flush face: the dedup operators
     * emit a pair the moment its second document arrives, so a
     * complete replay leaves no closable state behind. */
-  def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5)(
+  def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5,
+      sinkPartitions: Int = 1)(
       op: DataFrame => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.documents(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L))),
-      col("doc_id"), chunks, "graft-replay-docs")(op)(None)
+      col("doc_id"), chunks, "graft-replay-docs", sinkPartitions)(op)(None)
 }

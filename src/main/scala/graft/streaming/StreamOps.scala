@@ -773,7 +773,15 @@ object StreamOps {
     *   `maxShingleDf` (the same Σ min(df,cap)² candidate bound as the
     *   batch join, incremental); shuffle per batch is one exchange of
     *   Σ m_i id rows. The hot-set broadcast is |{h : df > cap}|
-    *   longs — the skew killer stays out of the index entirely. */
+    *   longs — the skew killer stays out of the index entirely.
+    *   Measured at the 10× closed-vocab stress corpus (the regime's
+    *   worst case): the full 5-batch replay + verify lands at ~2.5×
+    *   the batch join's wall clock for the identical 250k-pair output
+    *   — the emission volume IS the batch candidate mass, pushed
+    *   through the state operator row by row. That is the price of
+    *   epoch-replaying the whole corpus; the production fit is the
+    *   incremental regime, where each batch pays only its own
+    *   delta × in-TTL-index candidate mass. */
   def jaccardCappedStream(docs: DataFrame, dfStats: DataFrame,
       maxShingleDf: Long = 1000L, n: Int = 3,
       tsCol: Option[String] = None, ttl: String = "1 hour",
