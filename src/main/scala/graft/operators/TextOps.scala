@@ -154,6 +154,74 @@ object TextOps {
         (coalesce(col("max_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** STREAMING decontamination — the ingest-time contamination
+    * FIREWALL: the held-out benchmark suite's shingle index is
+    * metadata-sized next to a training corpus (exactly the asymmetry
+    * [[decontaminate]]'s broadcast join exploits), so it broadcasts
+    * once and every arriving training document scores its worst
+    * single-eval-doc overlap per row — stateless, no shuffle, the
+    * same `(doc_id, max_shared, contaminated)` verdict the batch form
+    * produces, emitted the moment the document arrives. A complete
+    * replay equals [[decontaminate]] exactly
+    * (`stream_decontaminate_replay` gates it under the same oracle);
+    * in production this runs as a filter stage of the ingest stream,
+    * quarantining contaminated documents before they ever land in the
+    * corpus rather than auditing after the fact.
+    *
+    * Shingle hashing replicates the shared 57-bit polynomial hash
+    * (`poly_hash`) in the closure, so flags agree with the batch
+    * join's bit for bit.
+    *
+    * @note scale: per document the cost is its own shingle count ×
+    *   one hash-map probe; the broadcast is the eval suite's (hash →
+    *   eval ids) postings, capped loudly — benchmark suites are
+    *   thousands of documents against a 100 TB corpus. Refresh the
+    *   broadcast per epoch exactly like the dedup snapshots. */
+  def decontaminateStream(train: DataFrame, evalDocs: DataFrame,
+      minShared: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      maxEvalPostings: Long = 50000000L): DataFrame = {
+    val sp = train.sparkSession
+    import sp.implicits._
+    val evRows = DedupOps.hashedShingles(evalDocs, idCol, textCol, n)
+      .select(col("h"), col("doc_id")).distinct()
+    val cnt = evRows.count()
+    require(cnt <= maxEvalPostings,
+      s"eval index has $cnt (hash, doc) postings (> $maxEvalPostings) — " +
+        "the benchmark suite must stay broadcast-sized; shard the eval " +
+        "set across firewall passes or raise maxEvalPostings deliberately")
+    val idx: Map[Long, Array[Long]] = evRows.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2) }
+    val bc = sp.sparkContext.broadcast(idx)
+    val prime = graft.functions.Hashes.P
+    val nn = n
+    val minS = minShared
+    normalized(train, idCol, textCol)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        // split(" ", -1): Spark's split keeps trailing empty tokens
+        val toks = text.split(" ", -1)
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        val per = scala.collection.mutable.HashMap.empty[Long, Long]
+        if (toks.length >= nn) {
+          var i = 0
+          while (i + nn <= toks.length) {
+            val s = toks.slice(i, i + nn).mkString(" ")
+            var h = 0L
+            var j = 0
+            while (j < s.length) { h = (31L * h + s.charAt(j)) % prime; j += 1 }
+            if (seen.add(h))
+              bc.value.get(h).foreach(_.foreach(e =>
+                per.update(e, per.getOrElse(e, 0L) + 1L)))
+            i += 1
+          }
+        }
+        val mx = if (per.isEmpty) 0L else per.values.max
+        (id, mx, mx >= minS)
+      }
+      .toDF("doc_id", "max_shared", "contaminated")
+  }
+
   /** Bigram language-model quality score with add-one smoothing: each
     * doc's mean log-probability of its bigrams under the corpus LM,
     * `(doc_id, n_bigrams, lm_score)` — the perplexity-style signal used

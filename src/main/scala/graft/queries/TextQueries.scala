@@ -126,6 +126,23 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The contamination FIREWALL on the REAL streaming path
+    * ([[TextOps.decontaminateStream]]): the held-out benchmark's
+    * shingle index broadcasts once, and the training corpus replayed
+    * through 5 micro-batches gets its per-document contamination
+    * verdict at ingest — stateless, so the replay hash-matches the
+    * batch [[decontaminate]] key's own oracle. The production shape:
+    * quarantine contaminated documents BEFORE they land in the
+    * corpus instead of auditing afterwards. */
+  private val streamDecontaminateReplay = Q(
+    "stream_decontaminate_replay", decontaminate.oracle.get) { (s, d) =>
+    val evalDocs = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+    graft.streaming.BoundedReplay.replayDocuments(s, d)(docs =>
+      TextOps.decontaminateStream(
+        docs.filter(col("doc_id") % 50 =!= 0), evalDocs, minShared = 5))
+      .orderBy("doc_id")
+  }
+
   private val lmScore = Q(
     "llm_lm_score",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -423,7 +440,8 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(wordcount, tokenCount, fingerprint, langId, quality,
-    keywordScore, tfidfTop, decontaminate, lmScore, lmHeldout, charEntropy,
+    keywordScore, tfidfTop, decontaminate, streamDecontaminateReplay,
+    lmScore, lmHeldout, charEntropy,
     piiRedact, repFilter, corpusReport, heavyHitters, bpeApply,
     boilerplateNgrams, boilerplateRatio, bpeTrain)
 }

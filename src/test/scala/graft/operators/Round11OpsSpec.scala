@@ -124,6 +124,23 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateStream: one-shot face equals the batch join bit for bit; cap fires") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    val batch = TextOps.decontaminate(train, ev, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamFace = TextOps.decontaminateStream(train, ev, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamFace == batch,
+      s"diff=${(streamFace -- batch) ++ (batch -- streamFace)}")
+    assert(batch.exists(_._3), "fixture must contain contaminated docs")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.decontaminateStream(train, ev, maxEvalPostings = 3L)
+    }
+    assert(e.getMessage.contains("broadcast-sized"))
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
