@@ -113,5 +113,24 @@ object GraphQueries {
     GraphOps.labelPropagation(edges, iters).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, labelProp)
+  /** Flink `DataStream#iterate` — the item every prior round's gap
+    * list called an ENGINE CEILING — realized on the streaming runtime
+    * via [[graft.streaming.FeedbackIterate]]: a foreachBatch sink
+    * writing its emissions back into its own file source forms the
+    * iteration edge, and micro-batch boundaries are the synchronous
+    * BSP round barriers. Three message-passing LPA rounds run as
+    * three cyclic micro-batches, final labels drained from the
+    * checkpoint state — hash-matching [[labelProp]]'s own unrolled
+    * oracle, so the cyclic construction is certified equal to the
+    * batch iterate loop. */
+  private val streamIterateLpa = Q(
+    "stream_iterate_lpa", labelProp.oracle.get) { (s, d) =>
+    val edges = TextOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    graft.streaming.FeedbackIterate.labelPropagation(s, edges, iters)
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, labelProp, streamIterateLpa)
 }

@@ -141,6 +141,24 @@ class Round11OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("broadcast-sized"))
   }
 
+  test("FeedbackIterate: cyclic streaming LPA equals the batch iterate loop; cap fires") {
+    val edges = TextOps.bigrams(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    val batch = GraphOps.labelPropagation(edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val streamed = graft.streaming.FeedbackIterate.labelPropagation(spark, edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      s"cyclic run must equal batch; diff=${(streamed -- batch) ++ (batch -- streamed)}")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.FeedbackIterate.labelPropagation(spark, edges,
+        maxAdjacencyEdges = 3L)
+    }
+    assert(e.getMessage.contains("GraphOps.labelPropagation"),
+      "the cap must name the distributed batch route")
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
