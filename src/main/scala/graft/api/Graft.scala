@@ -84,7 +84,10 @@ object Graft {
   val streams: StreamOps.type = StreamOps
   /** Context-window chunking + token-budget sequence packing. */
   val pack: PackOps.type = PackOps
-  /** Iterative graph analytics (integer-exact PageRank, triangles). */
+  /** Iterative graph analytics (integer-exact PageRank, triangles).
+    * Cyclic STREAMING iteration (Flink `DataStream#iterate`) lives at
+    * [[graft.streaming.FeedbackIterate]] — the feedback-file
+    * construction, certified equal to the batch iterate loop. */
   val graph: GraphOps.type = GraphOps
   /** Snapshot differencing + SCD2 historization from a changelog. */
   val diff: DiffOps.type = DiffOps
