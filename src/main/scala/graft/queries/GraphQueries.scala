@@ -132,5 +132,36 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(pagerank, triangles, labelProp, streamIterateLpa)
+  /** Flink `iterateDelta` on the streaming runtime
+    * ([[graft.streaming.FeedbackIterate.connectedComponents]]): a node
+    * re-broadcasts its minimum label only when it CHANGES, so the
+    * cyclic message volume decays and the loop drains itself at the
+    * exact fixpoint — no round bound chosen in advance, exact
+    * components at any graph diameter. Gated against a full
+    * recursive-CTE transitive closure, so the quiescence-terminated
+    * cycle is certified equal to true connected components (not an
+    * iteration-bounded approximation). */
+  private val streamIterateCc = Q(
+    "stream_iterate_cc",
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |big AS (SELECT DISTINCT t[i+1] AS src, t[i+2] AS dst
+      |        FROM toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM big WHERE src <> dst),
+      |sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+      |reach(s, t) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      |  UNION
+      |  SELECT r.s, e.v FROM reach r JOIN sym e ON r.t = e.u)
+      |SELECT s AS node, min(t) AS comp FROM reach GROUP BY 1
+      |ORDER BY node""".stripMargin) { (s, d) =>
+    val edges = TextOps.bigrams(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("w1").as("src"), col("w2").as("dst")).distinct()
+    graft.streaming.FeedbackIterate.connectedComponents(s, edges)
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(pagerank, triangles, labelProp, streamIterateLpa,
+    streamIterateCc)
 }

@@ -159,6 +159,25 @@ class Round11OpsSpec extends SparkSpec {
       "the cap must name the distributed batch route")
   }
 
+  test("FeedbackIterate.connectedComponents: delta iteration reaches the exact fixpoint at any diameter") {
+    val sp = spark
+    import sp.implicits._
+    // two components: a 9-node PATH (diameter 8 — provably beyond any
+    // small fixed round bound) and a triangle, plus a self-loop-only
+    // node that must be excluded by the canonicalization
+    val edges = (
+      (1 to 8).map(i => (s"p$i", s"p${i + 1}")) ++
+        Seq(("t1", "t2"), ("t2", "t3"), ("t3", "t1"), ("z", "z"))
+      ).toDF("src", "dst")
+    val got = graft.streaming.FeedbackIterate.connectedComponents(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected =
+      (1 to 9).map(i => s"p$i" -> "p1").toMap ++
+        Seq("t1" -> "t1", "t2" -> "t1", "t3" -> "t1")
+    assert(got == expected,
+      s"min-label fixpoint must label every node; got $got")
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
