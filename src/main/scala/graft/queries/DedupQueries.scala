@@ -555,6 +555,95 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** The WHOLE training-data pipeline as ONE composed, hash-verified
+    * program — the capstone "switch your engine" exhibit: benchmark
+    * split-off → exact dedup (sha256 keep-first) → COMPLETE near-dup
+    * clustering at t = 4/5 (prefix-filtered join + connected
+    * components, keep each cluster's min id) → decontamination
+    * against the held-out suite → quality floor → deterministic 50%
+    * hash sample → per-source corpus report. Every stage is an
+    * already-verified library operator; this key certifies their
+    * COMPOSITION (column contracts, filter interactions, determinism
+    * end to end) against an oracle that restates all six stages —
+    * including the recursive-CTE transitive closure and the brute
+    * force near-dup join.
+    * @note scale: the composed plan keeps each stage's own scale
+    *   shape — one content-hash shuffle, the prefix-bounded candidate
+    *   join, a broadcast eval index, narrow projections, and a
+    *   metadata-sized report agg. Nothing widens at composition. */
+  private val pipelineFull = Q(
+    "llm_pipeline_full",
+    s"""WITH RECURSIVE
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |tr AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       |k1 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |    FROM tr) WHERE rn = 1),
+       |toks AS (SELECT t.doc_id, string_split(t.text, ' ') AS tt
+       |         FROM tr t JOIN k1 USING (doc_id)),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(tt) - 2),
+       |         i -> concat_ws(' ', tt[i+1], tt[i+2], tt[i+3])))) AS sh FROM toks),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |p AS (SELECT ai, bi FROM inter
+       |      JOIN sz sa ON sa.doc_id = ai JOIN sz sb ON sb.doc_id = bi
+       |      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+       |e AS (SELECT ai AS s, bi AS t FROM p UNION SELECT bi, ai FROM p),
+       |reach(s, t) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s),
+       |cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY 1),
+       |k2 AS (SELECT k1.doc_id FROM k1 LEFT JOIN cl USING (doc_id)
+       |       WHERE coalesce(cl.cluster_id, k1.doc_id) = k1.doc_id),
+       |etoks AS (SELECT doc_id, string_split(text, ' ') AS tt FROM ev),
+       |esh AS (SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(range(len(tt) - 2),
+       |          i -> concat_ws(' ', tt[i+1], tt[i+2], tt[i+3])))) AS sh FROM etoks),
+       |tsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN k2 USING (doc_id)),
+       |ov AS (SELECT tsh.doc_id, esh.eval_id, count(*) AS c
+       |       FROM tsh JOIN esh USING (sh) GROUP BY 1, 2),
+       |mx AS (SELECT doc_id, max(c) AS mxs FROM ov GROUP BY 1),
+       |k3 AS (SELECT k2.doc_id FROM k2 LEFT JOIN mx USING (doc_id)
+       |       WHERE coalesce(mx.mxs, 0) < 5),
+       |q AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |  CAST(floor(1000000 * (
+       |    0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |    + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |                   / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0))) AS BIGINT) AS score_u
+       |  FROM tr),
+       |k4 AS (SELECT k3.doc_id FROM k3 JOIN q USING (doc_id) WHERE q.score_u >= 500000),
+       |k5 AS (SELECT doc_id FROM k4
+       |       WHERE ${graft.operators.SampleOps.oIdHash("doc_id")} < CAST(floor(0.5 * 2147483648) AS BIGINT))
+       |SELECT d.source, count(*) AS n_docs, CAST(sum(q.n_tok) AS BIGINT) AS n_tok_total
+       |FROM k5 JOIN documents d USING (doc_id) JOIN q USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.SampleOps
+    val docs = Tables.documents(s, d)
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    val tr = docs.filter(col("doc_id") % 50 =!= 0)
+    val d1 = tr.join(
+      DedupOps.exactDedup(tr).select(col("kept").as("doc_id")), "doc_id")
+    val pairs = DedupOps.jaccardPairsComplete(d1, tNum = 4, tDen = 5)
+      .select("ai", "bi")
+    val d2 = d1.join(DedupOps.connectedComponents(pairs, d1), "doc_id")
+      .filter(col("cluster_id") === col("doc_id")).drop("cluster_id")
+    val d3 = d2.join(
+      graft.operators.TextOps.decontaminate(d2, ev, minShared = 5)
+        .filter(!col("contaminated")).select("doc_id"), "doc_id")
+    val d4 = d3.join(graft.operators.TextOps.quality(tr), "doc_id")
+      .filter(col("score_u") >= 500000L)
+    SampleOps.hashSample(d4, rate = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tok_total"))
+      .orderBy("source")
+  }
+
   /** The PERMISSIVE-threshold (t = 1/2) dedup contract on the REAL
     * streaming path, in the flag→confirm split
     * ([[graft.streaming.StreamOps.jaccardCappedStream]]): documents
@@ -589,5 +678,5 @@ object DedupQueries {
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
     editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment,
     streamDedupCompleteReplay, streamContainmentCompleteReplay,
-    streamDedupCappedReplay)
+    streamDedupCappedReplay, pipelineFull)
 }
