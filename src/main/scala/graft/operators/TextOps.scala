@@ -183,6 +183,26 @@ object TextOps {
       maxEvalPostings: Long = 50000000L): DataFrame = {
     val sp = train.sparkSession
     import sp.implicits._
+    val bc = contaminationIndex(sp, evalDocs, idCol, textCol, n, maxEvalPostings)
+    val nn = n
+    val minS = minShared
+    normalized(train, idCol, textCol)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val mx = worstOverlap(bc.value, text, nn)
+        (id, mx, mx >= minS)
+      }
+      .toDF("doc_id", "max_shared", "contaminated")
+  }
+
+  /** Broadcast the benchmark suite's `(shingle hash → eval ids)`
+    * postings — the firewall's shared index, loudly capped (benchmark
+    * suites are metadata next to a training corpus). */
+  private[graft] def contaminationIndex(sp: org.apache.spark.sql.SparkSession,
+      evalDocs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxEvalPostings: Long)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]] = {
+    import sp.implicits._
     val evRows = DedupOps.hashedShingles(evalDocs, idCol, textCol, n)
       .select(col("h"), col("doc_id")).distinct()
     val cnt = evRows.count()
@@ -192,34 +212,33 @@ object TextOps {
         "set across firewall passes or raise maxEvalPostings deliberately")
     val idx: Map[Long, Array[Long]] = evRows.as[(Long, Long)].collect()
       .groupBy(_._1).map { case (h, rows) => h -> rows.map(_._2) }
-    val bc = sp.sparkContext.broadcast(idx)
+    sp.sparkContext.broadcast(idx)
+  }
+
+  /** Per-document worst single-eval-doc shingle overlap against a
+    * [[contaminationIndex]] — `poly_hash` replicated in the closure so
+    * verdicts match the batch join bit for bit. */
+  private[graft] def worstOverlap(idx: Map[Long, Array[Long]],
+      text: String, n: Int): Long = {
     val prime = graft.functions.Hashes.P
-    val nn = n
-    val minS = minShared
-    normalized(train, idCol, textCol)
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        // split(" ", -1): Spark's split keeps trailing empty tokens
-        val toks = text.split(" ", -1)
-        val seen = scala.collection.mutable.HashSet.empty[Long]
-        val per = scala.collection.mutable.HashMap.empty[Long, Long]
-        if (toks.length >= nn) {
-          var i = 0
-          while (i + nn <= toks.length) {
-            val s = toks.slice(i, i + nn).mkString(" ")
-            var h = 0L
-            var j = 0
-            while (j < s.length) { h = (31L * h + s.charAt(j)) % prime; j += 1 }
-            if (seen.add(h))
-              bc.value.get(h).foreach(_.foreach(e =>
-                per.update(e, per.getOrElse(e, 0L) + 1L)))
-            i += 1
-          }
-        }
-        val mx = if (per.isEmpty) 0L else per.values.max
-        (id, mx, mx >= minS)
+    // split(" ", -1): Spark's split keeps trailing empty tokens
+    val toks = text.split(" ", -1)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val per = scala.collection.mutable.HashMap.empty[Long, Long]
+    if (toks.length >= n) {
+      var i = 0
+      while (i + n <= toks.length) {
+        val s = toks.slice(i, i + n).mkString(" ")
+        var h = 0L
+        var j = 0
+        while (j < s.length) { h = (31L * h + s.charAt(j)) % prime; j += 1 }
+        if (seen.add(h))
+          idx.get(h).foreach(_.foreach(e =>
+            per.update(e, per.getOrElse(e, 0L) + 1L)))
+        i += 1
       }
-      .toDF("doc_id", "max_shared", "contaminated")
+    }
+    if (per.isEmpty) 0L else per.values.max
   }
 
   /** Bigram language-model quality score with add-one smoothing: each

@@ -644,6 +644,40 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** [[pipelineFull]] with its INGEST half on the REAL streaming
+    * runtime ([[graft.streaming.CleanPipeline.ingestWithFirewall]]):
+    * both per-document ingest decisions — content-hash keep-first
+    * dedup (keyed state) and the contamination-firewall verdict
+    * (broadcast benchmark index) — are made the moment each document
+    * arrives across 5 real micro-batches; the cross-document stages
+    * (complete near-dup clustering, quality floor, deterministic
+    * sample, report) run as the downstream confirm step. Ingest ∪
+    * confirm must hash-match the SAME six-stage oracle as the batch
+    * capstone — the production split of the same pipeline, certified
+    * equal. */
+  private val streamPipelineFullReplay = Q(
+    "stream_pipeline_full_replay", pipelineFull.oracle.get) { (s, d) =>
+    import graft.operators.SampleOps
+    val docs = Tables.documents(s, d)
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    val keepers = graft.streaming.BoundedReplay.replayDocuments(s, d)(stream =>
+      graft.streaming.CleanPipeline.ingestWithFirewall(
+        stream.filter(col("doc_id") % 50 =!= 0), ev, minShared = 5).toDF())
+    val pairs = DedupOps.jaccardPairsComplete(keepers, tNum = 4, tDen = 5)
+      .select("ai", "bi")
+    val k2 = keepers.join(DedupOps.connectedComponents(pairs, keepers), "doc_id")
+      .filter(col("cluster_id") === col("doc_id"))
+    val k3 = k2.filter(!col("contaminated"))
+    val k4 = k3.join(
+        graft.operators.TextOps.quality(k3.select("doc_id", "text")), "doc_id")
+      .filter(col("score_u") >= 500000L)
+    SampleOps.hashSample(k4, rate = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tok_total"))
+      .orderBy("source")
+  }
+
   /** The PERMISSIVE-threshold (t = 1/2) dedup contract on the REAL
     * streaming path, in the flag→confirm split
     * ([[graft.streaming.StreamOps.jaccardCappedStream]]): documents
@@ -678,5 +712,5 @@ object DedupQueries {
     dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
     editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment,
     streamDedupCompleteReplay, streamContainmentCompleteReplay,
-    streamDedupCappedReplay, pipelineFull)
+    streamDedupCappedReplay, pipelineFull, streamPipelineFullReplay)
 }

@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Outp
 /** A document surviving the incremental dedup stage. */
 case class CleanDoc(doc_id: Long, text: String, source: String)
 
+/** A document surviving ingest with its firewall verdict attached. */
+case class IngestDoc(doc_id: Long, text: String, source: String,
+    contaminated: Boolean)
+
 /** Driver-side running per-source corpus report for
   * [[CleanPipeline.pipelineCleanIncremental]]: additive counters, so
   * merging per-batch partials in any order converges to the batch
@@ -63,6 +67,48 @@ object CleanPipeline {
           state.update(true)
           val first = it.minBy(_._1)
           Iterator(CleanDoc(first._1, first._2, first._3))
+        }
+      }
+  }
+
+  /** The INGEST face of the full pipeline: both per-document ingest
+    * decisions made the moment a document arrives — content-hash
+    * keep-first dedup (keyed state, as [[dedupFirstSeenDocs]]) and the
+    * contamination-firewall verdict (stateless, against the broadcast
+    * benchmark index) — emitting each surviving first-seen document
+    * with its verdict attached. The cross-document stages
+    * (near-dup clustering, quality floor, sampling, report) run as
+    * the downstream confirm step against the doc store the ingest is
+    * appending to anyway — exactly the flag→confirm split the
+    * streaming dedup family documents. `stream_pipeline_full_replay`
+    * gates the whole composition: 5-micro-batch ingest ∪ downstream
+    * confirm hash-matches `llm_pipeline_full`'s six-stage oracle.
+    *
+    * @note scale: one shuffle on the content hash (state = one
+    *   boolean per distinct hash); the firewall is a per-row map
+    *   against broadcast metadata. Nothing here widens with corpus
+    *   size beyond the dedup seen-set. */
+  def ingestWithFirewall(docs: DataFrame, evalDocs: DataFrame,
+      minShared: Int = 5): Dataset[IngestDoc] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val bc = TextOps.contaminationIndex(sp, evalDocs,
+      "doc_id", "text", 3, 50000000L)
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"),
+        sha2(col("text"), 256).as("h"))
+      .as[(Long, String, String, String)]
+      .map { case (id, text, src, h) =>
+        (id, text, src, h,
+          TextOps.worstOverlap(bc.value, text, 3) >= minShared)
+      }
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Boolean, IngestDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          val first = it.minBy(_._1)
+          Iterator(IngestDoc(first._1, first._2, first._3, first._5))
         }
       }
   }

@@ -178,6 +178,23 @@ class Round11OpsSpec extends SparkSpec {
       s"min-label fixpoint must label every node; got $got")
   }
 
+  test("ingestWithFirewall: one-shot face == batch keep-first + batch firewall verdicts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val tr = docs.filter(col("doc_id") % 50 =!= 0)
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    val got = graft.streaming.CleanPipeline.ingestWithFirewall(tr, ev, minShared = 5)
+      .collect().map(r => r.doc_id -> r.contaminated).toMap
+    val keepers = DedupOps.exactDedup(tr)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == keepers, "ingest must emit exactly the batch keep-first set")
+    val verdicts = TextOps.decontaminate(tr, ev, minShared = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    got.foreach { case (id, c) =>
+      assert(c == verdicts(id), s"verdict mismatch for doc $id")
+    }
+    assert(got.values.exists(identity), "fixture must contain contaminated keepers")
+  }
+
   test("empty delta appends are safe; missing centroids fail loudly") {
     val path = java.nio.file.Files.createTempDirectory("ivf-empty").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
