@@ -22,7 +22,8 @@ object SparkEntry {
       _root_.graft.queries.SampleQueries.all ++
       _root_.graft.queries.ProfileQueries.all ++
       _root_.graft.queries.GraphQueries.all ++
-      _root_.graft.queries.PackQueries.all
+      _root_.graft.queries.PackQueries.all ++
+      _root_.graft.queries.ViewQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,6 +91,15 @@ object Graft {
   val graph: GraphOps.type = GraphOps
   /** Snapshot differencing + SCD2 historization from a changelog. */
   val diff: DiffOps.type = DiffOps
+  /** Incremental materialized-view maintenance: signed-multiplicity
+    * changelogs (`rowDeltas`), self-maintaining sum/count views
+    * (`maintainSumView`), and the hybrid min/max form
+    * (`maintainAggView` — incremental for insert-only groups, rescan
+    * PRUNED to delete-touched groups otherwise). The continuous twin
+    * ([[graft.streaming.ViewMaintain]]) maintains a versioned view +
+    * append-only delta log per micro-batch, certified equal to a full
+    * batch rebuild. */
+  val views: graft.operators.ViewOps.type = graft.operators.ViewOps
   /** Interval algebra: per-key interval merging, session-id labeling
     * (gap-only and gap+duration-capped), time-series gap filling. */
   val intervals: IntervalOps.type = IntervalOps

@@ -128,4 +128,23 @@ class GraftApiSpec extends SparkSpec {
       stratumCol = "domain", textCol = "body")
     assert(mix.columns.contains("domain") && mix.count() == 20)
   }
+
+  test("view maintenance accepts custom key/group names via the facade") {
+    val sp = spark
+    import sp.implicits._
+    val oldS = Seq((1L, "a", 2L), (2L, "a", 4L), (3L, "b", 6L))
+      .toDF("rk", "g", "v")
+    val newS = Seq((1L, "a", 2L), (2L, "b", 5L), (4L, "a", 8L))
+      .toDF("rk", "g", "v")
+    val deltas = Graft.views.rowDeltas(oldS, newS, Seq("rk"), Seq("g", "v"))
+    val view0 = oldS.groupBy("g").agg(count(lit(1)).as("cnt"),
+      sum("v").as("sum_v"), min("v").as("min_v"), max("v").as("max_v"))
+    val got = Graft.views.maintainAggView(view0, deltas, newS,
+        Seq("g"), Seq("v"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    val want = newS.groupBy("g").agg(count(lit(1)).as("cnt"),
+      sum("v").as("sum_v"), min("v").as("min_v"), max("v").as("max_v"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.size == 2)
+  }
 }

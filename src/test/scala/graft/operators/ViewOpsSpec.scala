@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for incremental materialized-view maintenance: the signed
+  * changelog taxonomy, sum/count self-maintenance with group vanish,
+  * and the min/max regime split (incremental for insert-only groups,
+  * pruned rescan for delete-touched ones) — maintained == recomputed
+  * across every change class.
+  */
+class ViewOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (id, grp, x) snapshots exercising the full taxonomy:
+  //  id 1 unchanged · id 2 value-update · id 3 delete · id 4 insert
+  //  id 5 group-move (g1 -> g2) · id 6 unchanged (keeps g2 alive)
+  //  id 7 sole row of g3, deleted -> group vanishes
+  private def oldS = Seq(
+    (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+    (5L, "g1", 50L), (6L, "g2", 60L), (7L, "g3", 70L)
+  ).toDF("id", "grp", "x")
+
+  private def newS = Seq(
+    (1L, "g1", 10L), (2L, "g1", 25L),
+    (4L, "g1", 40L), (5L, "g2", 50L), (6L, "g2", 60L)
+  ).toDF("id", "grp", "x")
+
+  private def deltas =
+    ViewOps.rowDeltas(oldS, newS, Seq("id"), Seq("grp", "x"))
+
+  test("rowDeltas emits the minimal signed changelog per change class") {
+    val got = deltas.select("id", "grp", "x", "w")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val want = Set(
+      (2L, "g1", 20L, -1), (2L, "g1", 25L, 1),   // value update: both
+      (3L, "g1", 30L, -1),                       // delete: old, -1
+      (4L, "g1", 40L, 1),                        // insert: new, +1
+      (5L, "g1", 50L, -1), (5L, "g2", 50L, 1),   // group move: both
+      (7L, "g3", 70L, -1))                       // vanish g3
+    assert(got == want)                          // ids 1,6 emit nothing
+  }
+
+  test("maintainSumView: delta merge equals recompute; zero-count groups vanish") {
+    val view0 = oldS.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+    val got = ViewOps.maintainSumView(view0, deltas, Seq("grp"), Seq("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = newS.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && !got.exists(_._1 == "g3"))
+  }
+
+  test("maintainAggView: min/max exact through deletes, moves and vanishes") {
+    val view0 = oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
+      sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+    val got = ViewOps.maintainAggView(view0, deltas, newS,
+        Seq("grp"), Seq("x"), Seq("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = newS.groupBy("grp").agg(count(lit(1)).as("cnt"),
+      sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want)
+  }
+
+  test("maintainAggView insert-only group needs no base access for min/max") {
+    // delta touches g2 with inserts only: extremes must come out right
+    // even when newBase is REPLACED by an empty pruned scan — proving
+    // the insert-only branch never reads the base.
+    val view0 = oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
+      sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+    val insertOnly = Seq((8L, "g2", 5L, 1), (9L, "g2", 99L, 1))
+      .toDF("id", "grp", "x", "w")
+    val emptyBase = newS.filter(lit(false))
+    val g2 = ViewOps.maintainAggView(view0, insertOnly, emptyBase,
+        Seq("grp"), Seq("x"), Seq("x"))
+      .filter($"grp" === "g2")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(g2.toSeq == Seq((3L, 164L, 5L, 99L)))
+  }
+
+  test("streaming maintenance equals the one-shot batch maintain") {
+    val batch = ViewOps.maintainAggView(
+      oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
+        sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x")),
+      deltas, newS, Seq("grp"), Seq("x"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.ViewMaintain.maintainViewStream(
+        spark, oldS, deltas, orderCol = "id", chunks = 3,
+        groupCols = Seq("grp"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+}
