@@ -33,6 +33,7 @@ object ViewQueries {
     import org.apache.spark.sql.expressions.Window
     val li0 = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"),
       round(col("l_quantity") * 100).cast("long").as("qty_c"),
       round(col("l_extendedprice") * 100).cast("long").as("price_c"))
     val li = li0.withColumn("rid", row_number().over(
@@ -40,11 +41,14 @@ object ViewQueries {
         .orderBy("price_c", "qty_c", "l_partkey")))
     val oldS = li.filter(col("l_orderkey") % 7 =!= 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("rid"),
-        col("l_partkey").as("pk"), col("qty_c"), col("price_c"))
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        col("qty_c"), col("price_c"))
     val newS = li.filter(col("l_orderkey") % 5 =!= 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("rid"),
         when(col("l_orderkey") % 9 === 0, col("l_partkey") % 100 + 1)
           .otherwise(col("l_partkey")).as("pk"),
+        when(col("l_orderkey") % 4 === 0, col("l_suppkey") % 10 + 1)
+          .otherwise(col("l_suppkey")).as("sk"),
         (col("qty_c") + when(col("l_orderkey") % 3 === 0, lit(100L))
           .otherwise(lit(0L))).as("qty_c"),
         col("price_c"))
@@ -101,7 +105,8 @@ object ViewQueries {
       val deltas = ViewOps.rowDeltas(oldS, newS,
         keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
         valCols = Seq("pk", "qty_c", "price_c"))
-      graft.streaming.ViewMaintain.maintainViewStream(s, oldS, deltas,
+      graft.streaming.ViewMaintain.maintainViewStream(s, oldS.drop("sk"),
+          deltas,
           orderCol = "l_orderkey", chunks = 5,
           groupCols = Seq("pk"), sumCols = Seq("qty_c"),
           minMaxCols = Seq("price_c"))
@@ -110,5 +115,95 @@ object ViewQueries {
         .orderBy("l_partkey")
     }
 
-  val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream)
+  /** Order snapshots for the join-view key: deletes (`%11 = 0` leave),
+    * inserts (`%13 = 0` arrive), and group reassignments (`%17 = 0`
+    * move to `grp + 50`). `o_orderkey` is unique in the fixture. */
+  private def orderSnapshots(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_custkey") % 50).as("grp0"))
+    val oldA = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("grp0").as("grp"))
+    val newA = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 17 === 0, col("grp0") + 50)
+          .otherwise(col("grp0")).as("grp"))
+    (oldA, newA)
+  }
+
+  private val oracleJoinRecompute =
+    """WITH na AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey % 50 + 50
+      |         ELSE o_custkey % 50 END AS grp
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |nb AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT)
+      |      + CASE WHEN l_orderkey % 3 = 0 THEN 100 ELSE 0 END AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 5 <> 0)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+      |FROM na JOIN nb USING (o_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Aggregate-over-JOIN view maintained from BOTH sides' changelogs
+    * ([[ViewOps.joinViewDeltas]]): `Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    * ΔA⋈ΔB` with product weights, fed to the same sum/count merge —
+    * the fact⋈dim rollup refreshed at delta cost while orders AND
+    * lineitems change under it (deletes, inserts, a dim-side group
+    * move, a fact-side measure update). Oracle: full recompute of the
+    * join aggregate on the two new snapshots. */
+  private val joinViewMaintain = Q(
+    "cdc_join_view_maintain", oracleJoinRecompute) { (s, d) =>
+      val (oldA, newA) = orderSnapshots(s, d)
+      val (oldB0, newB0) = snapshots(s, d)
+      val oldB = oldB0.withColumnRenamed("l_orderkey", "o_orderkey")
+      val newB = newB0.withColumnRenamed("l_orderkey", "o_orderkey")
+      val dA = ViewOps.rowDeltas(oldA, newA,
+        keyCols = Seq("o_orderkey"), valCols = Seq("grp"))
+      val dB = ViewOps.rowDeltas(oldB, newB,
+        keyCols = Seq("o_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("qty_c"))
+      val view0 = oldA.join(oldB, "o_orderkey").groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum(col("qty_c")).as("sum_qty_c"))
+      val dJ = ViewOps.joinViewDeltas(oldA, dA, oldB, dB,
+        joinKeys = Seq("o_orderkey"),
+        aVals = Seq("grp"), bVals = Seq("qty_c"))
+      ViewOps.maintainSumView(view0, dJ, Seq("grp"), Seq("qty_c"))
+        .orderBy("grp")
+    }
+
+  private val oracleDistinct =
+    """WITH n AS (
+      |  SELECT CASE WHEN l_orderkey % 9 = 0 THEN l_partkey % 100 + 1
+      |              ELSE l_partkey END AS pk,
+      |    CASE WHEN l_orderkey % 4 = 0 THEN l_suppkey % 10 + 1
+      |         ELSE l_suppkey END AS sk
+      |  FROM lineitem WHERE l_orderkey % 5 <> 0)
+      |SELECT pk AS l_partkey, CAST(count(DISTINCT sk) AS BIGINT) AS n_distinct
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact per-group DISTINCT counts maintained under deletes, value
+    * reassignments and group moves via the support table
+    * ([[ViewOps.maintainSupport]]) — fully self-maintaining, no base
+    * rescan for any change class. Oracle: `count(DISTINCT sk)` on the
+    * new snapshot. */
+  private val distinctViewMaintain = Q(
+    "cdc_distinct_view_maintain", oracleDistinct) { (s, d) =>
+      val (oldS, newS) = snapshots(s, d)
+      val support0 = oldS.groupBy("pk", "sk")
+        .agg(count(lit(1)).as("mult"))
+      val deltas = ViewOps.rowDeltas(oldS, newS,
+        keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("pk", "sk"))
+      val support1 = ViewOps.maintainSupport(support0, deltas,
+        groupCols = Seq("pk"), valCol = "sk")
+      ViewOps.distinctFromSupport(support1, Seq("pk"))
+        .select(col("pk").as("l_partkey"), col("n_distinct"))
+        .orderBy("l_partkey")
+    }
+
+  val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream,
+    joinViewMaintain, distinctViewMaintain)
 }

@@ -46,6 +46,11 @@ object ViewMaintain {
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String]): DataFrame = {
+    require(deltas.columns.toSet == oldBase.columns.toSet + "w",
+      s"delta schema ${deltas.columns.mkString(",")} must be the base " +
+        s"schema ${oldBase.columns.mkString(",")} plus 'w' — a base " +
+        "column absent from the changelog would read as NULL in the " +
+        "delta log and break full-payload multiset cancellation")
     val root = graft.Scratch.dir("graft-view-maintain")
     val src = Files.createDirectories(root.resolve("src")).toString
     val ckpt = root.resolve("ckpt").toString

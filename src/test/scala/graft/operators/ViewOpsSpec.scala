@@ -85,6 +85,45 @@ class ViewOpsSpec extends SparkSpec {
     assert(g2.toSeq == Seq((3L, 164L, 5L, 99L)))
   }
 
+  test("joinViewDeltas: maintained join aggregate equals recompute on both-side churn") {
+    // A keyed by k; B keyed by (k, i) with two rows per k1
+    val oldA = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "g")
+    val newA = Seq((1L, "x"), (2L, "x"), (4L, "y")).toDF("k", "g")
+    val oldB = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L),
+      (3L, 1L, 40L)).toDF("k", "i", "v")
+    val newB = Seq((1L, 1L, 11L), (2L, 1L, 30L), (2L, 2L, 50L),
+      (4L, 1L, 60L)).toDF("k", "i", "v")
+    val dA = ViewOps.rowDeltas(oldA, newA, Seq("k"), Seq("g"))
+    val dB = ViewOps.rowDeltas(oldB, newB, Seq("k", "i"), Seq("v"))
+    val view0 = oldA.join(oldB, "k").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    val dJ = ViewOps.joinViewDeltas(oldA, dA, oldB, dB,
+      Seq("k"), Seq("g"), Seq("v"))
+    val got = ViewOps.maintainSumView(view0, dJ, Seq("g"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = newA.join(newB, "k").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && !got.exists(_._1 == "z")) // z's join rows all left
+  }
+
+  test("maintainSupport: distinct counts exact under deletes and value moves") {
+    val support0 = oldS.groupBy("grp", "x").agg(count(lit(1)).as("mult"))
+    // reuse the taxonomy deltas: values move with their rows
+    val support1 = ViewOps.maintainSupport(support0, deltas, Seq("grp"), "x")
+    val got = ViewOps.distinctFromSupport(support1, Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = newS.groupBy("grp").agg(countDistinct("x").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && !got.exists(_._1 == "g3"))
+    // multiplicity: two rows sharing (grp, x) must survive one delete
+    val s2 = Seq(("gA", 7L, 2L)).toDF("grp", "x", "mult")
+    val oneDel = Seq((99L, "gA", 7L, -1)).toDF("id", "grp", "x", "w")
+    val after = ViewOps.maintainSupport(s2, oneDel, Seq("grp"), "x")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq == Seq(("gA", 7L, 1L)))
+  }
+
   test("streaming maintenance equals the one-shot batch maintain") {
     val batch = ViewOps.maintainAggView(
       oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
