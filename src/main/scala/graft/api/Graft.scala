@@ -92,10 +92,16 @@ object Graft {
   /** Snapshot differencing + SCD2 historization from a changelog. */
   val diff: DiffOps.type = DiffOps
   /** Incremental materialized-view maintenance: signed-multiplicity
-    * changelogs (`rowDeltas`), self-maintaining sum/count views
-    * (`maintainSumView`), and the hybrid min/max form
-    * (`maintainAggView` — incremental for insert-only groups, rescan
-    * PRUNED to delete-touched groups otherwise). The continuous twin
+    * changelogs (`rowDeltas`; Flink `RowKind` streams adapt via
+    * `rowKindToDeltas`), self-maintaining sum/count views
+    * (`maintainSumView`), the hybrid min/max form (`maintainAggView`
+    * — incremental for insert-only groups, rescan PRUNED to
+    * delete-touched groups otherwise), join views (`joinViewDeltas`
+    * — the three-term product-weight rule), and exact distinct
+    * counts under deletes (`maintainSupport`/`distinctFromSupport`).
+    * Views COMPOSE: a maintained view's own changelog (`rowDeltas`
+    * on its before/after) drives the next level — `cdc_view_cascade`
+    * certifies the rollup-tree shape. The continuous twin
     * ([[graft.streaming.ViewMaintain]]) maintains a versioned view +
     * append-only delta log per micro-batch, certified equal to a full
     * batch rebuild. */

@@ -100,6 +100,26 @@ object ViewOps {
       .filter(col("cnt") > 0)
   }
 
+  /** Flink changelog-stream adapter: rows tagged with Flink's four
+    * `RowKind`s (`+I` insert, `-U` update-before, `+U` update-after,
+    * `-D` delete — the encoding `toRetractStream` / CDC connectors
+    * emit) become signed-multiplicity rows: `+I`/`+U` → `w = +1`,
+    * `-U`/`-D` → `w = −1`. An unknown kind fails the query loudly
+    * (`raise_error`) rather than silently skewing the view. The
+    * output feeds [[maintainSumView]] / [[maintainSupport]] /
+    * [[joinViewDeltas]] directly — i.e. any Flink-style changelog
+    * source can drive every maintainer here.
+    *
+    * @note scale: pure per-row column work — no shuffle, no state. */
+  def rowKindToDeltas(df: DataFrame, kindCol: String): DataFrame =
+    df.withColumn("w",
+        when(col(kindCol).isin("+I", "+U"), lit(1))
+          .when(col(kindCol).isin("-U", "-D"), lit(-1))
+          .otherwise(raise_error(concat(
+            lit("unknown RowKind (expected +I/-U/+U/-D): "),
+            col(kindCol))).cast("int")))
+      .drop(kindCol)
+
   /** Signed delta of an inner equi-join view `A ⋈ B` from the signed
     * deltas of its inputs — the second classic IVM shape (Gupta &
     * Mumick's join-view rule): with `new = old + Δ`,

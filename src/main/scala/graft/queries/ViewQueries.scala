@@ -204,6 +204,100 @@ object ViewQueries {
         .orderBy("l_partkey")
     }
 
+  private val oracleSumRecompute =
+    """WITH n AS (
+      |  SELECT CASE WHEN l_orderkey % 9 = 0 THEN l_partkey % 100 + 1
+      |              ELSE l_partkey END AS pk,
+      |    CAST(round(l_quantity * 100) AS BIGINT)
+      |      + CASE WHEN l_orderkey % 3 = 0 THEN 100 ELSE 0 END AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 5 <> 0)
+      |SELECT pk AS l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Flink-changelog ingestion ([[ViewOps.rowKindToDeltas]]): the same
+    * change set expressed as a `RowKind`-tagged changelog (`+I`
+    * insert, `-U`/`+U` update pair, `-D` delete — what Flink's CDC
+    * connectors and `toRetractStream` emit), adapted to signed rows
+    * and driving the sum/count maintainer; oracle recomputes on the
+    * new snapshot. Certifies that a Flink-style changelog source can
+    * drive the view maintainers with zero semantic translation loss. */
+  private val rowKindApply = Q(
+    "cdc_rowkind_apply", oracleSumRecompute) { (s, d) =>
+      val (oldS, newS) = snapshots(s, d)
+      val deltas = ViewOps.rowDeltas(oldS, newS,
+        keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("pk", "qty_c"))
+      // synthesize the RowKind changelog: a row key emitting BOTH
+      // signs is an update (-U/+U), a lone sign is an insert/delete
+      val nk = deltas.groupBy("l_orderkey", "l_linenumber", "rid")
+        .agg(count(lit(1)).as("nk"))
+      val changelog = deltas
+        .join(nk, Seq("l_orderkey", "l_linenumber", "rid"))
+        .withColumn("kind",
+          when(col("w") === 1,
+            when(col("nk") === 2, "+U").otherwise("+I"))
+          .otherwise(when(col("nk") === 2, "-U").otherwise("-D")))
+        .drop("w", "nk")
+      val view0 = oldS.groupBy("pk")
+        .agg(count(lit(1)).as("cnt"), sum(col("qty_c")).as("sum_qty_c"))
+      ViewOps.maintainSumView(view0,
+          ViewOps.rowKindToDeltas(changelog, "kind"),
+          groupCols = Seq("pk"), sumCols = Seq("qty_c"))
+        .select(col("pk").as("l_partkey"), col("cnt"), col("sum_qty_c"))
+        .orderBy("l_partkey")
+    }
+
+  private val oracleCascade =
+    """WITH n AS (
+      |  SELECT CASE WHEN l_orderkey % 9 = 0 THEN l_partkey % 100 + 1
+      |              ELSE l_partkey END AS pk,
+      |    CAST(round(l_quantity * 100) AS BIGINT)
+      |      + CASE WHEN l_orderkey % 3 = 0 THEN 100 ELSE 0 END AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 5 <> 0),
+      |v1 AS (SELECT pk, count(*) AS cnt, sum(qty_c) AS sum_qty_c
+      |       FROM n GROUP BY 1)
+      |SELECT pk % 10 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |  CAST(sum(sum_qty_c) AS BIGINT) AS sum_sum_qty_c
+      |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CASCADED view maintenance — views compose because a maintained
+    * view can emit its own changelog: level-1 (per-`pk` sum/count) is
+    * maintained from the base deltas, its retract stream is derived
+    * with the SAME [[ViewOps.rowDeltas]] (view-before vs view-after),
+    * and level-2 (per-`pk % 10` rollup, counting level-1 GROUPS and
+    * summing their aggregates) is maintained ONLY from that stream —
+    * it never sees the base table. The DBSP/differential-dataflow
+    * composition property, certified by recomputing level-2 from the
+    * new snapshot.
+    *
+    * @note scale: level-2's delta is sized by TOUCHED level-1 groups —
+    *   each stage of a view DAG pays its own delta, which is how a
+    *   100 TB rollup tree refreshes in minutes. */
+  private val viewCascade = Q(
+    "cdc_view_cascade", oracleCascade) { (s, d) =>
+      val (oldS, newS) = snapshots(s, d)
+      val deltas = ViewOps.rowDeltas(oldS, newS,
+        keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("pk", "qty_c"))
+      val v1Old = oldS.groupBy("pk")
+        .agg(count(lit(1)).as("cnt"), sum(col("qty_c")).as("sum_qty_c"))
+      val v1New = ViewOps.maintainSumView(v1Old, deltas,
+        groupCols = Seq("pk"), sumCols = Seq("qty_c"))
+      // the view's own changelog: its key is the group key
+      val v1Delta = ViewOps.rowDeltas(v1Old, v1New,
+          keyCols = Seq("pk"), valCols = Seq("cnt", "sum_qty_c"))
+        .withColumn("bucket", col("pk") % 10)
+      val v2Old = v1Old.withColumn("bucket", col("pk") % 10)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"),
+          sum(col("cnt")).as("sum_cnt"),
+          sum(col("sum_qty_c")).as("sum_sum_qty_c"))
+      ViewOps.maintainSumView(v2Old, v1Delta,
+          groupCols = Seq("bucket"), sumCols = Seq("cnt", "sum_qty_c"))
+        .orderBy("bucket")
+    }
+
   val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream,
-    joinViewMaintain, distinctViewMaintain)
+    joinViewMaintain, distinctViewMaintain, rowKindApply, viewCascade)
 }

@@ -124,6 +124,43 @@ class ViewOpsSpec extends SparkSpec {
     assert(after.toSeq == Seq(("gA", 7L, 1L)))
   }
 
+  test("rowKindToDeltas maps Flink's four kinds; unknown kinds fail loudly") {
+    val log = Seq(("+I", 1L), ("+U", 2L), ("-U", 3L), ("-D", 4L))
+      .toDF("kind", "v")
+    val got = ViewOps.rowKindToDeltas(log, "kind")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 1), (2L, 1), (3L, -1), (4L, -1)))
+    val bad = Seq(("+X", 9L)).toDF("kind", "v")
+    val e = intercept[Exception] {
+      ViewOps.rowKindToDeltas(bad, "kind").collect()
+    }
+    assert(e.getMessage.contains("unknown RowKind") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown RowKind")))
+  }
+
+  test("cascaded maintenance: level-2 fed only by level-1's own changelog") {
+    val deltasD = deltas
+    val v1Old = oldS.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+    val v1New = ViewOps.maintainSumView(v1Old, deltasD, Seq("grp"), Seq("x"))
+    val v1Delta = ViewOps.rowDeltas(v1Old, v1New,
+        Seq("grp"), Seq("cnt", "sum_x"))
+      .withColumn("b", substring(col("grp"), 1, 1)) // all "g" — one bucket
+    val v2Old = v1Old.withColumn("b", substring(col("grp"), 1, 1))
+      .groupBy("b").agg(count(lit(1)).as("cnt"),
+        sum("cnt").as("sum_cnt"), sum("sum_x").as("sum_sum_x"))
+    val got = ViewOps.maintainSumView(v2Old, v1Delta,
+        Seq("b"), Seq("cnt", "sum_x"))
+      .collect().map(_.toSeq).toSet
+    val want = newS.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .withColumn("b", substring(col("grp"), 1, 1))
+      .groupBy("b").agg(count(lit(1)).as("cnt"),
+        sum("cnt").as("sum_cnt"), sum("sum_x").as("sum_sum_x"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("streaming maintenance equals the one-shot batch maintain") {
     val batch = ViewOps.maintainAggView(
       oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
