@@ -39,6 +39,13 @@ case class ContPrefixRow(h: Long, doc_id: Long, m: Int, isPrefix: Boolean,
 case class ContPosting(id: Long, m: Int, tsUs: Long, isPrefix: Boolean)
 case class ContIndexState(docs: List[ContPosting])
 case class ContCand(ai: Long, bi: Long)
+/** Packed flag-emission rows for the candidate streams: ONE row per
+  * touched state key per micro-batch carrying the key's flagged pairs
+  * as parallel primitive arrays, exploded back to [[ContCand]] rows by
+  * a codegen'd projection AFTER the state boundary — candidate mass
+  * crosses the object-encoder boundary ~50× fewer times (sf0.1
+  * measures 1.27 M pairs over 27 k touched keys). */
+case class ContCandPack(as: Array[Long], bs: Array[Long])
 /** [[StreamOps.jaccardCappedStream]] rows: one row per (COLD hash,
   * document) — the df-capped inverted index entry. Postings are
   * id-only (the verify half is downstream, like the containment
@@ -697,15 +704,16 @@ object StreamOps {
     val timeoutConf =
       if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    rows.groupByKey(_.h)
-      .flatMapGroupsWithState[ContIndexState, ContCand](
+    val packed = rows.groupByKey(_.h)
+      .flatMapGroupsWithState[ContIndexState, ContCandPack](
         OutputMode.Append, timeoutConf) { (key, it, state) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
           var posts = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[ContCand]
+          val as = Array.newBuilder[Long]; val bs = Array.newBuilder[Long]
+          var nOut = 0
           var maxTsMs = Long.MinValue
           it.toSeq.sortBy(r => (r.tsUs, r.doc_id)).foreach { r =>
             if (r.tsw != null) maxTsMs = math.max(maxTsMs, r.tsw.getTime)
@@ -714,9 +722,11 @@ object StreamOps {
               posts.foreach { pe =>
                 // smaller side's prefix ∩ larger side's full set — the
                 // batch complete join's own candidate condition
-                if ((r.isPrefix && r.m <= pe.m) || (pe.isPrefix && pe.m <= r.m))
-                  out += ContCand(math.min(pe.id, r.doc_id),
-                    math.max(pe.id, r.doc_id))
+                if ((r.isPrefix && r.m <= pe.m) || (pe.isPrefix && pe.m <= r.m)) {
+                  as += math.min(pe.id, r.doc_id)
+                  bs += math.max(pe.id, r.doc_id)
+                  nOut += 1
+                }
               }
               posts = ContPosting(r.doc_id, r.m, r.tsUs, r.isPrefix) :: posts
             }
@@ -728,9 +738,23 @@ object StreamOps {
               state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
           }
-          out.iterator
+          if (nOut == 0) Iterator.empty
+          else Iterator.single(ContCandPack(as.result(), bs.result()))
         }
       }
+    unpackCands(packed)
+  }
+
+  /** Explode [[ContCandPack]] rows back to per-pair [[ContCand]] rows
+    * — a stateless codegen'd projection on the stream, AFTER the
+    * object-encoder state boundary. */
+  private def unpackCands(packed: Dataset[ContCandPack]): Dataset[ContCand] = {
+    val sp = packed.sparkSession
+    import sp.implicits._
+    packed.toDF()
+      .select(explode(arrays_zip(col("as"), col("bs"))).as("p"))
+      .select(col("p.as").as("ai"), col("p.bs").as("bi"))
+      .as[ContCand]
   }
 
   /** Streaming CAPPED-candidate Jaccard dedup for PERMISSIVE
@@ -777,9 +801,13 @@ object StreamOps {
     *   Measured at the 10× closed-vocab stress corpus (the regime's
     *   worst case): the full 5-batch replay + verify lands at ~2.5×
     *   the batch join's wall clock for the identical 250k-pair output
-    *   — the emission volume IS the batch candidate mass, pushed
-    *   through the state operator row by row. That is the price of
-    *   epoch-replaying the whole corpus; the production fit is the
+    *   — the emission volume IS the batch candidate mass. Flagged
+    *   pairs cross the state boundary PACKED ([[ContCandPack]]: one
+    *   parallel-array row per touched key per batch, ~50× fewer
+    *   object-encoder crossings at sf0.1's 1.27 M-pair epoch mass,
+    *   measured ~12% off the whole replay key) and explode back to
+    *   rows in codegen'd projection. That epoch-replay cost is the
+    *   price of replaying the whole corpus; the production fit is the
     *   incremental regime, where each batch pays only its own
     *   delta × in-TTL-index candidate mass. */
   def jaccardCappedStream(docs: DataFrame, dfStats: DataFrame,
@@ -828,23 +856,25 @@ object StreamOps {
     val timeoutConf =
       if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    rows.groupByKey(_.h)
-      .flatMapGroupsWithState[ColdIndexState, ContCand](
+    val packed = rows.groupByKey(_.h)
+      .flatMapGroupsWithState[ColdIndexState, ContCandPack](
         OutputMode.Append, timeoutConf) { (_, it, state) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
           var posts = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[ContCand]
+          val as = Array.newBuilder[Long]; val bs = Array.newBuilder[Long]
+          var nOut = 0
           var maxTsMs = Long.MinValue
           it.toSeq.sortBy(r => (r.tsUs, r.doc_id)).foreach { r =>
             if (r.tsw != null) maxTsMs = math.max(maxTsMs, r.tsw.getTime)
             if (tsCol.isDefined) posts = posts.filter(p => r.tsUs - p.tsUs <= ttlUs)
             if (!posts.exists(_.id == r.doc_id)) {
               posts.foreach { pe =>
-                out += ContCand(math.min(pe.id, r.doc_id),
-                  math.max(pe.id, r.doc_id))
+                as += math.min(pe.id, r.doc_id)
+                bs += math.max(pe.id, r.doc_id)
+                nOut += 1
               }
               posts = ColdPosting(r.doc_id, r.tsUs) :: posts
             }
@@ -856,9 +886,11 @@ object StreamOps {
               state.setTimeoutTimestamp(math.max(maxTsMs + ttlUs / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
           }
-          out.iterator
+          if (nOut == 0) Iterator.empty
+          else Iterator.single(ContCandPack(as.result(), bs.result()))
         }
       }
+    unpackCands(packed)
   }
 
   /** Streaming near-dup detection END-TO-END: [[nearDupCandidates]]
