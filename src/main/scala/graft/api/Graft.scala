@@ -96,9 +96,11 @@ object Graft {
     * `rowKindToDeltas`), self-maintaining sum/count views
     * (`maintainSumView`), the hybrid min/max form (`maintainAggView`
     * — incremental for insert-only groups, rescan PRUNED to
-    * delete-touched groups otherwise), join views (`joinViewDeltas`
-    * — the three-term product-weight rule), and exact distinct
-    * counts under deletes (`maintainSupport`/`distinctFromSupport`).
+    * delete-touched groups otherwise; `maintainTopKView` generalizes
+    * the same split to per-group top-k leaderboards), join views
+    * (`joinViewDeltas` — the three-term product-weight rule), and
+    * exact distinct counts under deletes
+    * (`maintainSupport`/`distinctFromSupport`).
     * Views COMPOSE: a maintained view's own changelog (`rowDeltas`
     * on its before/after) drives the next level — `cdc_view_cascade`
     * certifies the rollup-tree shape. The continuous twin

@@ -190,6 +190,92 @@ object ViewOps {
     support.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
 
+  /** Per-group TOP-K view (`groupCols ++ topk`, an array of
+    * `struct(score, id)` sorted score-desc / id-asc, ≤ k entries —
+    * score and id are BIGINT, the engine-portable micro-unit grid)
+    * maintained under a signed changelog by the min/max regime split
+    * generalized to k:
+    *
+    *   - a group none of whose STORED top-k members was deleted keeps
+    *     a superset invariant (old members all survive, so the new
+    *     top-k ⊆ stored ∪ inserts): merge-sort-slice, no base access —
+    *     deletes BELOW the stored top-k are provably ignorable;
+    *   - a group that lost a stored member (including every group
+    *     smaller than k, where all rows are stored) recomputes from
+    *     `newBase` PRUNED to exactly those groups (window top-k after
+    *     a semi-join-shaped prune — partition elimination on a keyed
+    *     layout); vanished groups simply emit nothing.
+    *
+    * The dashboard/leaderboard refresh shape: at delta ≪ base the
+    * merge branch touches only delta-sized state and the rescan reads
+    * a vanishing slice of the table.
+    *
+    * @note scale: stored state is ≤ k structs per group; the delete
+    *   check is one `array_contains` per negative delta row against
+    *   the group's stored array (delta-sized join vs the view); the
+    *   rescan's window sorts only the pruned groups. */
+  private def topkEntry(scoreCol: String, idCol: String) =
+    struct(col(scoreCol).cast("long").as("score"),
+      col(idCol).cast("long").as("id"))
+
+  private val topkCmp =
+    (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("score") > r.getField("score"), lit(-1))
+        .when(l.getField("score") < r.getField("score"), lit(1))
+        .when(l.getField("id") < r.getField("id"), lit(-1))
+        .when(l.getField("id") > r.getField("id"), lit(1))
+        .otherwise(lit(0))
+
+  /** Build the [[maintainTopKView]] view shape from a base table:
+    * per group, the top-k `struct(score, id)` entries, score-desc /
+    * id-asc. The same window top-k the maintainer's rescan runs. */
+  def topKView(base: DataFrame, groupCols: Seq[String], scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    base.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(topkEntry(scoreCol, idCol)), topkCmp)
+        .as("topk"))
+  }
+
+  def maintainTopKView(view: DataFrame, deltas: DataFrame,
+      newBase: DataFrame, groupCols: Seq[String], scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k >= 1)
+    val entry = topkEntry(scoreCol, idCol)
+    val cmp = topkCmp
+    val emptyArr = array().cast("array<struct<score:bigint,id:bigint>>")
+    // groups whose stored top-k lost a member -> rescan regime
+    val touched = deltas.filter(col("w") < 0)
+      .select(groupCols.map(col) :+ entry.as("e"): _*)
+      .join(view, groupCols)
+      .filter(array_contains(col("topk"), col("e")))
+      .select(groupCols.map(col): _*).distinct()
+    val ins = deltas.filter(col("w") > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(collect_list(entry).as("ins"))
+      .join(touched, groupCols, "left_anti")
+    val merged = view.join(touched, groupCols, "left_anti")
+      .join(ins, groupCols, "full_outer")
+      .select(groupCols.map(col) :+
+        slice(array_sort(concat(coalesce(col("topk"), emptyArr),
+          coalesce(col("ins"), emptyArr)), cmp), 1, k).as("topk"): _*)
+    val rescanned = topKView(newBase.join(touched, groupCols),
+      groupCols, scoreCol, idCol, k)
+    merged.unionByName(rescanned)
+  }
+
+  /** Explode a [[maintainTopKView]] view to per-entry rows:
+    * `groupCols ++ (rank, score, id)`, rank 1-based in stored order. */
+  def explodeTopK(view: DataFrame, groupCols: Seq[String]): DataFrame =
+    view.select(groupCols.map(col) :+
+      posexplode(col("topk")).as(Seq("__pos", "e")): _*)
+      .select(groupCols.map(col) ++ Seq((col("__pos") + 1).as("rank"),
+        col("e.score").as("score"), col("e.id").as("id")): _*)
+
   /** Full hybrid maintenance: sums/counts incrementally
     * ([[maintainSumView]]), min/max by regime —
     *

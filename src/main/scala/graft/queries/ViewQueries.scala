@@ -298,6 +298,55 @@ object ViewQueries {
         .orderBy("bucket")
     }
 
+  private val oracleTopK =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+      |    ORDER BY price_c, qty_c, l_partkey) AS rid FROM li),
+      |n AS (
+      |  SELECT CASE WHEN l_orderkey % 9 = 0 THEN l_partkey % 100 + 1
+      |              ELSE l_partkey END AS pk,
+      |    l_orderkey * 100000 + l_linenumber * 1000 + rid AS id,
+      |    price_c
+      |  FROM r WHERE l_orderkey % 5 <> 0),
+      |t AS (
+      |  SELECT pk, id, price_c, row_number() OVER (PARTITION BY pk
+      |    ORDER BY price_c DESC, id) AS rk FROM n)
+      |SELECT pk AS l_partkey, CAST(rk AS BIGINT) AS rank, price_c, id
+      |FROM t WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
+  /** Per-group TOP-K view ([[ViewOps.maintainTopKView]] — the
+    * leaderboard refresh shape): top-3 lineitems by price per part,
+    * maintained under the full change taxonomy — a deleted stored
+    * member forces the PRUNED rescan, inserts merge statelessly,
+    * deletes below the stored top-k are provably ignorable, group
+    * moves do both. Oracle: windowed top-3 recompute on the new
+    * snapshot (ties impossible: `id` is unique). */
+  private val topkViewMaintain = Q(
+    "cdc_topk_view_maintain", oracleTopK) { (s, d) =>
+      val (oldS0, newS0) = snapshots(s, d)
+      def withId(df: org.apache.spark.sql.DataFrame) = df.withColumn("id",
+        col("l_orderkey") * 100000 + col("l_linenumber") * 1000 + col("rid"))
+      val oldS = withId(oldS0); val newS = withId(newS0)
+      val view0 = ViewOps.topKView(oldS, Seq("pk"), "price_c", "id", 3)
+      val deltas = ViewOps.rowDeltas(oldS, newS,
+        keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("pk", "price_c", "id"))
+      ViewOps.explodeTopK(
+          ViewOps.maintainTopKView(view0, deltas, newS,
+            groupCols = Seq("pk"), scoreCol = "price_c", idCol = "id",
+            k = 3),
+          Seq("pk"))
+        .select(col("pk").as("l_partkey"), col("rank"),
+          col("score").as("price_c"), col("id"))
+        .orderBy("l_partkey", "rank")
+    }
+
   val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream,
-    joinViewMaintain, distinctViewMaintain, rowKindApply, viewCascade)
+    joinViewMaintain, distinctViewMaintain, rowKindApply, viewCascade,
+    topkViewMaintain)
 }

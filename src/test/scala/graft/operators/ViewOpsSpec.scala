@@ -161,6 +161,45 @@ class ViewOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("maintainTopKView: regimes — member-delete rescan, ignorable below-k delete, merge without base access") {
+    // scores per group g1: ids 1..5 scores 50,40,30,20,10 — top3 = 1,2,3
+    val oldB = Seq((1L, "g1", 50L), (2L, "g1", 40L), (3L, "g1", 30L),
+      (4L, "g1", 20L), (5L, "g1", 10L),
+      (6L, "g2", 60L), (7L, "g3", 70L)).toDF("id", "grp", "x")
+    // id2 (stored member) deleted -> rescan must promote id4;
+    // id5 (below top-3) deleted in g1 too? keep separate: delete id5 from g2? g2 has one row.
+    // g3 vanishes; g4 appears; g2 gets an insert that outranks id6.
+    val newB = Seq((1L, "g1", 50L), (3L, "g1", 30L), (4L, "g1", 20L),
+      (5L, "g1", 10L),
+      (6L, "g2", 60L), (8L, "g2", 90L), (9L, "g4", 5L))
+      .toDF("id", "grp", "x")
+    val view0 = ViewOps.topKView(oldB, Seq("grp"), "x", "id", 3)
+    val d = ViewOps.rowDeltas(oldB, newB, Seq("id"), Seq("grp", "x"))
+    val got = ViewOps.explodeTopK(
+        ViewOps.maintainTopKView(view0, d, newB, Seq("grp"), "x", "id", 3),
+        Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = ViewOps.explodeTopK(
+        ViewOps.topKView(newB, Seq("grp"), "x", "id", 3), Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want && !got.exists(_._1 == "g3"))
+    assert(got.contains(("g1", 3, 20L, 4L)))  // promoted by the rescan
+    assert(got.contains(("g2", 1, 90L, 8L)))  // insert outranks stored
+
+    // below-top-k delete + inserts must need NO base access: replace
+    // newBase with an empty scan and check the merge branch alone
+    val d2 = Seq((5L, "g1", 10L, -1), (10L, "g1", 45L, 1))
+      .toDF("id", "grp", "x", "w")
+    val got2 = ViewOps.explodeTopK(
+        ViewOps.maintainTopKView(view0, d2, newB.filter(lit(false)),
+          Seq("grp"), "x", "id", 3), Seq("grp"))
+      .filter($"grp" === "g1")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got2 == Seq((1, 50L, 1L), (2, 45L, 10L), (3, 40L, 2L)))
+  }
+
   test("streaming maintenance equals the one-shot batch maintain") {
     val batch = ViewOps.maintainAggView(
       oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
