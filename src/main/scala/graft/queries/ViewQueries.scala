@@ -346,7 +346,35 @@ object ViewQueries {
         .orderBy("l_partkey", "rank")
     }
 
+  /** The top-k view on the CONTINUOUS maintainer
+    * ([[graft.streaming.ViewMaintain.maintainTopKViewStream]]): the
+    * same changelog replayed as 5 micro-batches, each advancing the
+    * versioned leaderboard via the k-generalized regime split; the
+    * final view is checked against the same windowed-recompute
+    * oracle — continuous leaderboard maintenance never drifts from a
+    * batch rebuild. */
+  private val topkViewStream = Q(
+    "stream_topk_view_replay", oracleTopK) { (s, d) =>
+      val (oldS0, newS0) = snapshots(s, d)
+      def withId(df: org.apache.spark.sql.DataFrame) = df.withColumn("id",
+        col("l_orderkey") * 100000 + col("l_linenumber") * 1000 + col("rid"))
+      val oldS = withId(oldS0).drop("sk", "qty_c")
+      val newS = withId(newS0).drop("sk", "qty_c")
+      val deltas = ViewOps.rowDeltas(oldS, newS,
+        keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("pk", "price_c", "id"))
+      ViewOps.explodeTopK(
+          graft.streaming.ViewMaintain.maintainTopKViewStream(s, oldS,
+            deltas, orderCol = "l_orderkey", chunks = 5,
+            groupCols = Seq("pk"), scoreCol = "price_c", idCol = "id",
+            k = 3),
+          Seq("pk"))
+        .select(col("pk").as("l_partkey"), col("rank"),
+          col("score").as("price_c"), col("id"))
+        .orderBy("l_partkey", "rank")
+    }
+
   val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream,
     joinViewMaintain, distinctViewMaintain, rowKindApply, viewCascade,
-    topkViewMaintain)
+    topkViewMaintain, topkViewStream)
 }

@@ -46,6 +46,44 @@ object ViewMaintain {
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("cnt")) ++
+      sumCols.map(c => sum(col(c)).as("sum_" + c)) ++
+      minMaxCols.flatMap(c => Seq(min(col(c)).as("min_" + c),
+        max(col(c)).as("max_" + c)))
+    maintainCustomViewStream(spark, oldBase, deltas, orderCol, chunks,
+      groupCols,
+      buildView = b => b.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*),
+      maintain = (prev, batch, live) =>
+        ViewOps.maintainAggView(prev, batch, live,
+          groupCols, sumCols, minMaxCols))
+  }
+
+  /** [[maintainViewStream]] for a per-group TOP-K leaderboard view
+    * ([[ViewOps.maintainTopKView]]): same delta-log + versioned-view
+    * loop, the per-batch step the k-generalized regime split. */
+  def maintainTopKViewStream(spark: SparkSession, oldBase: DataFrame,
+      deltas: DataFrame, orderCol: String, chunks: Int,
+      groupCols: Seq[String], scoreCol: String, idCol: String,
+      k: Int): DataFrame =
+    maintainCustomViewStream(spark, oldBase, deltas, orderCol, chunks,
+      groupCols,
+      buildView = b => ViewOps.topKView(b, groupCols, scoreCol, idCol, k),
+      maintain = (prev, batch, live) =>
+        ViewOps.maintainTopKView(prev, batch, live,
+          groupCols, scoreCol, idCol, k))
+
+  /** The generic core: stage the changelog into `chunks` range-ordered
+    * micro-batches, and per batch (a) append the batchId-keyed delta-log
+    * slice, (b) rebuild the live base pruned to the delete-touched
+    * groups, (c) advance the batchId-versioned view with `maintain`.
+    * `buildView` seeds version 0 from the base snapshot. */
+  def maintainCustomViewStream(spark: SparkSession, oldBase: DataFrame,
+      deltas: DataFrame, orderCol: String, chunks: Int,
+      groupCols: Seq[String],
+      buildView: DataFrame => DataFrame,
+      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     require(deltas.columns.toSet == oldBase.columns.toSet + "w",
       s"delta schema ${deltas.columns.mkString(",")} must be the base " +
         s"schema ${oldBase.columns.mkString(",")} plus 'w' — a base " +
@@ -67,12 +105,7 @@ object ViewMaintain {
     // durable state seeds: the base snapshot + view version 0
     val baseCols = oldBase.columns.toSeq
     oldBase.write.parquet(baseDir)
-    val aggs = Seq(count(lit(1)).as("cnt")) ++
-      sumCols.map(c => sum(col(c)).as("sum_" + c)) ++
-      minMaxCols.flatMap(c => Seq(min(col(c)).as("min_" + c),
-        max(col(c)).as("max_" + c)))
-    ss.read.parquet(baseDir).groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+    buildView(ss.read.parquet(baseDir))
       .write.parquet(viewDir.resolve("v0").toString)
 
     // stage the changelog into range-ordered chunk files (one pass)
@@ -117,8 +150,7 @@ object ViewMaintain {
           .agg(sum(col("w")).as("tw")).filter(col("tw") === 1).drop("tw")
         // 3) maintain view v{batchId} -> v{batchId+1}
         val prev = sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
-        ViewOps.maintainAggView(prev, batch, liveBase,
-            groupCols, sumCols, minMaxCols)
+        maintain(prev, batch, liveBase)
           .write.mode("overwrite")
           .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
         ()
