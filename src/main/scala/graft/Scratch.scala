@@ -30,19 +30,35 @@ object Scratch {
     if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
   }
 
+  // ONE shutdown hook over a registry of live scratch roots: a full
+  // bench/test run creates hundreds of scratch dirs, and a per-dir hook
+  // would accumulate a Thread object each for the life of the JVM.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  sys.addShutdownHook {
+    var p = live.poll()
+    while (p != null) { deleteTree(p); p = live.poll() }
+  }
+
+  private def deleteTree(p: Path): Unit =
+    try {
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    } catch { case _: Throwable => () }
+
   /** Create a fresh scratch directory with best-effort exit cleanup. */
   def dir(prefix: String): Path = {
     val p = base.fold(Files.createTempDirectory(prefix))(b =>
       Files.createTempDirectory(b, prefix))
-    sys.addShutdownHook {
-      try {
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      } catch { case _: Throwable => () }
-    }
+    live.add(p)
     p
   }
+
+  /** Eagerly delete a scratch dir created by [[dir]] — call ONLY once
+    * nothing lazy (a returned DataFrame!) still reads from it. On tmpfs
+    * the pages are RAM until the JVM exits, so call sites that fully
+    * materialize their result should release early. */
+  def release(p: Path): Unit = { live.remove(p); deleteTree(p) }
 
   /** [[dir]] as a string path (the common call shape in query code). */
   def dirString(prefix: String): String = dir(prefix).toString

@@ -267,6 +267,54 @@ object StreamingQueries {
         col("error_id").asc_nulls_first, col("purchase_id"))
   }
 
+  /** T8 alternation — NAMED group pattern `A (B|C) D`
+    * ([[graft.streaming.CepOps.cepAlternation]], via the
+    * [[graft.streaming.Pattern]] DSL's `nextAny`): click →
+    * (error | view) → purchase, each slot within 360 min of the
+    * previous match, branch identity preserved in `mid_branch` — the
+    * Flink group-pattern shape a single OR-predicate step loses. The
+    * oracle restates the slot as a UNION ALL of the two per-branch
+    * funnel legs with literal branch tags. */
+  private val cepAlternation = Q(
+    "cep_alternation",
+    """SELECT a.user_id, a.event_id AS click_id, m.event_id AS mid_id,
+      |  'error' AS mid_branch, c.event_id AS purchase_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS total_us
+      |FROM events a
+      |JOIN events m ON a.user_id = m.user_id
+      |  AND a.event_type = 'click' AND m.event_type = 'error'
+      |  AND CAST(m.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(m.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |JOIN events c ON c.user_id = a.user_id
+      |  AND c.event_type = 'purchase'
+      |  AND CAST(c.ts AS TIMESTAMP) > CAST(m.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(m.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |UNION ALL
+      |SELECT a.user_id, a.event_id, m.event_id, 'view', c.event_id,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+      |FROM events a
+      |JOIN events m ON a.user_id = m.user_id
+      |  AND a.event_type = 'click' AND m.event_type = 'view'
+      |  AND CAST(m.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+      |  AND CAST(m.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |JOIN events c ON c.user_id = a.user_id
+      |  AND c.event_type = 'purchase'
+      |  AND CAST(c.ts AS TIMESTAMP) > CAST(m.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(m.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |ORDER BY user_id, click_id, mid_id, mid_branch, purchase_id""".stripMargin) {
+    (s, d) =>
+      graft.streaming.Pattern
+        .begin("click", col("event_type") === "click")
+        .nextAny("mid", "360 minutes",
+          "error" -> (col("event_type") === "error"),
+          "view" -> (col("event_type") === "view"))
+        .next("purchase", col("event_type") === "purchase",
+          within = "360 minutes")
+        .over(Tables.events(s, d), "user_id", "ts", "event_id")
+        .orderBy("user_id", "click_id", "mid_id", "mid_branch",
+          "purchase_id")
+  }
+
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
     * same user in the following 360 minutes. Oracle restates it as NOT
@@ -1054,7 +1102,8 @@ object StreamingQueries {
   }
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel, cepPattern, cepAbsence, sessionDynamic, intervalJoin,
+    cepSequence, cepFunnel, cepPattern, cepAlternation, cepAbsence,
+    sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay,

@@ -94,7 +94,7 @@ object ViewQueries {
   }
 
   /** The streaming twin ([[graft.streaming.ViewMaintain]]): the same
-    * changelog replayed as 5 range-ordered micro-batches on the real
+    * changelog replayed as 3 range-ordered micro-batches on the real
     * runtime, each batch appending to the delta log and advancing the
     * versioned view; the FINAL view is checked against the same
     * full-recompute oracle — continuous maintenance never drifts from
@@ -107,7 +107,7 @@ object ViewQueries {
         valCols = Seq("pk", "qty_c", "price_c"))
       graft.streaming.ViewMaintain.maintainViewStream(s, oldS.drop("sk"),
           deltas,
-          orderCol = "l_orderkey", chunks = 5,
+          orderCol = "l_orderkey", chunks = 3,
           groupCols = Seq("pk"), sumCols = Seq("qty_c"),
           minMaxCols = Seq("price_c"))
         .select(col("pk").as("l_partkey"), col("cnt"),
@@ -171,6 +171,37 @@ object ViewQueries {
         joinKeys = Seq("o_orderkey"),
         aVals = Seq("grp"), bVals = Seq("qty_c"))
       ViewOps.maintainSumView(view0, dJ, Seq("grp"), Seq("qty_c"))
+        .orderBy("grp")
+    }
+
+  /** The join view on the CONTINUOUS maintainer
+    * ([[graft.streaming.ViewMaintain.maintainJoinViewStream]]): BOTH
+    * changelogs ride one side-tagged stream, replayed as 3
+    * range-ordered micro-batches; each batch derives the three-term
+    * join-view delta against the pre-batch snapshots, merges it into
+    * the versioned view, and compacts both snapshots. The final view
+    * is checked against the same full-recompute oracle as the batch
+    * key — continuous two-table maintenance never drifts from a batch
+    * rebuild. */
+  private val joinViewStream = Q(
+    "stream_join_view_replay", oracleJoinRecompute) { (s, d) =>
+      val (oldA, newA) = orderSnapshots(s, d)
+      val (oldB0, newB0) = snapshots(s, d)
+      val oldB = oldB0.withColumnRenamed("l_orderkey", "o_orderkey")
+        .drop("sk", "pk", "price_c")
+      val newB = newB0.withColumnRenamed("l_orderkey", "o_orderkey")
+        .drop("sk", "pk", "price_c")
+      val dA = ViewOps.rowDeltas(oldA, newA,
+        keyCols = Seq("o_orderkey"), valCols = Seq("grp"))
+      val dB = ViewOps.rowDeltas(oldB, newB,
+        keyCols = Seq("o_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("qty_c"))
+      graft.streaming.ViewMaintain.maintainJoinViewStream(s,
+          oldA, dA, oldB, dB,
+          orderCol = "o_orderkey", chunks = 3,
+          joinKeys = Seq("o_orderkey"),
+          aVals = Seq("grp"), bVals = Seq("qty_c"),
+          viewGroupCols = Seq("grp"), viewSumCols = Seq("qty_c"))
         .orderBy("grp")
     }
 
@@ -348,7 +379,7 @@ object ViewQueries {
 
   /** The top-k view on the CONTINUOUS maintainer
     * ([[graft.streaming.ViewMaintain.maintainTopKViewStream]]): the
-    * same changelog replayed as 5 micro-batches, each advancing the
+    * same changelog replayed as 3 micro-batches, each advancing the
     * versioned leaderboard via the k-generalized regime split; the
     * final view is checked against the same windowed-recompute
     * oracle — continuous leaderboard maintenance never drifts from a
@@ -365,7 +396,7 @@ object ViewQueries {
         valCols = Seq("pk", "price_c", "id"))
       ViewOps.explodeTopK(
           graft.streaming.ViewMaintain.maintainTopKViewStream(s, oldS,
-            deltas, orderCol = "l_orderkey", chunks = 5,
+            deltas, orderCol = "l_orderkey", chunks = 3,
             groupCols = Seq("pk"), scoreCol = "price_c", idCol = "id",
             k = 3),
           Seq("pk"))
@@ -375,6 +406,6 @@ object ViewQueries {
     }
 
   val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream,
-    joinViewMaintain, distinctViewMaintain, rowKindApply, viewCascade,
-    topkViewMaintain, topkViewStream)
+    joinViewMaintain, joinViewStream, distinctViewMaintain, rowKindApply,
+    viewCascade, topkViewMaintain, topkViewStream)
 }

@@ -77,6 +77,76 @@ object CepOps {
       :+ (unix_micros(col("last_ts")) - col("first_us")).as("total_us"): _*)
   }
 
+  /** One slot of an alternation pattern ([[cepAlternation]]): the slot
+    * matches when ANY of its named `branches` `(branchName, predicate)`
+    * matches — Flink CEP's group-pattern alternation `(B | C)` WITH
+    * branch identity preserved (a plain `where(predB.or(predC))` loses
+    * which alternative fired; here multi-branch slots emit a
+    * `<name>_branch` column carrying the branch name — the
+    * `CLASSIFIER()` analogue). A single-branch slot is a plain step. */
+  final case class AltStep(name: String, branches: Seq[(String, Column)],
+      within: String = "0 minutes")
+
+  /** All matches of an alternation sequence `A (B|C) D …` — each slot
+    * compiled as a UNION of per-branch interval-join legs, so branch
+    * identity survives into the output and an event satisfying BOTH
+    * branch predicates yields one match per branch (regex alternation
+    * semantics, not first-match-wins). Output: `(key, per slot
+    * <name>_id [+ <name>_branch when multi-branch], total_us)`.
+    *
+    * Works on batch and streaming frames alike (watermark `ev` first):
+    * every leg is the same keyed equi-join + time-band residual as
+    * [[cepPattern]], and the per-slot union preserves the key
+    * partitioning — an n-branch slot is n bounded-state joins feeding
+    * one union, never a per-key history scan.
+    *
+    * @note scale: shuffle on the key per leg; fan-out bounded by
+    *   events-per-key inside the band, summed over branches. Branch
+    *   predicates are usually disjoint (distinct event types), so the
+    *   legs partition the slot's input rather than multiply it. */
+  def cepAlternation(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, steps: Seq[AltStep]): DataFrame = {
+    require(steps.size >= 2, "a pattern needs at least two slots")
+    require(steps.forall(_.branches.nonEmpty), "every slot needs a branch")
+    require(steps.map(_.name).distinct.size == steps.size,
+      "slot names must be distinct (they name the output columns)")
+    require(steps.forall(s =>
+      s.branches.map(_._1).distinct.size == s.branches.size),
+      "branch names must be distinct within a slot")
+    val first = steps.head
+    def seed(bn: String, pred: Column): DataFrame = {
+      val base = ev.filter(pred).select(
+        col(keyCol).as("k"),
+        unix_micros(col(tsCol)).as("first_us"),
+        col(tsCol).as("last_ts"),
+        col(idCol).as(s"${first.name}_id"))
+      if (first.branches.size > 1)
+        base.withColumn(s"${first.name}_branch", lit(bn))
+      else base
+    }
+    var acc = first.branches.map((seed _).tupled).reduce(_ unionByName _)
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val kept = acc.columns.filterNot(_ == "last_ts").map(col)
+      def leg(bn: String, pred: Column): DataFrame = {
+        val e = ev.filter(pred).select(col(keyCol).as(s"k_$i"),
+          col(tsCol).as(s"ts_$i"), col(idCol).as(s"id_$i"))
+        val taken = acc.join(e,
+          col("k") === col(s"k_$i") && col(s"ts_$i") > col("last_ts") &&
+            col(s"ts_$i") <= col("last_ts") + expr(s"INTERVAL ${st.within}"))
+        val outCols = (kept :+ col(s"ts_$i").as("last_ts") :+
+          col(s"id_$i").as(s"${st.name}_id")) ++
+          (if (st.branches.size > 1) Seq(lit(bn).as(s"${st.name}_branch"))
+           else Nil)
+        taken.select(outCols: _*)
+      }
+      acc = st.branches.map((leg _).tupled).reduce(_ unionByName _)
+    }
+    acc.select(col("k").as(keyCol)
+      +: steps.flatMap(s => col(s"${s.name}_id") +:
+        (if (s.branches.size > 1) Seq(col(s"${s.name}_branch")) else Nil))
+      :+ (unix_micros(col("last_ts")) - col("first_us")).as("total_us"): _*)
+  }
+
   /** Absence pattern (Flink CEP `notFollowedBy` + `within`): events
     * matching `first` with NO `absent`-matching event for the same key
     * in `(ts, ts + within]` — "clicked but never purchased inside the

@@ -119,13 +119,17 @@ object FeedbackIterate {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    val symRows = und.select(col("a").as("u"), col("b").as("v"))
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
-      .collect()
-    require(symRows.length <= maxAdjacencyEdges,
-      s"adjacency has ${symRows.length} directed edges (> $maxAdjacencyEdges) " +
+    // count BEFORE collect: the cap must fail the query while the edge
+    // set is still distributed, not after a pathological driver
+    // materialization (same order as SimilarityOps.cosineNearDups).
+    val n = sym.count()
+    require(n <= maxAdjacencyEdges,
+      s"adjacency has $n directed edges (> $maxAdjacencyEdges) " +
         "— the feedback-iterate form broadcasts it; run the batch " +
         "GraphOps.labelPropagation (distributed join per round) instead")
+    val symRows = sym.collect()
     symRows.map(r => (r.getString(0), r.getString(1)))
       .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).sorted }
   }

@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *                      are this face's documented contract
   *  - `A{n}`          — single quantified variable →
   *                      [[CepOps.cepTimes]] (strict contiguity)
+  *  - `A (B|C) D`     — NAMED ALTERNATION group →
+  *                      [[CepOps.cepAlternation]]: the slot matches any
+  *                      branch, output columns `B_or_C_id` +
+  *                      `B_or_C_branch` (the matched branch's name —
+  *                      the `CLASSIFIER()` analogue, identity a plain
+  *                      OR-DEFINE loses). Combines with plain variables
+  *                      only; `(A B)+` group quantifiers stay
+  *                      unsupported (documented ceiling)
   *
   * `DEFINE <var> AS <spark-sql-expr>` binds each variable (exprs must
   * not contain top-level commas — wrap in parentheses if needed);
@@ -67,18 +75,22 @@ import org.apache.spark.sql.functions._
   */
 object MatchRecognize {
 
-  private val PatternRe = raw"(?is)PATTERN\s*\(([^)]*)\)".r.unanchored
+  private val PatternRe =
+    raw"(?is)PATTERN\s*\(((?:[^()]|\([^()]*\))*)\)".r.unanchored
   private val MeasuresRe = raw"(?is)MEASURES\s+(.*?)\s*(?=PATTERN|AFTER\s+MATCH)".r.unanchored
   private val MeasureItemRe =
     raw"(?i)(COUNT|SUM|AVG|FIRST|LAST)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)".r
   private val DefineRe = raw"(?is)DEFINE\s+(.*?)\s*(?:WITHIN\s+.*)?$$".r.unanchored
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
   private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+)\})?".r
+  private val GroupTokRe = raw"\(([^()]*)\)(\+\?|[+?]|\{\d+\})?".r
+  private val TokSplitRe = raw"\([^()]*\)(?:\+\?|[+?]|\{\d+\})?|\S+".r
   private val IntervalRe = raw"(?i)(?:INTERVAL\s+)?'?(\d+)'?\s+([A-Za-z]+)".r
   private val SkipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+(?:ROW|EVENT))".r.unanchored
 
-  private case class Tok(name: String, quant: String)
+  private case class Tok(name: String, quant: String,
+      branches: Seq[String] = Nil)
 
   def apply(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
       clause: String, relaxedPrefix: Int = 3): DataFrame = {
@@ -93,7 +105,16 @@ object MatchRecognize {
       .getOrElse(sys.error("MATCH_RECOGNIZE needs DEFINE ...")).group(1).trim
     val within = WithinRe.findFirstMatchIn(rest).map(_.group(1).trim)
 
-    val toks = pat.split(raw"\s+").toSeq.filter(_.nonEmpty).map {
+    val toks = TokSplitRe.findAllIn(pat).toSeq.map {
+      case GroupTokRe(inner, q) =>
+        if (q != null)
+          sys.error(s"group quantifiers are not supported: ($inner)$q " +
+            "— only named alternation (B|C) compiles")
+        val names = inner.split(raw"\|").toSeq.map(_.trim)
+        require(names.size >= 2 && names.forall(n =>
+            raw"[A-Za-z_][A-Za-z0-9_]*".r.pattern.matcher(n).matches()),
+          s"a group must alternate two or more plain variables: ($inner)")
+        Tok(names.mkString("_or_"), "", names)
       case TokenRe(name, q, n) =>
         Tok(name, Option(q).map(x => if (x.startsWith("{")) n else x).getOrElse(""))
       case t => sys.error(s"unsupported pattern token '$t'")
@@ -109,7 +130,9 @@ object MatchRecognize {
           .getOrElse(sys.error(s"bad DEFINE entry '$d'"))
         m.group(1) -> expr(m.group(2).trim)
       }.toMap
-    val undefined = toks.map(_.name).filterNot(binds.contains)
+    val undefined = toks.flatMap(t =>
+      if (t.branches.nonEmpty) t.branches else Seq(t.name))
+      .filterNot(binds.contains)
     require(undefined.isEmpty, s"PATTERN vars not in DEFINE: $undefined")
 
     def normWithin: String = {
@@ -137,21 +160,21 @@ object MatchRecognize {
     // MEASURES on these shapes: each variable binds exactly one event,
     // so FIRST/LAST/COUNT are pure renames (see [[stepMeasures]]).
     (skip, toks) match {
-      case (Some(s), Seq(Tok(a, ""), Tok(b, ""))) if s.startsWith("TO NEXT") =>
+      case (Some(s), Seq(Tok(a, "", Seq()), Tok(b, "", Seq()))) if s.startsWith("TO NEXT") =>
         val base = CepOps.cepSkipToNext(ev, keyCol, tsCol, idCol,
             binds(a), binds(b), normWithin)
           .select(col(keyCol), col("a_id").as(s"${a}_id"),
             col("b_id").as(s"${b}_id"), col("gap_us").as("total_us"))
         return stepMeasures(base, measureItems(rest), Seq(a, b), idCol,
           keyCol, spanCol = Some("total_us"))
-      case (Some(s), Seq(Tok(a, ""), Tok(b, ""))) if s.startsWith("PAST LAST") =>
+      case (Some(s), Seq(Tok(a, "", Seq()), Tok(b, "", Seq()))) if s.startsWith("PAST LAST") =>
         val base = CepOps.cepSkipPastLast(ev, keyCol, tsCol, idCol,
             binds(a), binds(b), withinUs)
           .select(col(keyCol), col("a_id").as(s"${a}_id"),
             col("b_id").as(s"${b}_id"))
         return stepMeasures(base, measureItems(rest), Seq(a, b), idCol,
           keyCol, spanCol = None)
-      case (Some(s), Seq(Tok(_, ""), Tok(_, "+"), Tok(_, ""))) if s.startsWith("PAST LAST") =>
+      case (Some(s), Seq(Tok(_, "", Seq()), Tok(_, "+", Seq()), Tok(_, "", Seq()))) if s.startsWith("PAST LAST") =>
         () // Kleene's native semantics ARE skip-past-last — fall through
       case (Some(s), _) =>
         sys.error(s"AFTER MATCH SKIP $s is only supported for 2-step " +
@@ -161,9 +184,9 @@ object MatchRecognize {
     }
 
     toks match {
-      case Seq(Tok(a, "")) if toks.size == 1 =>
+      case Seq(Tok(a, "", Seq())) if toks.size == 1 =>
         sys.error("single plain variable is a filter, not a pattern")
-      case Seq(Tok(a, n)) if n.forall(_.isDigit) && n.nonEmpty =>
+      case Seq(Tok(a, n, Seq())) if n.forall(_.isDigit) && n.nonEmpty =>
         val base = CepOps.cepTimes(ev, keyCol, tsCol, idCol, binds(a),
           n.toInt, normWithin)
         // MEASURES on A{n}: the run has exactly n events, so COUNT is
@@ -189,7 +212,7 @@ object MatchRecognize {
           }
           base.select(Seq(col(keyCol)) ++ renamed :+ col("span_us"): _*)
         }
-      case Seq(Tok(a, ""), Tok(b, "+?"), Tok(c, "")) =>
+      case Seq(Tok(a, "", Seq()), Tok(b, "+?", Seq()), Tok(c, "", Seq())) =>
         measures(rest, b, idCol) match {
           case Nil =>
             CepOps.cepKleeneRelaxed(ev, keyCol, tsCol, idCol,
@@ -214,7 +237,7 @@ object MatchRecognize {
             base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
               col("span_us")) ++ renamed: _*)
         }
-      case Seq(Tok(a, ""), Tok(b, "+"), Tok(c, "")) =>
+      case Seq(Tok(a, "", Seq()), Tok(b, "+", Seq()), Tok(c, "", Seq())) =>
         measures(rest, b, idCol) match {
           case Nil =>
             CepOps.cepKleene(ev, keyCol, tsCol, idCol,
@@ -239,6 +262,23 @@ object MatchRecognize {
             base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
               col("span_us")) ++ renamed: _*)
         }
+      case _ if toks.exists(_.branches.nonEmpty) =>
+        // named alternation `A (B|C) D` → cepAlternation; the group
+        // slot's output columns are `<b1>_or_<b2>_id` + `_branch` (the
+        // CLASSIFIER() analogue). WITHIN bounds the whole match: the
+        // per-step bound is the full interval, closed by total_us.
+        require(toks.forall(_.quant == ""),
+          "alternation groups combine with plain variables only " +
+            "(no ?/+/{n} quantifiers)")
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with alternation groups; the " +
+            "<slot>_branch column carries the matched branch")
+        val w = normWithin
+        val base = CepOps.cepAlternation(ev, keyCol, tsCol, idCol,
+          toks.map(t => CepOps.AltStep(t.name,
+            if (t.branches.nonEmpty) t.branches.map(b => b -> binds(b))
+            else Seq(t.name -> binds(t.name)), w)))
+        base.filter(col("total_us") <= withinUs)
       case _ if toks.forall(t => t.quant == "" || t.quant == "?") =>
         require(toks.head.quant == "" && toks.last.quant == "",
           "first and last pattern variables must be required")

@@ -34,10 +34,20 @@ object Pattern {
   def begin(name: String, pred: Column): PatternBuilder =
     new PatternBuilder(Vector(DslStep(name, pred, "0 minutes",
       optional = false, oneOrMore = false)), None, None, consecutive = false, None)
+
+  /** Begin with a named-alternation slot `(B|C)` — see
+    * [[PatternBuilder.nextAny]]. */
+  def beginAny(name: String, branches: (String, Column)*): PatternBuilder = {
+    require(branches.nonEmpty, "beginAny needs at least one branch")
+    new PatternBuilder(Vector(DslStep(name, branches.head._2, "0 minutes",
+      optional = false, oneOrMore = false, alts = branches.toVector)),
+      None, None, consecutive = false, None)
+  }
 }
 
 private[streaming] final case class DslStep(name: String, pred: Column,
-    within: String, optional: Boolean, oneOrMore: Boolean, minTimes: Int = 1)
+    within: String, optional: Boolean, oneOrMore: Boolean, minTimes: Int = 1,
+    alts: Seq[(String, Column)] = Nil)
 
 final class PatternBuilder private[streaming] (
     steps: Vector[DslStep],
@@ -64,6 +74,21 @@ final class PatternBuilder private[streaming] (
       optional: Boolean = false): PatternBuilder = {
     require(absent.isEmpty, "notFollowedBy must be the final element")
     copy(steps = steps :+ DslStep(name, pred, within, optional, oneOrMore = false))
+  }
+
+  /** Append a NAMED-ALTERNATION slot (Flink's group pattern
+    * `(B | C)`): the slot matches when any branch matches, and the
+    * output carries `<name>_branch` naming the branch that fired —
+    * branch identity a single OR-predicate step loses. Compiles via
+    * [[CepOps.cepAlternation]] (one interval-join leg per branch,
+    * unioned); mixing with oneOrMore/times/notFollowedBy is not a
+    * compiled combination. */
+  def nextAny(name: String, within: String,
+      branches: (String, Column)*): PatternBuilder = {
+    require(absent.isEmpty, "notFollowedBy must be the final element")
+    require(branches.nonEmpty, "nextAny needs at least one branch")
+    copy(steps = steps :+ DslStep(name, branches.head._2, within,
+      optional = false, oneOrMore = false, alts = branches.toVector))
   }
 
   /** Mark the LAST added step as a greedy consecutive Kleene plus
@@ -167,6 +192,14 @@ final class PatternBuilder private[streaming] (
       if (steps(1).minTimes > 1)
         k.filter(org.apache.spark.sql.functions.col("n_b") >= steps(1).minTimes)
       else k
+    case (None, None) if steps.exists(_.alts.nonEmpty) =>
+      require(steps.forall(s => !s.optional && !s.oneOrMore) &&
+        untilPred.isEmpty && !consecutive,
+        "alternation slots compile the plain-sequence shape only")
+      CepOps.cepAlternation(ev, keyCol, tsCol, idCol,
+        steps.map(s => CepOps.AltStep(s.name,
+          if (s.alts.nonEmpty) s.alts else Seq(s.name -> s.pred),
+          s.within)))
     case (None, None) =>
       CepOps.cepPattern(ev, keyCol, tsCol, idCol,
         steps.map(s => PatternStep(s.name, s.pred, s.within, s.optional)))

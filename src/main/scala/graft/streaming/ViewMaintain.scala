@@ -1,47 +1,61 @@
 package graft.streaming
 
 import graft.operators.ViewOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path}
 
 /** CONTINUOUS materialized-view maintenance on the real streaming
   * runtime — the production shape of [[graft.operators.ViewOps]]: the
   * changelog arrives as a stream of signed-multiplicity rows, and each
-  * micro-batch advances TWO pieces of durable state,
+  * micro-batch advances durable state in write-ahead-log order,
   *
-  *   - an append-only DELTA LOG (the lakehouse transaction-log shape:
-  *     the base table is never rewritten; its current content is
-  *     `old ∪ log` with multiset cancellation — a row is live iff its
-  *     signed weights sum to +1),
-  *   - the VIEW itself, versioned per batch, maintained by
-  *     [[ViewOps.maintainAggView]]: counts/sums delta-merged, min/max
-  *     recomputed only for delete-touched groups against the live base
-  *     PRUNED to those groups.
+  *   - the batch's DELTA-LOG SLICE is committed first (the lakehouse
+  *     transaction-log shape, keyed by batchId so a replayed batch
+  *     overwrites its own slice),
+  *   - the base is then COMPACTED: the new batchId-keyed base snapshot
+  *     is the previous snapshot with the slice's signed weights
+  *     reconciled (only delta-touched payloads pass through the
+  *     weighted group-by; everything else is carried over by an
+  *     anti-join against the delta-sized touched set), and the
+  *     consumed slice is truncated,
+  *   - the VIEW itself, versioned per batch, advances via the caller's
+  *     maintain step (e.g. [[ViewOps.maintainAggView]]: counts/sums
+  *     delta-merged, min/max recomputed only for delete-touched groups
+  *     against the snapshot PRUNED to those groups).
   *
   * The final view hash-matches the full-recompute oracle on the new
   * snapshot, certifying that a continuously-maintained view never
   * drifts from what a batch rebuild would produce.
   *
-  * @note scale: per micro-batch the work is (a) one delta-sized append,
-  *   (b) a view merge sized by touched groups, (c) a live-base
-  *   reconstruction pruned by the delete-touched group keys BEFORE the
-  *   cancellation group-by — on a partitioned/bucketed lake that prune
-  *   is partition elimination, so the batch cost tracks the delta, not
-  *   the 100 TB base. The versioned-view write here rewrites the whole
-  *   (small) aggregate; a production view partitions on the group key
-  *   and rewrites touched partitions only. foreachBatch retries are
-  *   idempotent: both the log slice and the view version are keyed by
-  *   batchId, so a replayed batch overwrites its own output.
+  * @note scale: per micro-batch the work is (a) one delta-sized slice
+  *   commit, (b) one shuffle-free base compaction — the touched-payload
+  *   split BROADCASTS the delta, so the base is scanned (twice: the
+  *   carry-over anti join and the touched semi join) and rewritten once
+  *   with NO base-sized shuffle — and (c) a view merge sized by touched
+  *   groups. Batch cost is therefore FLAT in batch count (the old
+  *   design re-read base + every prior slice per batch, linear in
+  *   batches). The compaction trade: each batch pays one O(base)
+  *   read+write of the snapshot instead of an O(base + batches·delta)
+  *   read — honest on an UNPARTITIONED base too, since nothing relies
+  *   on partition elimination; a production lake partitions the
+  *   snapshot on the group key and rewrites touched partitions only,
+  *   or compacts every N batches to amortize the rewrite. foreachBatch
+  *   retries are idempotent: slice, snapshot and view version are all
+  *   keyed by batchId, and the previous snapshot is only truncated
+  *   AFTER the batch's outputs commit, so a replayed batch recomputes
+  *   the same state from the same inputs.
   */
 object ViewMaintain {
 
   /** Replay `deltas` (signed rows, [[ViewOps.rowDeltas]] schema) in
     * `chunks` range-ordered micro-batches over `orderCol`, maintaining
     * the view built from `oldBase` by `groupCols`/`sumCols`/
-    * `minMaxCols`; row identity for multiset cancellation is the FULL
-    * payload tuple, so `oldBase` rows must be unique. Returns the
-    * final maintained view. */
+    * `minMaxCols`. Row identity for multiset cancellation is the FULL
+    * payload tuple; duplicate payloads are handled exactly (net weight
+    * ≥ 1 keeps that many copies, an over-delete fails loudly). Returns
+    * the final maintained view. */
   def maintainViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String], sumCols: Seq[String],
@@ -73,11 +87,15 @@ object ViewMaintain {
         ViewOps.maintainTopKView(prev, batch, live,
           groupCols, scoreCol, idCol, k))
 
-  /** The generic core: stage the changelog into `chunks` range-ordered
-    * micro-batches, and per batch (a) append the batchId-keyed delta-log
-    * slice, (b) rebuild the live base pruned to the delete-touched
-    * groups, (c) advance the batchId-versioned view with `maintain`.
-    * `buildView` seeds version 0 from the base snapshot. */
+  /** The generic single-table core: stage the changelog into `chunks`
+    * range-ordered micro-batches, and per batch (a) commit the
+    * batchId-keyed log slice, (b) compact the base snapshot (previous
+    * snapshot ⊎ slice, consumed slice truncated), (c) advance the
+    * batchId-versioned view with `maintain`, handing it the new
+    * snapshot pruned to the delete-touched groups. `buildView` seeds
+    * version 0 from the base snapshot. An EMPTY changelog
+    * short-circuits to `buildView(oldBase)` — version 0 is already the
+    * final view. */
   def maintainCustomViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String],
@@ -89,74 +107,239 @@ object ViewMaintain {
         s"schema ${oldBase.columns.mkString(",")} plus 'w' — a base " +
         "column absent from the changelog would read as NULL in the " +
         "delta log and break full-payload multiset cancellation")
+    if (deltas.isEmpty) return buildView(oldBase)
     val root = graft.Scratch.dir("graft-view-maintain")
-    val src = Files.createDirectories(root.resolve("src")).toString
-    val ckpt = root.resolve("ckpt").toString
-    val baseDir = root.resolve("base").toString
+    val baseCols = oldBase.columns.toSeq
     val logDir = root.resolve("log")
+    val snapDir = root.resolve("snap")
     val viewDir = root.resolve("view")
     Files.createDirectories(logDir)
+    Files.createDirectories(snapDir)
     Files.createDirectories(viewDir)
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", 2)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
 
-    // durable state seeds: the base snapshot + view version 0
-    val baseCols = oldBase.columns.toSeq
-    oldBase.write.parquet(baseDir)
-    buildView(ss.read.parquet(baseDir))
+    // durable state seeds: base snapshot s0 + view version v0
+    oldBase.write.parquet(snapDir.resolve("s0").toString)
+    buildView(ss.read.parquet(snapDir.resolve("s0").toString))
       .write.parquet(viewDir.resolve("v0").toString)
 
-    // stage the changelog into range-ordered chunk files (one pass)
+    replayChunks(ss, root, deltas, orderCol, chunks) {
+      (batch: DataFrame, batchId: Long) =>
+        val sb = batch.sparkSession
+        // 1) WAL: the slice commits before any state mutation —
+        //    batchId-keyed, small fixed partition count so a large
+        //    delta batch is not single-writer
+        val sliceDir = logDir.resolve(s"b$batchId")
+        batch.repartition(2).write.mode("overwrite")
+          .parquet(sliceDir.toString)
+        val slice = sb.read.parquet(sliceDir.toString)
+        // 2) compact: new snapshot = previous snapshot ⊎ slice
+        val prevSnap =
+          sb.read.parquet(snapDir.resolve(s"s$batchId").toString)
+        val newSnapDir = snapDir.resolve(s"s${batchId + 1}")
+        applyDelta(prevSnap, slice, baseCols)
+          .write.mode("overwrite").parquet(newSnapDir.toString)
+        val snap = sb.read.parquet(newSnapDir.toString)
+        // 3) advance view v{batchId} -> v{batchId+1}; the maintain
+        //    step only rescans delete-touched groups, so hand it the
+        //    snapshot pruned to those groups
+        val negKeys = slice.filter(col("w") < 0)
+          .select(groupCols.map(col): _*).distinct()
+        val pruned = snap.join(negKeys, groupCols, "left_semi")
+        val prev =
+          sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
+        maintain(prev, slice, pruned)
+          .write.mode("overwrite")
+          .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
+        // 4) truncate consumed state: the slice and the pre-batch
+        //    snapshot (only AFTER this batch's outputs committed)
+        rm(sliceDir)
+        rm(snapDir.resolve(s"s$batchId"))
+        ()
+    }
+    spark.read.parquet(
+      viewDir.resolve(s"v${maxVersion(viewDir)}").toString)
+  }
+
+  /** TWO-INPUT continuous maintenance of an aggregate-over-join view —
+    * [[ViewOps.joinViewDeltas]]' three-term product-weight rule on the
+    * real runtime. Both changelogs ride ONE stream (each row tagged
+    * with its side, the CDC-topic-per-database shape); per micro-batch
+    * the loop splits the batch into ΔA/ΔB, derives the join-view delta
+    * against the PRE-batch snapshots (`Δ(A⋈B) = ΔA⋈A-side-old's B ∪
+    * A_old⋈ΔB ∪ ΔA⋈ΔB`), merges it into the versioned view with
+    * [[ViewOps.maintainSumView]], and then compacts both base
+    * snapshots. The view never touches either base table — its merge
+    * is delta-sized; only the snapshot compaction reads the bases,
+    * once each, shuffle-free.
+    *
+    * `viewGroupCols`/`viewSumCols` must be drawn from
+    * `joinKeys ++ aVals ++ bVals` (the join-delta output columns).
+    * Returns the final maintained view
+    * (`viewGroupCols ++ cnt ++ sum_<c>`).
+    *
+    * @note scale: the two base-sided delta terms broadcast the delta
+    *   side (AQE does this at real delta/base ratios), ΔA⋈ΔB is
+    *   delta×delta, and the sum-view merge is touched-group-sized —
+    *   the fact⋈dim rollup refreshed continuously at delta cost while
+    *   BOTH tables change under it. */
+  def maintainJoinViewStream(spark: SparkSession,
+      oldA: DataFrame, deltaA: DataFrame,
+      oldB: DataFrame, deltaB: DataFrame,
+      orderCol: String, chunks: Int, joinKeys: Seq[String],
+      aVals: Seq[String], bVals: Seq[String],
+      viewGroupCols: Seq[String], viewSumCols: Seq[String]): DataFrame = {
+    val aCols = oldA.columns.toSeq
+    val bCols = oldB.columns.toSeq
+    require(deltaA.columns.toSet == aCols.toSet + "w" &&
+      deltaB.columns.toSet == bCols.toSet + "w",
+      "each delta schema must be its base schema plus 'w'")
+    val joinOutCols = (joinKeys ++ aVals ++ bVals).toSet
+    require((viewGroupCols ++ viewSumCols).forall(joinOutCols),
+      s"view columns must come from the join-delta output $joinOutCols")
+    def buildJoinView(a: DataFrame, b: DataFrame): DataFrame = {
+      val aggs = Seq(count(lit(1)).as("cnt")) ++
+        viewSumCols.map(c => sum(col(c)).as("sum_" + c))
+      a.join(b, joinKeys).groupBy(viewGroupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    if (deltaA.isEmpty && deltaB.isEmpty) return buildJoinView(oldA, oldB)
+    require((aCols ++ bCols).contains(orderCol),
+      s"orderCol $orderCol must appear in one of the inputs")
+
+    // one tagged envelope stream: side + (aCols ∪ bCols, padded with
+    // typed nulls) + w — both changelogs arrive in the SAME micro-batch
+    // slice, so each batch is a consistent two-table transaction
+    val allCols = (aCols ++ bCols).distinct
+    val colType = (oldA.schema ++ oldB.schema)
+      .map(f => f.name -> f.dataType).toMap
+    def pad(d: DataFrame, side: String, have: Set[String]): DataFrame =
+      d.select(lit(side).as("side") +:
+        allCols.map(c => if (have(c)) col(c)
+          else lit(null).cast(colType(c)).as(c)) :+ col("w"): _*)
+    val envelope = pad(deltaA, "A", aCols.toSet)
+      .unionByName(pad(deltaB, "B", bCols.toSet))
+
+    val root = graft.Scratch.dir("graft-join-view-maintain")
+    val logDir = root.resolve("log")
+    val snapADir = root.resolve("snapA")
+    val snapBDir = root.resolve("snapB")
+    val viewDir = root.resolve("view")
+    Seq(logDir, snapADir, snapBDir, viewDir)
+      .foreach(Files.createDirectories(_))
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", 2)
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
+
+    oldA.write.parquet(snapADir.resolve("s0").toString)
+    oldB.write.parquet(snapBDir.resolve("s0").toString)
+    buildJoinView(ss.read.parquet(snapADir.resolve("s0").toString),
+        ss.read.parquet(snapBDir.resolve("s0").toString))
+      .write.parquet(viewDir.resolve("v0").toString)
+
+    replayChunks(ss, root, envelope, orderCol, chunks) {
+      (batch: DataFrame, batchId: Long) =>
+        val sb = batch.sparkSession
+        // 1) WAL slice (both sides together — the transaction)
+        val sliceDir = logDir.resolve(s"b$batchId")
+        batch.repartition(2).write.mode("overwrite")
+          .parquet(sliceDir.toString)
+        val slice = sb.read.parquet(sliceDir.toString)
+        val dA = slice.filter(col("side") === "A")
+          .select((aCols :+ "w").map(col): _*)
+        val dB = slice.filter(col("side") === "B")
+          .select((bCols :+ "w").map(col): _*)
+        // 2) join-view delta against the PRE-batch snapshots, merged
+        //    into the versioned view — no base access beyond the two
+        //    delta-broadcast join terms
+        val prevA =
+          sb.read.parquet(snapADir.resolve(s"s$batchId").toString)
+        val prevB =
+          sb.read.parquet(snapBDir.resolve(s"s$batchId").toString)
+        val dJ = ViewOps.joinViewDeltas(prevA, dA, prevB, dB,
+          joinKeys, aVals, bVals)
+        val prevV =
+          sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
+        ViewOps.maintainSumView(prevV, dJ, viewGroupCols, viewSumCols)
+          .write.mode("overwrite")
+          .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
+        // 3) compact both snapshots, then truncate consumed state
+        applyDelta(prevA, dA, aCols).write.mode("overwrite")
+          .parquet(snapADir.resolve(s"s${batchId + 1}").toString)
+        applyDelta(prevB, dB, bCols).write.mode("overwrite")
+          .parquet(snapBDir.resolve(s"s${batchId + 1}").toString)
+        rm(sliceDir)
+        rm(snapADir.resolve(s"s$batchId"))
+        rm(snapBDir.resolve(s"s$batchId"))
+        ()
+    }
+    spark.read.parquet(
+      viewDir.resolve(s"v${maxVersion(viewDir)}").toString)
+  }
+
+  /** Reconcile a signed slice into a snapshot — exact multiset
+    * semantics on the FULL payload tuple: payloads the slice never
+    * touches are carried over by a null-safe anti join (delta-sized
+    * broadcast, no base shuffle); touched payloads go through the
+    * weighted group-by, keep `net` copies when the net weight is
+    * positive, vanish at zero, and FAIL LOUDLY on an over-delete
+    * (net < 0 means the changelog deleted a row the base never had —
+    * silently dropping it would skew every downstream view). */
+  private def applyDelta(prevSnap: DataFrame, slice: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val touched = broadcast(slice.select(cols.map(col): _*).distinct())
+    def eqCond(l: DataFrame, r: DataFrame): Column =
+      cols.map(c => l(c) <=> r(c)).reduce(_ && _)
+    val untouched = prevSnap.join(touched,
+      eqCond(prevSnap, touched), "left_anti")
+    val reconciled = prevSnap
+      .join(touched, eqCond(prevSnap, touched), "left_semi")
+      .withColumn("w", lit(1))
+      .unionByName(slice.select((cols :+ "w").map(col): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("w")).cast("long").as("net"))
+      .withColumn("net", when(col("net") < 0,
+          raise_error(concat(lit("changelog over-delete: net weight "),
+            col("net").cast("string"), lit(" for payload ("),
+            concat_ws(",", cols.map(c => col(c).cast("string")): _*),
+            lit(")"))).cast("long"))
+        .otherwise(col("net")))
+      .filter(col("net") > 0)
+      .select(cols.map(col) :+
+        explode(array_repeat(lit(1), col("net").cast("int"))).as("__m"): _*)
+      .drop("__m")
+    untouched.select(cols.map(col): _*)
+      .unionByName(reconciled)
+  }
+
+  /** Stage `deltas` into `chunks` range-ordered micro-batches over
+    * `orderCol` and replay them through a foreachBatch stream, calling
+    * `onBatch` per micro-batch. Blocks until all chunks are consumed. */
+  private def replayChunks(ss: SparkSession, root: Path,
+      deltas: DataFrame, orderCol: String, chunks: Int)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val src = Files.createDirectories(root.resolve("src")).toString
+    val ckpt = root.resolve("ckpt").toString
     val b = deltas.agg(min(col(orderCol)).as("lo"),
       max(col(orderCol)).as("hi")).head()
     val (lo, span) =
       (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
-    val bucket = least(lit(chunks - 1),
+    val bucket = coalesce(least(lit(chunks - 1),
       floor((col(orderCol) - lit(lo)) * lit(chunks.toLong) / lit(span)))
-      .cast("int")
+      .cast("int"), lit(0))
     val stage = root.resolve("stage")
     deltas.withColumn("ck", bucket).repartition(col("ck"))
       .write.partitionBy("ck").parquet(stage.toString)
-    val deltaSchema = deltas.schema
+    val deltaSchema = StructType(deltas.schema.fields)
 
     val q = ss.readStream.schema(deltaSchema).parquet(src)
       .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sb = batch.sparkSession
-        // 1) log slice, keyed by batchId (idempotent on retry)
-        batch.coalesce(1).write.mode("overwrite")
-          .parquet(logDir.resolve(s"b$batchId").toString)
-        // 2) live base pruned to the delete-touched groups before the
-        //    cancellation group-by (the partition-elimination analogue)
-        val logSlices = {
-          val l = Files.list(logDir)
-          try {
-            val it = l.iterator(); val bufs = Seq.newBuilder[String]
-            while (it.hasNext) bufs += it.next().toString
-            bufs.result()
-          } finally l.close()
-        }
-        val logged = sb.read.schema(
-          sb.read.parquet(baseDir).withColumn("w", lit(1)).schema)
-          .parquet(logSlices: _*)
-        val negKeys = logged.filter(col("w") < 0)
-          .select(groupCols.map(col): _*).distinct()
-        val liveBase = sb.read.parquet(baseDir).withColumn("w", lit(1))
-          .unionByName(logged)
-          .join(negKeys, groupCols, "left_semi")
-          .groupBy(baseCols.map(col): _*)
-          .agg(sum(col("w")).as("tw")).filter(col("tw") === 1).drop("tw")
-        // 3) maintain view v{batchId} -> v{batchId+1}
-        val prev = sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
-        maintain(prev, batch, liveBase)
-          .write.mode("overwrite")
-          .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
-        ()
-      }
+      .foreachBatch(onBatch)
       .option("checkpointLocation", ckpt).start()
-    var last = 0L
     try {
       (0 until chunks).foreach { i =>
         val dir = stage.resolve(s"ck=$i")
@@ -178,18 +361,26 @@ object ViewMaintain {
         }
       }
     } finally q.stop()
-    // latest view version
-    val vs = Files.list(viewDir)
-    val maxV =
-      try {
-        val it = vs.iterator(); var m = 0L
-        while (it.hasNext) {
-          val n = it.next().getFileName.toString
-          if (n.startsWith("v")) m = math.max(m, n.drop(1).toLong)
-        }
-        m
-      } finally vs.close()
-    last = maxV
-    spark.read.parquet(viewDir.resolve(s"v$last").toString)
   }
+
+  /** Highest `v<N>` version present under a versioned-view dir. */
+  private def maxVersion(viewDir: Path): Long = {
+    val vs = Files.list(viewDir)
+    try {
+      val it = vs.iterator(); var m = 0L
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v")) m = math.max(m, n.drop(1).toLong)
+      }
+      m
+    } finally vs.close()
+  }
+
+  private def rm(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
 }

@@ -200,6 +200,83 @@ class ViewOpsSpec extends SparkSpec {
     assert(got2 == Seq((1, 50L, 1L), (2, 45L, 10L), (3, 40L, 2L)))
   }
 
+  test("maintainJoinViewStream equals the one-shot batch join maintain") {
+    val oldA = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "g")
+    val newA = Seq((1L, "x"), (2L, "x"), (4L, "y")).toDF("k", "g")
+    val oldB = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L),
+      (3L, 1L, 40L)).toDF("k", "i", "v")
+    val newB = Seq((1L, 1L, 11L), (2L, 1L, 30L), (2L, 2L, 50L),
+      (4L, 1L, 60L)).toDF("k", "i", "v")
+    val dA = ViewOps.rowDeltas(oldA, newA, Seq("k"), Seq("g"))
+    val dB = ViewOps.rowDeltas(oldB, newB, Seq("k", "i"), Seq("v"))
+    val got = graft.streaming.ViewMaintain.maintainJoinViewStream(
+        spark, oldA, dA, oldB, dB, orderCol = "k", chunks = 3,
+        joinKeys = Seq("k"), aVals = Seq("g"), bVals = Seq("v"),
+        viewGroupCols = Seq("g"), viewSumCols = Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = newA.join(newB, "k").groupBy("g")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want && !got.exists(_._1 == "z"))
+  }
+
+  test("streaming maintainers short-circuit on an EMPTY changelog") {
+    val none = deltas.filter(lit(false))
+    val got = graft.streaming.ViewMaintain.maintainViewStream(
+        spark, oldS, none, orderCol = "id", chunks = 3,
+        groupCols = Seq("grp"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+      .collect().map(_.toSeq).toSet
+    val want = oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),
+        sum("x").as("sum_x"), min("x").as("min_x"), max("x").as("max_x"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    val gotJ = graft.streaming.ViewMaintain.maintainJoinViewStream(
+        spark, oldS.select("id", "grp"), none.filter(lit(false))
+          .select("id", "grp", "w"),
+        oldS.select("id", "x"), none.select("id", "x", "w"),
+        orderCol = "id", chunks = 3, joinKeys = Seq("id"),
+        aVals = Seq("grp"), bVals = Seq("x"),
+        viewGroupCols = Seq("grp"), viewSumCols = Seq("x"))
+      .collect().map(_.toSeq).toSet
+    val wantJ = oldS.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .collect().map(_.toSeq).toSet
+    assert(gotJ == wantJ)
+  }
+
+  test("streaming compaction keeps DUPLICATE-payload base rows exact") {
+    // two payload-identical live rows; the changelog deletes ONE copy —
+    // multiset semantics must keep the other (the old tw=1 filter
+    // silently dropped both)
+    val base = Seq(("g1", 10L), ("g1", 10L), ("g1", 30L), ("g2", 5L))
+      .toDF("grp", "x")
+    val d = Seq(("g1", 10L, -1), ("g1", 99L, 1)).toDF("grp", "x", "w")
+    val got = graft.streaming.ViewMaintain.maintainViewStream(
+        spark, base, d, orderCol = "x", chunks = 2,
+        groupCols = Seq("grp"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // g1 after: {10, 30, 99} — min must still be 10 (one copy survives)
+    assert(got == Set(("g1", 3L, 139L, 10L, 99L), ("g2", 1L, 5L, 5L, 5L)))
+  }
+
+  test("streaming compaction fails loudly on a changelog over-delete") {
+    val base = Seq(("g1", 10L)).toDF("grp", "x")
+    val d = Seq(("g1", 77L, -1)).toDF("grp", "x", "w") // never existed
+    val e = intercept[Exception] {
+      graft.streaming.ViewMaintain.maintainViewStream(
+        spark, base, d, orderCol = "x", chunks = 1,
+        groupCols = Seq("grp"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("over-delete")))
+  }
+
   test("streaming maintenance equals the one-shot batch maintain") {
     val batch = ViewOps.maintainAggView(
       oldS.groupBy("grp").agg(count(lit(1)).as("cnt"),

@@ -131,6 +131,72 @@ class CepOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming alternation emits per-branch matches incrementally") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[CepEvent]
+    val pat = CepOps.cepAlternation(
+      input.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "ts", "event_id", Seq(
+        CepOps.AltStep("a", Seq("a" -> (col("event_type") === "click"))),
+        CepOps.AltStep("mid", Seq(
+          "error" -> (col("event_type") === "error"),
+          "view" -> (col("event_type") === "view")), "60 minutes"),
+        CepOps.AltStep("c", Seq("c" -> (col("event_type") === "purchase")),
+          "60 minutes")))
+    val q = pat.writeStream.format("memory").queryName("cep_alt_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-alt").toString)
+      .start()
+    try {
+      input.addData(
+        CepEvent(1L, t("10:00"), 100L, "click"),
+        CepEvent(1L, t("10:30"), 101L, "error"),
+        CepEvent(1L, t("10:40"), 102L, "view"),
+        CepEvent(1L, t("11:00"), 103L, "purchase"), // both branches match
+        CepEvent(2L, t("10:00"), 200L, "click"),
+        CepEvent(2L, t("10:30"), 201L, "view"),
+        CepEvent(2L, t("10:50"), 202L, "purchase")) // view branch only
+      q.processAllAvailable()
+      input.addData(
+        CepEvent(9L, t("20:00"), 900L, "click"),
+        CepEvent(9L, t("20:01"), 901L, "error"),
+        CepEvent(9L, t("20:02"), 902L, "view"),
+        CepEvent(9L, t("20:03"), 903L, "purchase")) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("cep_alt_stream")
+        .filter(col("user_id") < 9)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(out == Set((1L, 101L, "error"), (1L, 102L, "view"),
+        (2L, 201L, "view")), s"got $out")
+      // matches the batch run over the identical event set
+      val batch = CepOps.cepAlternation(
+        spark.table("cep_alt_stream").sparkSession
+          .createDataFrame(Seq(
+            CepEvent(1L, t("10:00"), 100L, "click"),
+            CepEvent(1L, t("10:30"), 101L, "error"),
+            CepEvent(1L, t("10:40"), 102L, "view"),
+            CepEvent(1L, t("11:00"), 103L, "purchase"),
+            CepEvent(2L, t("10:00"), 200L, "click"),
+            CepEvent(2L, t("10:30"), 201L, "view"),
+            CepEvent(2L, t("10:50"), 202L, "purchase"))),
+        "user_id", "ts", "event_id", Seq(
+          CepOps.AltStep("a", Seq("a" -> (col("event_type") === "click"))),
+          CepOps.AltStep("mid", Seq(
+            "error" -> (col("event_type") === "error"),
+            "view" -> (col("event_type") === "view")), "60 minutes"),
+          CepOps.AltStep("c",
+            Seq("c" -> (col("event_type") === "purchase")), "60 minutes")))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(out == batch, s"stream $out != batch $batch")
+    } finally q.stop()
+  }
+
   test("cepTimes: overlapping consecutive runs, within cutoff (fixture)") {
     val sp = spark
     import sp.implicits._

@@ -101,6 +101,73 @@ class PatternDslSpec extends SparkSpec {
     assert(rows(dsl) == rows(direct))
   }
 
+  test("nextAny compiles to cepAlternation == the cep_alternation key") {
+    val dsl = Pattern.begin("click", col("event_type") === "click")
+      .nextAny("mid", "360 minutes",
+        "error" -> (col("event_type") === "error"),
+        "view" -> (col("event_type") === "view"))
+      .next("purchase", col("event_type") === "purchase",
+        within = "360 minutes")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepAlternation(ev, "user_id", "ts", "event_id", Seq(
+      CepOps.AltStep("click", Seq("click" -> (col("event_type") === "click"))),
+      CepOps.AltStep("mid", Seq(
+        "error" -> (col("event_type") === "error"),
+        "view" -> (col("event_type") === "view")), "360 minutes"),
+      CepOps.AltStep("purchase",
+        Seq("purchase" -> (col("event_type") === "purchase")),
+        "360 minutes")))
+    assert(dsl.columns.contains("mid_branch"),
+      "multi-branch slots must carry the branch tag")
+    assert(!dsl.columns.contains("click_branch"),
+      "single-branch slots must not")
+    assert(rows(dsl) == rows(direct) && dsl.count() > 0)
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_alternation")(spark, sf)))
+  }
+
+  test("MATCH_RECOGNIZE PATTERN (A (E|V) C) routes to cepAlternation") {
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (A (E|V) C)
+         DEFINE A AS event_type = 'click',
+                E AS event_type = 'error',
+                V AS event_type = 'view',
+                C AS event_type = 'purchase'
+         WITHIN INTERVAL '360' MINUTE""")
+    assert(mr.columns.toSeq == Seq("user_id", "A_id", "E_or_V_id",
+      "E_or_V_branch", "C_id", "total_us"))
+    // SQL WITHIN bounds the WHOLE match: per-slot bound is the full
+    // interval, closed by the total_us filter
+    val direct = CepOps.cepAlternation(ev, "user_id", "ts", "event_id", Seq(
+        CepOps.AltStep("A", Seq("A" -> (col("event_type") === "click"))),
+        CepOps.AltStep("E_or_V", Seq(
+          "E" -> (col("event_type") === "error"),
+          "V" -> (col("event_type") === "view")), "360 MINUTE"),
+        CepOps.AltStep("C", Seq("C" -> (col("event_type") === "purchase")),
+          "360 MINUTE")))
+      .filter(col("total_us") <= 360L * 60L * 1000000L)
+    assert(rows(mr) == rows(direct) && mr.count() > 0)
+  }
+
+  test("an event matching BOTH branches emits one match per branch") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq((1L, t(0), 10L, "a"), (1L, t(5), 20L, "b"),
+      (1L, t(10), 30L, "c")).toDF("user_id", "ts", "event_id", "event_type")
+    val got = CepOps.cepAlternation(df, "user_id", "ts", "event_id", Seq(
+        CepOps.AltStep("s", Seq("s" -> (col("event_type") === "a"))),
+        CepOps.AltStep("m", Seq(
+          "by_type" -> (col("event_type") === "b"),
+          "by_id" -> (col("event_id") === 20L)), "60 minutes"),
+        CepOps.AltStep("e", Seq("e" -> (col("event_type") === "c")),
+          "60 minutes")))
+      .collect().map(r => (r.getLong(2), r.getString(3))).toSet
+    assert(got == Set((20L, "by_type"), (20L, "by_id")),
+      s"regex alternation semantics: one match per branch, got $got")
+  }
+
   test("malformed shapes fail fast with a clear message") {
     intercept[RuntimeException] {
       Pattern.begin("a", lit(true)).next("b", lit(true)).oneOrMore()
