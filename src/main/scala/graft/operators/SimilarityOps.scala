@@ -1402,6 +1402,59 @@ object SimilarityOps {
     topKScored(exact, k, "cos")
   }
 
+  /** [[knnIvfSq8]] with DETERMINISTIC, oracle-rebuildable cell
+    * training — the last ANN tier to get a hash-verified twin of its
+    * own composed stack: [[knnIvfDet]]'s exact-BIGINT Lloyd cells
+    * (lowest-id seeds, `(cos DESC, cid)` assignment, 10⁻⁹-unit
+    * re-centering) route the probes, the in-cell scan runs on the
+    * [[knnSq8]] int8 storage tier (per-vector scale + `round(x/s)`
+    * codes; the approximate dot is a sum of EXACT small-integer
+    * products, so it is partition-order-free), and the exact pass
+    * re-ranks only the per-query `shortlist`. Every step is
+    * arithmetic DuckDB replicates exactly, so the `llm_knn_ivfsq8_det`
+    * oracle rebuilds train → assign → quantize → probe → shortlist →
+    * rerank end to end and hash-checks shortlist membership itself;
+    * the float-Lloyd [[knnIvfSq8]] stays the rows-only speed path.
+    *
+    * @note scale: same shape as [[knnIvfSq8]] — broadcast centroids
+    *   route, int8 codes bound the in-cell scan bytes (4× under
+    *   float32), and the float tier is touched only for
+    *   shortlist×queries rows. */
+  def knnIvfSq8Det(df: DataFrame, isQuery: org.apache.spark.sql.Column,
+      nCells: Int = 16, iters: Int = 2, nprobe: Int = 4,
+      shortlist: Int = 40, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = normed(df, idCol, vecCol).persist()
+    val cents = detTrainCells(n, nCells, iters)
+    // storage tier over the det-assigned corpus: int8 codes + scale
+    val q8 = detAssignCells(n, cents)
+      .withColumn("s", greatest(expr("array_max(transform(v, x -> abs(x)))"),
+        lit(1e-12)) / 127.0)
+      .withColumn("qd",
+        expr("transform(v, x -> CAST(CAST(round(x / s) AS TINYINT) AS DOUBLE))"))
+    val probes = detProbes(n, cents, isQuery, math.min(nprobe, nCells))
+      .withColumn("qs", greatest(expr("array_max(transform(qv, x -> abs(x)))"),
+        lit(1e-12)) / 127.0)
+      .withColumn("qqd",
+        expr("transform(qv, x -> CAST(CAST(round(x / qs) AS TINYINT) AS DOUBLE))"))
+    val shortIds = topKScored(
+      q8.join(broadcast(probes), "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("approx",
+          col("s") * col("qs") * expr("vec_dot(qd, qqd)") / (col("nrm") * col("qn")))
+        .select(col("qid"), col("vec_id").as("nbr"), col("approx")),
+      shortlist, "approx").select("qid", "nbr")
+    val qside = n.filter(isQuery).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val exact = n.select(col("vec_id").as("nbr"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(shortIds), "nbr")
+      .join(broadcast(qside), "qid")
+      .withColumn("cos", round(expr("vec_dot(nv, qv)") / (col("nn") * col("qn")), 6))
+      .select(col("qid"), col("nbr"), col("cos"))
+    topKScored(exact, k, "cos")
+  }
+
   /** Per-stratum per-dimension mean embedding — the corpus centroid
     * table used for domain-mixture analysis and drift monitoring:
     * `(stratum, pos, mean)`.

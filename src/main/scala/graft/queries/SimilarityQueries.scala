@@ -602,6 +602,53 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** IVF+SQ8 with the WHOLE composed stack under the hash oracle
+    * ([[SimilarityOps.knnIvfSq8Det]]) — the last ANN tier without a
+    * hash-verified twin: det-trained cells (both exact-BIGINT Lloyd
+    * passes, [[oIvfTrainCtes]]) route nprobe=4 probes, the in-cell
+    * scan runs on int8 codes (the [[knnSq8]] quantize/shortlist
+    * contract — exact small-integer dot products, order-free), the
+    * exact pass re-ranks. The oracle rebuilds training, assignment,
+    * quantization, probe routing, the 40-deep shortlist and the
+    * rerank, hash-checking shortlist membership itself; the
+    * float-Lloyd `llm_knn_ivfsq8` stays the rows-only speed path. */
+  private val knnIvfSq8Det = Q(
+    "llm_knn_ivfsq8_det",
+    s"""WITH $oNormed,
+       |${oIvfTrainCtes("TRUE")},
+       |cq AS (SELECT vec_id, v, nrm, cid, s, list_transform(v, x -> round(x / s)) AS qd
+       |       FROM (SELECT *, greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+       |             FROM af)),
+       |pr AS (SELECT qid, qv, qn, cid FROM (
+       |  SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qn, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
+       |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
+       |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 5) WHERE rk <= 4),
+       |q AS (SELECT qid, qn, qs, list_transform(qv, x -> round(x / qs)) AS qqd, cid
+       |      FROM (SELECT *, greatest(list_max(list_transform(qv, x -> abs(x))), 1e-12) / 127.0 AS qs
+       |            FROM pr)),
+       |ap AS (SELECT q.qid, c.vec_id AS nbr,
+       |         c.s * q.qs * list_sum(list_transform(list_zip(c.qd, q.qqd), p -> p[1]*p[2]))
+       |           / (c.nrm * q.qn) AS approx
+       |       FROM cq c JOIN q ON c.cid = q.cid AND c.vec_id != q.qid),
+       |sl AS (SELECT qid, nbr FROM (
+       |         SELECT qid, nbr,
+       |           row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nbr) AS srk
+       |         FROM ap) WHERE srk <= 40),
+       |ex AS (SELECT sl.qid, sl.nbr,
+       |         round(list_sum(list_transform(list_zip(nn.v, q2.v), p -> p[1]*p[2]))
+       |               / (nn.nrm * q2.nrm), 6) AS cos
+       |       FROM sl JOIN n nn ON nn.vec_id = sl.nbr JOIN n q2 ON q2.vec_id = sl.qid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM ex)
+       |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    SimilarityOps.knnIvfSq8Det(Tables.embeddings(s, d),
+        isQuery = col("vec_id") < 5, nCells = 16, iters = 2, nprobe = 4,
+        shortlist = 40, k = 10)
+      .orderBy("qid", "rk")
+  }
+
   /** Per-source corpus centroids ([[SimilarityOps.meanEmbedding]]):
     * grouped float reduction made deterministic by an ordered gather +
     * left fold on BOTH engines (see the op's scaladoc for why decimal
@@ -720,6 +767,6 @@ object SimilarityQueries {
     knnIvfSaved, streamKnnIvfServeReplay, streamAnnUpsertReplay,
     knnPqDet, knnIvfPqDet,
     streamKnnIvfPqServeReplay, knnIvfProbeAll,
-    knnPq, knnSq8, knnIvfPq, knnIvfSq8, embedCentroid, embLsh, multimodalJoin,
+    knnPq, knnSq8, knnIvfPq, knnIvfSq8, knnIvfSq8Det, embedCentroid, embLsh, multimodalJoin,
     multimodalFeatures)
 }

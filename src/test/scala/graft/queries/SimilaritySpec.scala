@@ -64,6 +64,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low — det IVF-PQ composition broken")
   }
 
+  test("deterministic IVF-SQ8 composes det cells with the int8 tier at the stack's recall class") {
+    val exact = pairs("llm_knn_cosine")
+    val det = pairs("llm_knn_ivfsq8_det")
+    assert(det.nonEmpty && det.groupBy(_._1).forall(_._2.size <= 10))
+    val recall = (exact & det).size.toDouble / exact.size
+    // 4/16-cell pruning bounds recall (SQ8 scan error is near-zero);
+    // the gate guards plumbing, the oracle guards every value
+    assert(recall >= 0.2, s"recall $recall too low — det IVF-SQ8 composition broken")
+  }
+
   test("SQ8 ANN: int8 shortlist + exact rerank reaches recall >= 0.95") {
     val exact = pairs("llm_knn_cosine")
     val approx = pairs("llm_knn_sq8")
