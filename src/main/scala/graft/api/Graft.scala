@@ -104,9 +104,13 @@ object Graft {
     * Views COMPOSE: a maintained view's own changelog (`rowDeltas`
     * on its before/after) drives the next level — `cdc_view_cascade`
     * certifies the rollup-tree shape. The continuous twin
-    * ([[graft.streaming.ViewMaintain]]) maintains a versioned view +
-    * append-only delta log per micro-batch, certified equal to a full
-    * batch rebuild. */
+    * ([[graft.streaming.ViewMaintain]]) maintains a versioned view per
+    * micro-batch over WAL-ordered state — slice commit, base-snapshot
+    * COMPACTION (flat cost in batch count, exact multiset semantics,
+    * loud over-delete failure), view merge — and
+    * `maintainJoinViewStream` runs the three-term join-view rule over
+    * a side-tagged two-table changelog stream; both certified equal to
+    * a full batch rebuild. */
   val views: graft.operators.ViewOps.type = graft.operators.ViewOps
   /** Interval algebra: per-key interval merging, session-id labeling
     * (gap-only and gap+duration-capped), time-series gap filling. */
@@ -115,10 +119,13 @@ object Graft {
   val layout: LayoutOps.type = LayoutOps
   /** CEP patterns batch-side: sequences, absence, quantifiers, Kleene
     * loops, after-match skip strategies (`cepSkipToNext` /
-    * `cepSkipPastLast`); streaming automata live on [[streams]]
-    * (`cepKleeneStream`, `cepSkipPastLastStream`). The
-    * [[graft.streaming.Pattern]] builder and
-    * [[graft.streaming.MatchRecognize]] SQL face compile onto these. */
+    * `cepSkipPastLast`), named alternation with branch identity
+    * (`cepAlternation` — `A (B|C) D`), and quantified sequence groups
+    * (`cepGroupTimes` / `cepGroupKleene` — `(A B){n}` / `(A B)+`);
+    * streaming automata live on [[streams]] (`cepKleeneStream`,
+    * `cepSkipPastLastStream`). The [[graft.streaming.Pattern]] builder
+    * and [[graft.streaming.MatchRecognize]] SQL face compile onto
+    * these. */
   val cep: graft.streaming.CepOps.type = graft.streaming.CepOps
 
   object joins {

@@ -315,6 +315,109 @@ object StreamingQueries {
           "purchase_id")
   }
 
+  /** T8 group quantifier, fixed count — `(click view){2}`
+    * ([[graft.streaming.CepOps.cepGroupTimes]], via
+    * [[graft.streaming.Pattern.group]]`.times(2)`): the Flink
+    * group-pattern `times` shape, unrolled to the flat 4-slot chain
+    * click→view→click→view with each event within 60 min of the
+    * previous match (relaxed contiguity). Every repetition's events
+    * are bound as columns. The oracle restates the unrolled chain as a
+    * 4-way self-join. */
+  private val cepGroupTimes = Q(
+    "cep_group_times",
+    """SELECT a1.user_id, a1.event_id AS click_1_id, b1.event_id AS view_1_id,
+      |  a2.event_id AS click_2_id, b2.event_id AS view_2_id,
+      |  epoch_us(CAST(b2.ts AS TIMESTAMP)) - epoch_us(CAST(a1.ts AS TIMESTAMP)) AS total_us
+      |FROM events a1
+      |JOIN events b1 ON b1.user_id = a1.user_id
+      |  AND a1.event_type = 'click' AND b1.event_type = 'view'
+      |  AND CAST(b1.ts AS TIMESTAMP) > CAST(a1.ts AS TIMESTAMP)
+      |  AND CAST(b1.ts AS TIMESTAMP) <= CAST(a1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |JOIN events a2 ON a2.user_id = a1.user_id AND a2.event_type = 'click'
+      |  AND CAST(a2.ts AS TIMESTAMP) > CAST(b1.ts AS TIMESTAMP)
+      |  AND CAST(a2.ts AS TIMESTAMP) <= CAST(b1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |JOIN events b2 ON b2.user_id = a1.user_id AND b2.event_type = 'view'
+      |  AND CAST(b2.ts AS TIMESTAMP) > CAST(a2.ts AS TIMESTAMP)
+      |  AND CAST(b2.ts AS TIMESTAMP) <= CAST(a2.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin) {
+    (s, d) =>
+      graft.streaming.Pattern
+        .group("360 minutes",
+          "click" -> (col("event_type") === "click"),
+          "view" -> (col("event_type") === "view"))
+        .times(2)
+        .over(Tables.events(s, d), "user_id", "ts", "event_id")
+        .orderBy("user_id", "click_1_id", "view_1_id", "click_2_id",
+          "view_2_id")
+  }
+
+  /** T8 group Kleene — `(click view)+`
+    * ([[graft.streaming.CepOps.cepGroupKleene]], via
+    * [[graft.streaming.Pattern.group]]`.oneOrMore(3)`): one match per
+    * repetition count (Flink's oneOrMore emission), unrolled to
+    * maxReps=3 — a HARD bound that fails loudly rather than silently
+    * truncating. Output carries FIRST/LAST/COUNT (`first_id`,
+    * `last_id`, `reps`). The oracle is the UNION ALL of the three
+    * unrolled chains with literal repetition tags. */
+  private val cepGroupKleene = Q(
+    "cep_group_kleene",
+    """WITH c1 AS (
+      |  SELECT a1.user_id, a1.event_id AS first_id, b1.event_id AS last_id,
+      |    CAST(1 AS INT) AS reps,
+      |    epoch_us(CAST(b1.ts AS TIMESTAMP)) - epoch_us(CAST(a1.ts AS TIMESTAMP)) AS total_us
+      |  FROM events a1
+      |  JOIN events b1 ON b1.user_id = a1.user_id
+      |    AND a1.event_type = 'click' AND b1.event_type = 'view'
+      |    AND CAST(b1.ts AS TIMESTAMP) > CAST(a1.ts AS TIMESTAMP)
+      |    AND CAST(b1.ts AS TIMESTAMP) <= CAST(a1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE),
+      |c2 AS (
+      |  SELECT a1.user_id, a1.event_id AS first_id, b2.event_id AS last_id,
+      |    CAST(2 AS INT) AS reps,
+      |    epoch_us(CAST(b2.ts AS TIMESTAMP)) - epoch_us(CAST(a1.ts AS TIMESTAMP)) AS total_us
+      |  FROM events a1
+      |  JOIN events b1 ON b1.user_id = a1.user_id
+      |    AND a1.event_type = 'click' AND b1.event_type = 'view'
+      |    AND CAST(b1.ts AS TIMESTAMP) > CAST(a1.ts AS TIMESTAMP)
+      |    AND CAST(b1.ts AS TIMESTAMP) <= CAST(a1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |  JOIN events a2 ON a2.user_id = a1.user_id AND a2.event_type = 'click'
+      |    AND CAST(a2.ts AS TIMESTAMP) > CAST(b1.ts AS TIMESTAMP)
+      |    AND CAST(a2.ts AS TIMESTAMP) <= CAST(b1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |  JOIN events b2 ON b2.user_id = a1.user_id AND b2.event_type = 'view'
+      |    AND CAST(b2.ts AS TIMESTAMP) > CAST(a2.ts AS TIMESTAMP)
+      |    AND CAST(b2.ts AS TIMESTAMP) <= CAST(a2.ts AS TIMESTAMP) + INTERVAL 360 MINUTE),
+      |c3 AS (
+      |  SELECT a1.user_id, a1.event_id AS first_id, b3.event_id AS last_id,
+      |    CAST(3 AS INT) AS reps,
+      |    epoch_us(CAST(b3.ts AS TIMESTAMP)) - epoch_us(CAST(a1.ts AS TIMESTAMP)) AS total_us
+      |  FROM events a1
+      |  JOIN events b1 ON b1.user_id = a1.user_id
+      |    AND a1.event_type = 'click' AND b1.event_type = 'view'
+      |    AND CAST(b1.ts AS TIMESTAMP) > CAST(a1.ts AS TIMESTAMP)
+      |    AND CAST(b1.ts AS TIMESTAMP) <= CAST(a1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |  JOIN events a2 ON a2.user_id = a1.user_id AND a2.event_type = 'click'
+      |    AND CAST(a2.ts AS TIMESTAMP) > CAST(b1.ts AS TIMESTAMP)
+      |    AND CAST(a2.ts AS TIMESTAMP) <= CAST(b1.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |  JOIN events b2 ON b2.user_id = a1.user_id AND b2.event_type = 'view'
+      |    AND CAST(b2.ts AS TIMESTAMP) > CAST(a2.ts AS TIMESTAMP)
+      |    AND CAST(b2.ts AS TIMESTAMP) <= CAST(a2.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |  JOIN events a3 ON a3.user_id = a1.user_id AND a3.event_type = 'click'
+      |    AND CAST(a3.ts AS TIMESTAMP) > CAST(b2.ts AS TIMESTAMP)
+      |    AND CAST(a3.ts AS TIMESTAMP) <= CAST(b2.ts AS TIMESTAMP) + INTERVAL 360 MINUTE
+      |  JOIN events b3 ON b3.user_id = a1.user_id AND b3.event_type = 'view'
+      |    AND CAST(b3.ts AS TIMESTAMP) > CAST(a3.ts AS TIMESTAMP)
+      |    AND CAST(b3.ts AS TIMESTAMP) <= CAST(a3.ts AS TIMESTAMP) + INTERVAL 360 MINUTE)
+      |SELECT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+      |ORDER BY user_id, first_id, last_id, reps""".stripMargin) {
+    (s, d) =>
+      graft.streaming.Pattern
+        .group("360 minutes",
+          "click" -> (col("event_type") === "click"),
+          "view" -> (col("event_type") === "view"))
+        .oneOrMore(maxReps = 3)
+        .over(Tables.events(s, d), "user_id", "ts", "event_id")
+        .orderBy("user_id", "first_id", "last_id", "reps")
+  }
+
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
     * same user in the following 360 minutes. Oracle restates it as NOT
@@ -1102,7 +1205,8 @@ object StreamingQueries {
   }
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
-    cepSequence, cepFunnel, cepPattern, cepAlternation, cepAbsence,
+    cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
+    cepGroupKleene, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,

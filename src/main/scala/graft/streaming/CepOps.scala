@@ -147,6 +147,69 @@ object CepOps {
       :+ (unix_micros(col("last_ts")) - col("first_us")).as("total_us"): _*)
   }
 
+  /** Group pattern with a FIXED repetition count — Flink's
+    * `Pattern.begin(groupPattern).times(n)`, e.g. `(A B){2}` = A B A B:
+    * the group's sub-steps unroll into one flat `n·|group|`-slot
+    * sequence (relaxed contiguity between consecutive events, each
+    * within `within` of the previous match — the same contract as
+    * [[cepPattern]]) compiled on the [[cepAlternation]] chain. Output:
+    * `(key, <step>_<rep>_id per slot, total_us)` — every bound event
+    * survives into the match, so MEASURES over any repetition are
+    * renames.
+    *
+    * @note scale: n·|group| keyed interval joins — a fixed-length
+    *   chain, state bounded per join by the band; no per-key history
+    *   scan. */
+  def cepGroupTimes(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], n: Int,
+      within: String): DataFrame = {
+    require(group.nonEmpty, "a group needs at least one step")
+    require(n >= 1, s"times($n): need n >= 1")
+    require(group.size * n >= 2, "a pattern needs at least two slots")
+    require(group.map(_._1).distinct.size == group.size,
+      "group step names must be distinct")
+    val steps = (1 to n).flatMap(r => group.map { case (nm, p) =>
+      AltStep(s"${nm}_$r", Seq(s"${nm}_$r" -> p), within) })
+    cepAlternation(ev, keyCol, tsCol, idCol, steps)
+  }
+
+  /** Group pattern under a Kleene plus — Flink's
+    * `Pattern.begin(groupPattern).oneOrMore()`, e.g. `(A B)+`: one
+    * match PER repetition count (Flink's oneOrMore emission — a run
+    * that repeats 3 times also reports its 1- and 2-rep prefixes),
+    * compiled as the UNION of the [[cepGroupTimes]] expansions
+    * `n = 1..maxReps`. Output:
+    * `(key, first_id, last_id, reps, total_us)` — FIRST/LAST/COUNT,
+    * the MEASURES a variable-length group supports.
+    *
+    * `maxReps` BOUNDS the unrolling and is a hard output cap, not a
+    * hint: candidate matches multiply with the per-step band fan-out
+    * at every extra repetition (the same output-exponential cliff that
+    * keeps `followedByAny` out of scope), so the cap fails loudly
+    * rather than silently truncating longer runs.
+    *
+    * @note scale: Σ n·|group| interval joins over the unrolled chains;
+    *   each chain is [[cepGroupTimes]]'s bounded shape and the union
+    *   preserves the key partitioning. */
+  def cepGroupKleene(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], maxReps: Int,
+      within: String): DataFrame = {
+    require(group.size >= 2,
+      "a 1-step group Kleene is plain B+ — use cepKleene/cepKleeneRelaxed")
+    require(maxReps >= 1 && maxReps <= 8,
+      s"oneOrMore over a group unrolls to maxReps·|group| joined slots " +
+        s"with band-fan-out^slots candidate growth; maxReps=$maxReps is " +
+        "outside the supported 1..8 — tighten the bound or the `within` band")
+    val runs = (1 to maxReps).map { n =>
+      cepGroupTimes(ev, keyCol, tsCol, idCol, group, n, within)
+        .select(col(keyCol),
+          col(s"${group.head._1}_1_id").as("first_id"),
+          col(s"${group.last._1}_${n}_id").as("last_id"),
+          lit(n).cast("int").as("reps"), col("total_us"))
+    }
+    runs.reduce(_ unionByName _)
+  }
+
   /** Absence pattern (Flink CEP `notFollowedBy` + `within`): events
     * matching `first` with NO `absent`-matching event for the same key
     * in `(ts, ts + within]` — "clicked but never purchased inside the

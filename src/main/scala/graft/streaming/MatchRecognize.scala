@@ -41,8 +41,18 @@ import org.apache.spark.sql.functions._
   *                      `B_or_C_branch` (the matched branch's name —
   *                      the `CLASSIFIER()` analogue, identity a plain
   *                      OR-DEFINE loses). Combines with plain variables
-  *                      only; `(A B)+` group quantifiers stay
-  *                      unsupported (documented ceiling)
+  *                      only
+  *  - `(A B){n}`      — quantified SEQUENCE group, fixed count →
+  *                      [[CepOps.cepGroupTimes]] (unrolled to a flat
+  *                      2n-slot chain, relaxed contiguity; standalone
+  *                      only)
+  *  - `(A B)+`        — group Kleene → [[CepOps.cepGroupKleene]]: one
+  *                      match per repetition count, unrolled to
+  *                      `groupMaxReps` (a HARD bound — candidate growth
+  *                      is exponential in slots, so longer runs fail
+  *                      the cap loudly rather than silently truncate);
+  *                      output `(key, first_id, last_id, reps,
+  *                      total_us)`; standalone only
   *
   * `DEFINE <var> AS <spark-sql-expr>` binds each variable (exprs must
   * not contain top-level commas — wrap in parentheses if needed);
@@ -93,7 +103,8 @@ object MatchRecognize {
       branches: Seq[String] = Nil)
 
   def apply(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
-      clause: String, relaxedPrefix: Int = 3): DataFrame = {
+      clause: String, relaxedPrefix: Int = 3,
+      groupMaxReps: Int = 3): DataFrame = {
     // AFTER MATCH SKIP … sits before PATTERN in standard SQL; strip it
     // out of the clause before the other extractors see it
     val skip = SkipRe.findFirstMatchIn(clause)
@@ -107,14 +118,27 @@ object MatchRecognize {
 
     val toks = TokSplitRe.findAllIn(pat).toSeq.map {
       case GroupTokRe(inner, q) =>
-        if (q != null)
-          sys.error(s"group quantifiers are not supported: ($inner)$q " +
-            "— only named alternation (B|C) compiles")
-        val names = inner.split(raw"\|").toSeq.map(_.trim)
+        val isAlt = inner.contains("|")
+        val names =
+          (if (isAlt) inner.split(raw"\|").toSeq else
+            inner.trim.split(raw"\s+").toSeq).map(_.trim)
         require(names.size >= 2 && names.forall(n =>
             raw"[A-Za-z_][A-Za-z0-9_]*".r.pattern.matcher(n).matches()),
-          s"a group must alternate two or more plain variables: ($inner)")
-        Tok(names.mkString("_or_"), "", names)
+          s"a group must hold two or more plain variables: ($inner)")
+        if (isAlt) {
+          if (q != null)
+            sys.error(s"alternation groups take no quantifier: ($inner)$q")
+          Tok(names.mkString("_or_"), "", names)
+        } else q match {
+          // quantified SEQUENCE group: (A B){n} / (A B)+ — the Flink
+          // group-pattern times/oneOrMore shapes
+          case null => sys.error(s"a sequence group needs {n} or + : ($inner)")
+          case "+" => Tok(names.mkString("_"), "G+", names)
+          case s if s.startsWith("{") =>
+            Tok(names.mkString("_"), "G" + s, names)
+          case s => sys.error(s"unsupported group quantifier ($inner)$s " +
+            "— {n} and + compile")
+        }
       case TokenRe(name, q, n) =>
         Tok(name, Option(q).map(x => if (x.startsWith("{")) n else x).getOrElse(""))
       case t => sys.error(s"unsupported pattern token '$t'")
@@ -262,6 +286,28 @@ object MatchRecognize {
             base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
               col("span_us")) ++ renamed: _*)
         }
+      case Seq(t) if t.branches.nonEmpty && t.quant.startsWith("G") =>
+        // quantified SEQUENCE group `(A B){n}` / `(A B)+` →
+        // cepGroupTimes / cepGroupKleene (standalone only — the whole
+        // PATTERN is the group). WITHIN bounds the whole match; the
+        // per-step bound is the full interval, closed by total_us.
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with group quantifiers; {n} binds " +
+            "every repetition's events as columns, + carries " +
+            "first_id/last_id/reps")
+        val grp = t.branches.map(b => b -> binds(b))
+        val base =
+          if (t.quant == "G+")
+            CepOps.cepGroupKleene(ev, keyCol, tsCol, idCol, grp,
+              groupMaxReps, normWithin)
+          else
+            CepOps.cepGroupTimes(ev, keyCol, tsCol, idCol, grp,
+              t.quant.drop(2).dropRight(1).toInt, normWithin)
+        base.filter(col("total_us") <= withinUs)
+      case _ if toks.exists(t => t.quant.startsWith("G")) =>
+        sys.error("a quantified group must be the entire PATTERN " +
+          "(mixing (A B){n} / (A B)+ with other variables is not a " +
+          "compiled combination)")
       case _ if toks.exists(_.branches.nonEmpty) =>
         // named alternation `A (B|C) D` → cepAlternation; the group
         // slot's output columns are `<b1>_or_<b2>_id` + `_branch` (the

@@ -43,6 +43,50 @@ object Pattern {
       optional = false, oneOrMore = false, alts = branches.toVector)),
       None, None, consecutive = false, None)
   }
+
+  /** A quantified SEQUENCE group — Flink's
+    * `Pattern.begin(groupPattern)` under `times`/`oneOrMore`:
+    * {{{
+    * Pattern.group("60 minutes",
+    *     "a" -> predA, "b" -> predB)
+    *   .times(2)        // (A B){2}  → CepOps.cepGroupTimes
+    *   .over(events, "user_id", "ts", "event_id")
+    * }}}
+    * `oneOrMore(maxReps)` compiles `(A B)+` via
+    * [[CepOps.cepGroupKleene]] (one match per repetition count,
+    * `maxReps` a hard loud-fail bound). Each step matches within
+    * `within` of the previous event, relaxed contiguity. */
+  def group(within: String, steps: (String, Column)*): GroupPattern = {
+    require(steps.size >= 2, "a group needs two or more steps")
+    new GroupPattern(steps.toVector, within)
+  }
+}
+
+/** A sequence group awaiting its quantifier — see [[Pattern.group]]. */
+final class GroupPattern private[streaming] (
+    steps: Vector[(String, Column)], within: String) {
+  /** `(group){n}` — fixed repetition count, every event bound as a
+    * `<step>_<rep>_id` column. */
+  def times(n: Int): QuantifiedGroup =
+    new QuantifiedGroup(steps, within, Some(n), 0)
+  /** `(group)+` — one match per repetition count up to `maxReps` (a
+    * hard bound, loud on overflow); output
+    * `(key, first_id, last_id, reps, total_us)`. */
+  def oneOrMore(maxReps: Int = 3): QuantifiedGroup =
+    new QuantifiedGroup(steps, within, None, maxReps)
+}
+
+/** A quantified group ready to compile — see [[Pattern.group]]. */
+final class QuantifiedGroup private[streaming] (
+    steps: Vector[(String, Column)], within: String,
+    fixed: Option[Int], maxReps: Int) {
+  def over(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = fixed match {
+    case Some(n) =>
+      CepOps.cepGroupTimes(ev, keyCol, tsCol, idCol, steps, n, within)
+    case None =>
+      CepOps.cepGroupKleene(ev, keyCol, tsCol, idCol, steps, maxReps, within)
+  }
 }
 
 private[streaming] final case class DslStep(name: String, pred: Column,

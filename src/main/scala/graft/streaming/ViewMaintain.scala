@@ -93,9 +93,9 @@ object ViewMaintain {
     * snapshot ⊎ slice, consumed slice truncated), (c) advance the
     * batchId-versioned view with `maintain`, handing it the new
     * snapshot pruned to the delete-touched groups. `buildView` seeds
-    * version 0 from the base snapshot. An EMPTY changelog
-    * short-circuits to `buildView(oldBase)` — version 0 is already the
-    * final view. */
+    * version 0 from the base snapshot. An EMPTY changelog replays no
+    * batches (detected for free in the staging bounds pass), so
+    * version 0 — `buildView` on the base snapshot — is the result. */
   def maintainCustomViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String],
@@ -107,7 +107,6 @@ object ViewMaintain {
         s"schema ${oldBase.columns.mkString(",")} plus 'w' — a base " +
         "column absent from the changelog would read as NULL in the " +
         "delta log and break full-payload multiset cancellation")
-    if (deltas.isEmpty) return buildView(oldBase)
     val root = graft.Scratch.dir("graft-view-maintain")
     val baseCols = oldBase.columns.toSeq
     val logDir = root.resolve("log")
@@ -206,7 +205,8 @@ object ViewMaintain {
       a.join(b, joinKeys).groupBy(viewGroupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
     }
-    if (deltaA.isEmpty && deltaB.isEmpty) return buildJoinView(oldA, oldB)
+    // an empty two-sided changelog replays no batches (detected for
+    // free in the staging bounds pass) — version 0 is the result
     require((aCols ++ bCols).contains(orderCol),
       s"orderCol $orderCol must appear in one of the inputs")
 
@@ -324,16 +324,23 @@ object ViewMaintain {
       onBatch: (DataFrame, Long) => Unit): Unit = {
     val src = Files.createDirectories(root.resolve("src")).toString
     val ckpt = root.resolve("ckpt").toString
-    val b = deltas.agg(min(col(orderCol)).as("lo"),
+    // the changelog (often a full-outer rowDeltas join) is consumed
+    // twice — the bounds agg and the staging write — so cache it once
+    val d = deltas.persist()
+    val b = d.agg(min(col(orderCol)).as("lo"),
       max(col(orderCol)).as("hi")).head()
+    // empty changelog: nothing to stage or replay — the seeded version
+    // 0 (built from the base snapshot) is already the final view
+    if (b.isNullAt(0)) { d.unpersist(); return }
     val (lo, span) =
       (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
     val bucket = coalesce(least(lit(chunks - 1),
       floor((col(orderCol) - lit(lo)) * lit(chunks.toLong) / lit(span)))
       .cast("int"), lit(0))
     val stage = root.resolve("stage")
-    deltas.withColumn("ck", bucket).repartition(col("ck"))
+    d.withColumn("ck", bucket).repartition(col("ck"))
       .write.partitionBy("ck").parquet(stage.toString)
+    d.unpersist()
     val deltaSchema = StructType(deltas.schema.fields)
 
     val q = ss.readStream.schema(deltaSchema).parquet(src)

@@ -168,6 +168,103 @@ class PatternDslSpec extends SparkSpec {
       s"regex alternation semantics: one match per branch, got $got")
   }
 
+  test("group(...).times(2) compiles to cepGroupTimes == the cep_group_times key") {
+    val dsl = Pattern.group("360 minutes",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .times(2)
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepGroupTimes(ev, "user_id", "ts", "event_id",
+      Seq("click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view")), n = 2,
+      within = "360 minutes")
+    assert(dsl.columns.toSeq == Seq("user_id", "click_1_id", "view_1_id",
+      "click_2_id", "view_2_id", "total_us"),
+      "every repetition's events bound as columns")
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_times")(spark, sf)))
+  }
+
+  test("group(...).oneOrMore emits one match per repetition count == the cep_group_kleene key") {
+    val dsl = Pattern.group("360 minutes",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .oneOrMore(maxReps = 3)
+      .over(ev, "user_id", "ts", "event_id")
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_kleene")(spark, sf)))
+    val byReps = dsl.groupBy("reps").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byReps.keySet.subsetOf(Set(1, 2, 3)) && byReps.contains(1))
+    // Flink oneOrMore emission: a k-rep run also reports its prefixes,
+    // so every 2-rep match's (key, first) pair exists among the 1-reps
+    val firsts1 = dsl.filter(col("reps") === 1)
+      .select("user_id", "first_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firsts2 = dsl.filter(col("reps") === 2)
+      .select("user_id", "first_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(firsts2.subsetOf(firsts1), "prefix matches must be emitted")
+  }
+
+  test("group quantifier semantics on a hand-built alternating run") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // a@0 b@5 a@10 b@15 — relaxed contiguity inside a 60-min band
+    val df = Seq((1L, t(0), 10L, "a"), (1L, t(5), 20L, "b"),
+      (1L, t(10), 30L, "a"), (1L, t(15), 40L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val grp = Seq("x" -> (col("event_type") === "a"),
+      "y" -> (col("event_type") === "b"))
+    val twice = CepOps.cepGroupTimes(df, "user_id", "ts", "event_id",
+      grp, n = 2, within = "60 minutes").collect()
+    assert(twice.length == 1 &&
+      twice(0).getLong(1) == 10L && twice(0).getLong(2) == 20L &&
+      twice(0).getLong(3) == 30L && twice(0).getLong(4) == 40L,
+      s"exactly the a0 b5 a10 b15 chain, got ${twice.toSeq}")
+    val plus = CepOps.cepGroupKleene(df, "user_id", "ts", "event_id",
+      grp, maxReps = 2, within = "60 minutes")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // reps=1: (a0,b5) (a0,b15) (a10,b15); reps=2: the full chain
+    assert(plus == Set((10L, 20L, 1), (10L, 40L, 1), (30L, 40L, 1),
+      (10L, 40L, 2)), s"got $plus")
+  }
+
+  test("MATCH_RECOGNIZE group quantifiers route and reject correctly") {
+    val defs = """DEFINE A AS event_type = 'click',
+                         B AS event_type = 'view'
+                  WITHIN INTERVAL '720' MINUTE"""
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      s"PATTERN ((A B){2}) $defs")
+    val direct = CepOps.cepGroupTimes(ev, "user_id", "ts", "event_id",
+        Seq("A" -> (col("event_type") === "click"),
+          "B" -> (col("event_type") === "view")), n = 2,
+        within = "720 MINUTE")
+      .filter(col("total_us") <= 720L * 60L * 1000000L)
+    assert(rows(mr) == rows(direct))
+    val plus = MatchRecognize(ev, "user_id", "ts", "event_id",
+      s"PATTERN ((A B)+) $defs", groupMaxReps = 2)
+    assert(plus.columns.toSeq ==
+      Seq("user_id", "first_id", "last_id", "reps", "total_us"))
+    assert(plus.filter(col("reps") > 2).count() == 0)
+    intercept[RuntimeException] { // group must be the entire pattern
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        s"PATTERN (A (A B){2}) $defs")
+    }
+    intercept[RuntimeException] { // sequence group needs a quantifier
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        s"PATTERN ((A B)) $defs")
+    }
+    intercept[IllegalArgumentException] { // the maxReps cap is hard
+      CepOps.cepGroupKleene(ev, "user_id", "ts", "event_id",
+        Seq("A" -> lit(true), "B" -> lit(true)), maxReps = 9,
+        within = "60 minutes")
+    }
+  }
+
   test("malformed shapes fail fast with a clear message") {
     intercept[RuntimeException] {
       Pattern.begin("a", lit(true)).next("b", lit(true)).oneOrMore()
