@@ -66,7 +66,7 @@ object ViewMaintain {
   def maintainViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String]): DataFrame = {
+      minMaxCols: Seq[String], compactEvery: Int = 1): DataFrame = {
     val aggs = Seq(count(lit(1)).as("cnt")) ++
       sumCols.map(c => sum(col(c)).as("sum_" + c)) ++
       minMaxCols.flatMap(c => Seq(min(col(c)).as("min_" + c),
@@ -77,7 +77,8 @@ object ViewMaintain {
         .agg(aggs.head, aggs.tail: _*),
       maintain = (prev, batch, live) =>
         ViewOps.maintainAggView(prev, batch, live,
-          groupCols, sumCols, minMaxCols))
+          groupCols, sumCols, minMaxCols),
+      compactEvery = compactEvery)
   }
 
   /** [[maintainViewStream]] for a per-group TOP-K leaderboard view
@@ -97,23 +98,34 @@ object ViewMaintain {
   /** The generic single-table core: stage the changelog into `chunks`
     * range-ordered micro-batches, and per batch (a) commit the
     * batchId-keyed log slice, (b) compact the base snapshot (previous
-    * snapshot ⊎ slice, consumed slice truncated), (c) advance the
-    * batchId-versioned view with `maintain`, handing it the new
-    * snapshot pruned to the delete-touched groups. `buildView` seeds
-    * version 0 from the base snapshot. An EMPTY changelog replays no
-    * batches (detected for free in the staging bounds pass), so
-    * version 0 — `buildView` on the base snapshot — is the result. */
+    * snapshot ⊎ pending slices, consumed slices truncated) on the
+    * `compactEvery` cadence, (c) advance the batchId-versioned view
+    * with `maintain`, handing it the live base pruned to the
+    * delete-touched groups. `buildView` seeds version 0 from the base
+    * snapshot. An EMPTY changelog replays no batches (detected for
+    * free in the staging bounds pass), so version 0 — `buildView` on
+    * the base snapshot — is the result.
+    *
+    * `compactEvery` is the amortization knob: 1 (default) rewrites
+    * the snapshot every batch (flat per-batch cost, one O(base)
+    * read+write each); N > 1 lets up to N slices accumulate and pays
+    * the O(base) rewrite once per N batches — between compactions the
+    * live base is reconstructed lazily from snapshot + pending slices
+    * (bounded by N, never "every slice since the start" — the
+    * unbounded-rescan design this loop replaced). Same hashes either
+    * way; `ViewOpsSpec` pins cadence-independence. */
   def maintainCustomViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String],
       buildView: DataFrame => DataFrame,
-      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame)
-      : DataFrame = {
+      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame,
+      compactEvery: Int = 1): DataFrame = {
     require(deltas.columns.toSet == oldBase.columns.toSet + "w",
       s"delta schema ${deltas.columns.mkString(",")} must be the base " +
         s"schema ${oldBase.columns.mkString(",")} plus 'w' — a base " +
         "column absent from the changelog would read as NULL in the " +
         "delta log and break full-payload multiset cancellation")
+    require(compactEvery >= 1, s"compactEvery must be >= 1")
     val root = graft.Scratch.dir("graft-view-maintain")
     val baseCols = oldBase.columns.toSeq
     val logDir = root.resolve("log")
@@ -141,17 +153,30 @@ object ViewMaintain {
         val sliceDir = logDir.resolve(s"b$batchId")
         batch.repartition(2).write.mode("overwrite")
           .parquet(sliceDir.toString)
-        val slice = sb.read.parquet(sliceDir.toString)
-        // 2) compact: new snapshot = previous snapshot ⊎ slice
+        // 2) live base = latest snapshot ⊎ pending slices (at most
+        //    compactEvery of them — idempotent on retry: a replayed
+        //    batch overwrote its own slice above and recomputes from
+        //    the same surviving snapshot)
+        val snapV = maxVersion(snapDir, "s")
+        val pending = (snapV to batchId).map(b =>
+          logDir.resolve(s"b$b").toString).filter(p =>
+          Files.isDirectory(java.nio.file.Paths.get(p)))
+        val pendingDf = sb.read.parquet(pending: _*)
         val prevSnap =
-          sb.read.parquet(snapDir.resolve(s"s$batchId").toString)
-        val newSnapDir = snapDir.resolve(s"s${batchId + 1}")
-        applyDelta(prevSnap, slice, baseCols)
-          .write.mode("overwrite").parquet(newSnapDir.toString)
-        val snap = sb.read.parquet(newSnapDir.toString)
-        // 3) advance view v{batchId} -> v{batchId+1}; the maintain
+          sb.read.parquet(snapDir.resolve(s"s$snapV").toString)
+        val live = applyDelta(prevSnap, pendingDf, baseCols)
+        // 3) compact on cadence: write the reconciled base as the new
+        //    batchId-keyed snapshot and truncate the consumed slices
+        val compactNow = (batchId + 1 - snapV) >= compactEvery
+        val snap = if (compactNow) {
+          val newSnapDir = snapDir.resolve(s"s${batchId + 1}")
+          live.write.mode("overwrite").parquet(newSnapDir.toString)
+          sb.read.parquet(newSnapDir.toString)
+        } else live
+        // 4) advance view v{batchId} -> v{batchId+1}; the maintain
         //    step only rescans delete-touched groups, so hand it the
-        //    snapshot pruned to those groups
+        //    live base pruned to those groups
+        val slice = sb.read.parquet(sliceDir.toString)
         val negKeys = slice.filter(col("w") < 0)
           .select(groupCols.map(col): _*).distinct()
         val pruned = snap.join(negKeys, groupCols, "left_semi")
@@ -160,10 +185,13 @@ object ViewMaintain {
         maintain(prev, slice, pruned)
           .write.mode("overwrite")
           .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
-        // 4) truncate consumed state: the slice and the pre-batch
-        //    snapshot (only AFTER this batch's outputs committed)
-        rm(sliceDir)
-        rm(snapDir.resolve(s"s$batchId"))
+        // 5) truncate consumed state (only AFTER this batch's outputs
+        //    committed): on compaction, the absorbed slices + the
+        //    superseded snapshot
+        if (compactNow) {
+          (snapV to batchId).foreach(b => rm(logDir.resolve(s"b$b")))
+          rm(snapDir.resolve(s"s$snapV"))
+        }
         ()
     }
     spark.read.parquet(
@@ -386,14 +414,15 @@ object ViewMaintain {
     } finally q.stop()
   }
 
-  /** Highest `v<N>` version present under a versioned-view dir. */
-  private def maxVersion(viewDir: Path): Long = {
-    val vs = Files.list(viewDir)
+  /** Highest `<prefix><N>` version present under a versioned dir
+    * (`v<N>` views, `s<N>` snapshots). */
+  private def maxVersion(dir: Path, prefix: String = "v"): Long = {
+    val vs = Files.list(dir)
     try {
       val it = vs.iterator(); var m = 0L
       while (it.hasNext) {
         val n = it.next().getFileName.toString
-        if (n.startsWith("v")) m = math.max(m, n.drop(1).toLong)
+        if (n.startsWith(prefix)) m = math.max(m, n.drop(prefix.length).toLong)
       }
       m
     } finally vs.close()

@@ -289,4 +289,19 @@ class ViewOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("compaction cadence is invisible to the view (compactEvery 1 == 2 == chunks)") {
+    // delete + re-insert of the SAME payload split ACROSS batches —
+    // the case where deferred compaction must net the pending slices
+    // correctly instead of failing one slice's lone -1 as an
+    // over-delete against an unrefreshed snapshot
+    def run(every: Int) = graft.streaming.ViewMaintain
+      .maintainViewStream(spark, oldS, deltas, orderCol = "id",
+        chunks = 3, groupCols = Seq("grp"), sumCols = Seq("x"),
+        minMaxCols = Seq("x"), compactEvery = every)
+      .collect().map(_.toSeq).toSet
+    val everyBatch = run(1)
+    assert(run(2) == everyBatch, "amortized cadence drifted")
+    assert(run(3) == everyBatch, "compact-once-at-end drifted")
+  }
 }

@@ -197,6 +197,44 @@ class CepOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming group Kleene emits one match per repetition count") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[CepEvent]
+    // (click view)+ over the same keyed interval-join legs as batch —
+    // each unrolled chain is watermark-bounded stream-stream joins,
+    // the union preserves append mode
+    val pat = CepOps.cepGroupKleene(
+      input.toDF().withWatermark("ts", "10 minutes"),
+      "user_id", "ts", "event_id",
+      Seq("click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view")),
+      maxReps = 2, within = "60 minutes")
+    val q = pat.writeStream.format("memory").queryName("cep_grp_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-grp").toString)
+      .start()
+    try {
+      input.addData(
+        CepEvent(1L, t("10:00"), 100L, "click"),
+        CepEvent(1L, t("10:10"), 101L, "view"),
+        CepEvent(1L, t("10:20"), 102L, "click"),
+        CepEvent(1L, t("10:30"), 103L, "view"))
+      q.processAllAvailable()
+      input.addData(CepEvent(9L, t("20:00"), 900L, "view"))
+      q.processAllAvailable()
+      val out = spark.table("cep_grp_stream").filter(col("user_id") < 9)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      // reps=1: (100,101) (100,103) (102,103); reps=2: the full chain
+      assert(out == Set((100L, 101L, 1), (100L, 103L, 1),
+        (102L, 103L, 1), (100L, 103L, 2)), s"got $out")
+    } finally q.stop()
+  }
+
   test("cepTimes: overlapping consecutive runs, within cutoff (fixture)") {
     val sp = spark
     import sp.implicits._
