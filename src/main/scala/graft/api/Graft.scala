@@ -56,7 +56,10 @@ object Graft {
     * `knnLookupIvf` / `knnLookupIvfPq` in-memory), each bit-identical
     * to its training-side twin — plus index MAINTENANCE
     * (`ivfAssignSaved` / `appendToIvfIndex`: stateless streamed
-    * assignment of new vectors, append == rebuild certified). */
+    * assignment of new vectors, append == rebuild certified;
+    * `deleteFromIvfIndex` / `compactIvfIndex`: LSM-style tombstones
+    * anti-joined out at serve time, folded in by offline compaction —
+    * delete == rebuild-without-the-rows certified). */
   val similarity: SimilarityOps.type = SimilarityOps
   /** Engine-portable mergeable sketch UDAFs (every internal exact
     * integer arithmetic, so results reproduce on ANY engine):

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -539,6 +539,70 @@ object SimilarityOps {
     ()
   }
 
+  /** DELETE half of ANN index maintenance: record `ids` as TOMBSTONES
+    * — a plain-parquet append under `path/tombstones/` (one `vec_id`
+    * column). Serving ([[knnIvfSaved]], [[knnLookupIvf]]) anti-joins
+    * live tombstones out of the candidate set, so a delete is visible
+    * at the next query with ZERO index rewrite — the LSM delete
+    * shape; [[compactIvfIndex]] folds them into `assigned/` offline.
+    * Stateless and shuffle-free: the same code absorbs a streaming
+    * delete feed within its own micro-batch
+    * (`stream_ann_delete_replay` gates exactly that against the
+    * full-training oracle with a survivor filter).
+    *
+    * A tombstone masks EVERY row with that id, including a later
+    * [[appendToIvfIndex]] re-insert — compact (or clear the
+    * tombstone) before re-adding a deleted id. */
+  def deleteFromIvfIndex(ids: DataFrame, path: String,
+      idCol: String = "vec_id"): Unit = {
+    ids.select(col(idCol).cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    ()
+  }
+
+  /** The index's live tombstone set, if any deletes were recorded. */
+  private def tombstonesOf(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(path, "tombstones")
+    if (java.nio.file.Files.isDirectory(dir))
+      Some(spark.read.parquet(dir.toString)
+        .select(col("vec_id").cast("long").as("vec_id")).distinct())
+    else None
+  }
+
+  /** Apply an index's tombstones to its `assigned/` rows (no-op when
+    * none were recorded) — the serve-time half of the delete path. */
+  private def minusTombstones(spark: SparkSession, path: String,
+      assigned: DataFrame): DataFrame =
+    tombstonesOf(spark, path)
+      .fold(assigned)(t => assigned.join(t, Seq("vec_id"), "left_anti"))
+
+  /** Fold tombstones into the index: rewrite `assigned/` without the
+    * tombstoned ids and drop `tombstones/` — serve-before ==
+    * serve-after (spec-pinned), the offline compaction of the
+    * LSM-style delete path. At scale this is the same economics as
+    * the view-maintainer's snapshot compaction: pay one O(index)
+    * rewrite to make every subsequent serve tombstone-free. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    tombstonesOf(spark, path).foreach { t =>
+      val survivors = spark.read.parquet(s"$path/assigned")
+        .join(t, Seq("vec_id"), "left_anti")
+      val tmp = java.nio.file.Paths.get(s"$path/assigned_compact")
+      survivors.write.mode("overwrite").parquet(tmp.toString)
+      deleteDir(java.nio.file.Paths.get(s"$path/assigned"))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(s"$path/assigned"))
+      deleteDir(java.nio.file.Paths.get(s"$path/tombstones"))
+    }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+  }
+
   /** CELL-BLOCKED embedding near-dup — the SemDeDup-shaped semantic
     * dedup route (Abbas et al., arXiv:2303.09540: cluster the
     * embedding space, search for duplicates only WITHIN each
@@ -596,7 +660,8 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val assigned =
+      minusTombstones(spark, path, spark.read.parquet(s"$path/assigned"))
     val nq = normed(queries, idCol, vecCol).filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val wq = Window.partitionBy(col("qid"))
@@ -646,7 +711,8 @@ object SimilarityOps {
       .select(col("cid").cast("long"), col("cv"), col("cnrm"))
       .as[(Long, Seq[Double], Double)].collect()
       .map(c => (c._1, c._2.toArray, c._3)).sortBy(_._1)
-    val assignedDs = spark.read.parquet(s"$path/assigned")
+    val assignedDs = minusTombstones(spark, path,
+        spark.read.parquet(s"$path/assigned"))
       .select(col("vec_id").cast("long"), col("v"), col("nrm"),
         col("cid").cast("long"))
       .as[(Long, Seq[Double], Double, Long)]

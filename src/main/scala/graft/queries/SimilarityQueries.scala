@@ -201,8 +201,10 @@ object SimilarityQueries {
 
   /** det-IVF serving oracle: [[oIvfTrainCtes]] + probe routing +
     * exact rerank — `TRUE` is the classic train-on-everything form;
-    * the append-maintenance key trains on the bulk epoch only. */
-  private def oIvfDetSql(trainWhere: String): String =
+    * the append-maintenance key trains on the bulk epoch only, and
+    * the delete-maintenance key serves the `serveWhere` survivors. */
+  private def oIvfDetSql(trainWhere: String,
+      serveWhere: String = "TRUE"): String =
     s"""WITH $oNormed,
        |${oIvfTrainCtes(trainWhere)},
        |pr AS (SELECT qid, qv, qn, cid FROM (
@@ -214,7 +216,8 @@ object SimilarityQueries {
        |x AS (SELECT p.qid, a.vec_id AS nbr,
        |        round(list_sum(list_transform(list_zip(a.v, p.qv), e -> e[1]*e[2]))
        |              / (a.nrm * p.qn), 6) AS cos
-       |      FROM af a JOIN pr p ON a.cid = p.cid AND a.vec_id != p.qid),
+       |      FROM af a JOIN pr p ON a.cid = p.cid AND a.vec_id != p.qid
+       |      WHERE ($serveWhere)),
        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rk FROM x)
        |SELECT qid, nbr, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
@@ -288,6 +291,32 @@ object SimilarityQueries {
     val delta = graft.streaming.BoundedReplay.replayEmbeddings(s, d)(embS =>
       SimilarityOps.ivfAssignSaved(embS.filter(col("vec_id") >= 400), path))
     SimilarityOps.appendToIvfIndex(delta, path)
+    SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** ANN INDEX MAINTENANCE, the DELETE half, on the REAL streaming
+    * runtime — completing the index CRUD story
+    * ([[SimilarityOps.deleteFromIvfIndex]]): the index bulk-builds on
+    * the FULL corpus, a 5-micro-batch STREAM of delete requests
+    * (every `vec_id % 10 = 7`) flows through the stateless projection
+    * kernel and lands as TOMBSTONES (plain parquet, zero index
+    * rewrite — the LSM delete shape), and the serve
+    * ([[SimilarityOps.knnIvfSaved]]) anti-joins them out — matching
+    * the oracle that rebuilds the full training but serves only the
+    * survivors. Delete == rebuild-without-the-rows, cross-engine
+    * certified; tombstone-serve == post-compaction serve additionally
+    * spec-pinned ([[SimilaritySpec]]). */
+  private val streamAnnDeleteReplay = Q(
+    "stream_ann_delete_replay",
+    oIvfDetSql("TRUE", serveWhere = "a.vec_id % 10 != 7")) { (s, d) =>
+    val path = graft.Scratch.dirString("graft-ivf-delete")
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 16, iters = 2)
+    val doomed = graft.streaming.BoundedReplay.replayEmbeddings(s, d)(embS =>
+      embS.filter(col("vec_id") % 10 === 7).select(col("vec_id")))
+    SimilarityOps.deleteFromIvfIndex(doomed, path)
     SimilarityOps.knnIvfSaved(emb, path,
         isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
       .orderBy("qid", "rk")
@@ -765,6 +794,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, hybridRrf, embCos,
     embCosBlocked, embCosCelled, knnIvf, knnIvfDet,
     knnIvfSaved, streamKnnIvfServeReplay, streamAnnUpsertReplay,
+    streamAnnDeleteReplay,
     knnPqDet, knnIvfPqDet,
     streamKnnIvfPqServeReplay, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, knnIvfSq8Det, embedCentroid, embLsh, multimodalJoin,

@@ -418,6 +418,15 @@ object StreamingQueries {
         .orderBy("user_id", "first_id", "last_id", "reps")
   }
 
+  // Group-pattern streaming lives under specs, not a replay key, on
+  // measurement: every unrolled slot is a stream-stream join paying
+  // two state stores per micro-batch, so a bounded replay of even the
+  // single-chain (click view){2} costs ~15 s at sf0.1 (and the
+  // (click view)+ union ~56 s) for a handful of output rows —
+  // CepOpsSpec certifies append-mode parity on the real runtime
+  // (MemoryStream, watermark advanced across batches) at spec cost,
+  // and the batch keys above hash-gate the unrolled semantics.
+
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
     * same user in the following 360 minutes. Oracle restates it as NOT

@@ -219,13 +219,19 @@ object ViewMaintain {
     *   side (AQE does this at real delta/base ratios), ΔA⋈ΔB is
     *   delta×delta, and the sum-view merge is touched-group-sized —
     *   the fact⋈dim rollup refreshed continuously at delta cost while
-    *   BOTH tables change under it. */
+    *   BOTH tables change under it. `compactEvery` amortizes the two
+    *   per-batch snapshot rewrites exactly as in
+    *   [[maintainCustomViewStream]]: between compactions the
+    *   pre-batch live sides are reconstructed lazily from snapshot +
+    *   bounded pending slices. */
   def maintainJoinViewStream(spark: SparkSession,
       oldA: DataFrame, deltaA: DataFrame,
       oldB: DataFrame, deltaB: DataFrame,
       orderCol: String, chunks: Int, joinKeys: Seq[String],
       aVals: Seq[String], bVals: Seq[String],
-      viewGroupCols: Seq[String], viewSumCols: Seq[String]): DataFrame = {
+      viewGroupCols: Seq[String], viewSumCols: Seq[String],
+      compactEvery: Int = 1): DataFrame = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
     val aCols = oldA.columns.toSeq
     val bCols = oldB.columns.toSeq
     require(deltaA.columns.toSet == aCols.toSet + "w" &&
@@ -284,17 +290,27 @@ object ViewMaintain {
         batch.repartition(2).write.mode("overwrite")
           .parquet(sliceDir.toString)
         val slice = sb.read.parquet(sliceDir.toString)
-        val dA = slice.filter(col("side") === "A")
-          .select((aCols :+ "w").map(col): _*)
-        val dB = slice.filter(col("side") === "B")
-          .select((bCols :+ "w").map(col): _*)
-        // 2) join-view delta against the PRE-batch snapshots, merged
-        //    into the versioned view — no base access beyond the two
-        //    delta-broadcast join terms
-        val prevA =
-          sb.read.parquet(snapADir.resolve(s"s$batchId").toString)
-        val prevB =
-          sb.read.parquet(snapBDir.resolve(s"s$batchId").toString)
+        def sideOf(d: DataFrame, side: String, cols: Seq[String]) =
+          d.filter(col("side") === side).select((cols :+ "w").map(col): _*)
+        val dA = sideOf(slice, "A", aCols)
+        val dB = sideOf(slice, "B", bCols)
+        // 2) join-view delta against the PRE-batch live sides (latest
+        //    snapshot ⊎ pending slices STRICTLY BEFORE this batch),
+        //    merged into the versioned view — no base access beyond
+        //    the two delta-sided join terms
+        val snapV = maxVersion(snapADir, "s")
+        val pendingPrev = (snapV until batchId).map(b =>
+          logDir.resolve(s"b$b").toString).filter(p =>
+          Files.isDirectory(java.nio.file.Paths.get(p)))
+        def liveSide(snapSideDir: Path, side: String,
+            cols: Seq[String]): DataFrame = {
+          val snap = sb.read.parquet(snapSideDir.resolve(s"s$snapV").toString)
+          if (pendingPrev.isEmpty) snap
+          else applyDelta(snap,
+            sideOf(sb.read.parquet(pendingPrev: _*), side, cols), cols)
+        }
+        val prevA = liveSide(snapADir, "A", aCols)
+        val prevB = liveSide(snapBDir, "B", bCols)
         val dJ = ViewOps.joinViewDeltas(prevA, dA, prevB, dB,
           joinKeys, aVals, bVals)
         val prevV =
@@ -302,14 +318,17 @@ object ViewMaintain {
         ViewOps.maintainSumView(prevV, dJ, viewGroupCols, viewSumCols)
           .write.mode("overwrite")
           .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
-        // 3) compact both snapshots, then truncate consumed state
-        applyDelta(prevA, dA, aCols).write.mode("overwrite")
-          .parquet(snapADir.resolve(s"s${batchId + 1}").toString)
-        applyDelta(prevB, dB, bCols).write.mode("overwrite")
-          .parquet(snapBDir.resolve(s"s${batchId + 1}").toString)
-        rm(sliceDir)
-        rm(snapADir.resolve(s"s$batchId"))
-        rm(snapBDir.resolve(s"s$batchId"))
+        // 3) compact both snapshots on cadence, then truncate the
+        //    absorbed slices + superseded snapshots
+        if (batchId + 1 - snapV >= compactEvery) {
+          applyDelta(prevA, dA, aCols).write.mode("overwrite")
+            .parquet(snapADir.resolve(s"s${batchId + 1}").toString)
+          applyDelta(prevB, dB, bCols).write.mode("overwrite")
+            .parquet(snapBDir.resolve(s"s${batchId + 1}").toString)
+          (snapV to batchId).foreach(b => rm(logDir.resolve(s"b$b")))
+          rm(snapADir.resolve(s"s$snapV"))
+          rm(snapBDir.resolve(s"s$snapV"))
+        }
         ()
     }
     spark.read.parquet(

@@ -220,6 +220,17 @@ class ViewOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(got == want && !got.exists(_._1 == "z"))
+    // cadence-independence on the two-input loop: the deferred form
+    // must reconstruct BOTH pre-batch live sides from snapshot +
+    // pending slices before deriving the three-term delta
+    val amortized = graft.streaming.ViewMaintain.maintainJoinViewStream(
+        spark, oldA, dA, oldB, dB, orderCol = "k", chunks = 3,
+        joinKeys = Seq("k"), aVals = Seq("g"), bVals = Seq("v"),
+        viewGroupCols = Seq("g"), viewSumCols = Seq("v"),
+        compactEvery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(amortized == want, "join-view cadence drifted")
   }
 
   test("streaming maintainers short-circuit on an EMPTY changelog") {

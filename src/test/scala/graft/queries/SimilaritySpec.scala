@@ -74,6 +74,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low — det IVF-SQ8 composition broken")
   }
 
+  test("ANN delete path: tombstone serve == post-compaction serve; deleted ids gone") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val path = graft.Scratch.dirString("graft-ivf-del-spec")
+    graft.operators.SimilarityOps.saveIvfIndex(emb, path,
+      nCells = 16, iters = 2)
+    graft.operators.SimilarityOps.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 10 === 7).select("vec_id"), path)
+    def serve() = graft.operators.SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val tombstoned = serve()
+    assert(tombstoned.nonEmpty && !tombstoned.exists(_._2 % 10 == 7),
+      "a deleted id must never be served as a neighbor")
+    graft.operators.SimilarityOps.compactIvfIndex(spark, path)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "tombstones")),
+      "compaction must truncate the tombstone log")
+    assert(serve() == tombstoned,
+      "folding tombstones into assigned/ must not change any answer")
+    // the in-memory serving kernel honors tombstones identically:
+    // re-delete and compare against the already-compacted join form
+    graft.operators.SimilarityOps.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"), path)
+    val mem = graft.operators.SimilarityOps.knnLookupIvf(
+        emb.filter(col("vec_id") < 5), path, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    graft.operators.SimilarityOps.compactIvfIndex(spark, path)
+    assert(mem == serve(), "in-memory and join-form serves disagree")
+  }
+
   test("SQ8 ANN: int8 shortlist + exact rerank reaches recall >= 0.95") {
     val exact = pairs("llm_knn_cosine")
     val approx = pairs("llm_knn_sq8")
