@@ -41,9 +41,12 @@ object Scratch {
 
   private def deleteTree(p: Path): Unit =
     try {
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
     } catch { case _: Throwable => () }
 
   /** Create a fresh scratch directory with best-effort exit cleanup. */

@@ -454,9 +454,15 @@ object SimilarityOps {
     * `llm_knn_ivf_saved` key reuse the det oracle verbatim, gating
     * the PERSISTENCE itself.
     *
-    * @note scale: `assigned/` is the corpus + one int — write it
-    *   partitioned/bucketed by `cid` in a real deployment and the
-    *   serve-side join prunes to the probed cells' files. */
+    * @note scale: `assigned/` is the corpus + one int — and it is
+    *   WRITTEN `partitionBy("cid")`, so the serve-side probe
+    *   ([[knnIvfSaved]]) partition-prunes to the probed cells' files
+    *   at the scan: a 1-cell probe reads ~1/nCells of the corpus
+    *   bytes, never the whole table (gated by `AnnIndexLayoutSpec`).
+    *   Rows additionally carry `epoch` (0 at bulk build) so the
+    *   delete path's versioned tombstones can mask exactly the rows
+    *   that existed when the delete was issued — see
+    *   [[deleteFromIvfIndex]]. */
   def saveIvfIndex(df: DataFrame, path: String, nCells: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", trainOn: Option[DataFrame] = None): Unit = {
@@ -467,7 +473,8 @@ object SimilarityOps {
     val nt = trainOn.fold(n)(t => normed(t, idCol, vecCol))
     val cents = detTrainCells(nt, nCells, iters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    detAssignCells(n, cents).write.mode("overwrite").parquet(s"$path/assigned")
+    detAssignCells(n, cents).withColumn("epoch", lit(0L))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/assigned")
     n.unpersist()
     ()
   }
@@ -529,66 +536,115 @@ object SimilarityOps {
       .toDF("vec_id", "v", "nrm", "cid")
   }
 
+  /** Claim the index's next write EPOCH — a monotonic counter kept as
+    * empty marker files under `path/epochs/` (`e1`, `e2`, …): O(1), no
+    * table scan, and deterministic across reruns (the counter depends
+    * only on how many mutations preceded it, never on wall clock).
+    * Every append and every delete claims one, which is what lets a
+    * tombstone mask exactly the rows that existed when it was issued.
+    * A production lake would use its transaction log's commit id here
+    * — same monotonicity contract. */
+  private def nextEpoch(path: String): Long = {
+    val dir = java.nio.file.Paths.get(path, "epochs")
+    java.nio.file.Files.createDirectories(dir)
+    val ls = java.nio.file.Files.list(dir)
+    val m = try {
+      var mx = 0L
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("e")) mx = math.max(mx, n.drop(1).toLong)
+      }
+      mx
+    } finally ls.close()
+    java.nio.file.Files.createFile(dir.resolve(s"e${m + 1}"))
+    m + 1
+  }
+
   /** Append [[ivfAssignSaved]] rows to the index's `assigned/` table —
-    * the commit half of ANN index maintenance. Plain parquet append:
-    * any engine can read the result, and [[knnIvfSaved]] /
-    * [[knnLookupIvf]] serve the maintained index unchanged. */
+    * the commit half of ANN index maintenance. Plain parquet append
+    * into the same `partitionBy("cid")` layout the bulk build wrote
+    * (so serve-side partition pruning keeps holding), stamped with the
+    * next write epoch: a row appended AFTER a delete of the same id
+    * carries a higher epoch than the tombstone and serves immediately
+    * — delete → re-insert needs no compaction. Any engine can read
+    * the result, and [[knnIvfSaved]] / [[knnLookupIvf]] serve the
+    * maintained index unchanged. */
   def appendToIvfIndex(assigned: DataFrame, path: String): Unit = {
     assigned.select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-      .write.mode("append").parquet(s"$path/assigned")
+      .withColumn("epoch", lit(nextEpoch(path)))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/assigned")
     ()
   }
 
   /** DELETE half of ANN index maintenance: record `ids` as TOMBSTONES
-    * — a plain-parquet append under `path/tombstones/` (one `vec_id`
-    * column). Serving ([[knnIvfSaved]], [[knnLookupIvf]]) anti-joins
-    * live tombstones out of the candidate set, so a delete is visible
-    * at the next query with ZERO index rewrite — the LSM delete
-    * shape; [[compactIvfIndex]] folds them into `assigned/` offline.
+    * — a plain-parquet append under `path/tombstones/` (`vec_id` +
+    * the write `epoch` the delete claimed). Serving ([[knnIvfSaved]],
+    * [[knnLookupIvf]]) anti-joins out exactly the assigned rows whose
+    * epoch is ≤ the tombstone's, so a delete is visible at the next
+    * query with ZERO index rewrite — the LSM delete shape;
+    * [[compactIvfIndex]] folds them into `assigned/` offline.
     * Stateless and shuffle-free: the same code absorbs a streaming
     * delete feed within its own micro-batch
     * (`stream_ann_delete_replay` gates exactly that against the
     * full-training oracle with a survivor filter).
     *
-    * A tombstone masks EVERY row with that id, including a later
-    * [[appendToIvfIndex]] re-insert — compact (or clear the
-    * tombstone) before re-adding a deleted id. */
+    * VERSIONED masking: the tombstone masks every row of that id
+    * appended at or before the delete, and NOTHING after it — a later
+    * [[appendToIvfIndex]] re-insert of the same id claims a higher
+    * epoch and serves without waiting for compaction
+    * (delete → re-insert == rebuild-after-reinsert, spec-pinned on
+    * both serve kernels). */
   def deleteFromIvfIndex(ids: DataFrame, path: String,
       idCol: String = "vec_id"): Unit = {
     ids.select(col(idCol).cast("long").as("vec_id"))
+      .withColumn("epoch", lit(nextEpoch(path)))
       .write.mode("append").parquet(s"$path/tombstones")
     ()
   }
 
-  /** The index's live tombstone set, if any deletes were recorded. */
+  /** The index's live tombstone set `(vec_id, epoch)`, if any deletes
+    * were recorded — one row per id at its LATEST delete epoch. */
   private def tombstonesOf(spark: SparkSession,
       path: String): Option[DataFrame] = {
     val dir = java.nio.file.Paths.get(path, "tombstones")
     if (java.nio.file.Files.isDirectory(dir))
       Some(spark.read.parquet(dir.toString)
-        .select(col("vec_id").cast("long").as("vec_id")).distinct())
+        .groupBy(col("vec_id").cast("long").as("vec_id"))
+        .agg(max(col("epoch")).as("epoch")))
     else None
   }
 
   /** Apply an index's tombstones to its `assigned/` rows (no-op when
-    * none were recorded) — the serve-time half of the delete path. */
+    * none were recorded) — the serve-time half of the delete path:
+    * a row survives unless a tombstone of its id was issued AT OR
+    * AFTER the row's own write epoch. */
   private def minusTombstones(spark: SparkSession, path: String,
       assigned: DataFrame): DataFrame =
-    tombstonesOf(spark, path)
-      .fold(assigned)(t => assigned.join(t, Seq("vec_id"), "left_anti"))
+    tombstonesOf(spark, path).fold(assigned) { t =>
+      assigned.as("a").join(t.as("t"),
+        col("a.vec_id") === col("t.vec_id") &&
+          col("t.epoch") >= col("a.epoch"), "left_anti")
+    }
 
   /** Fold tombstones into the index: rewrite `assigned/` without the
-    * tombstoned ids and drop `tombstones/` — serve-before ==
+    * masked rows (epoch-aware — a re-insert newer than its id's
+    * tombstone survives) and drop `tombstones/` — serve-before ==
     * serve-after (spec-pinned), the offline compaction of the
-    * LSM-style delete path. At scale this is the same economics as
-    * the view-maintainer's snapshot compaction: pay one O(index)
-    * rewrite to make every subsequent serve tombstone-free. */
+    * LSM-style delete path. The rewrite keeps the `partitionBy("cid")`
+    * layout, so serve-side partition pruning holds across compactions.
+    * At scale this is the same economics as the view-maintainer's
+    * snapshot compaction: pay one O(index) rewrite to make every
+    * subsequent serve tombstone-free. */
   def compactIvfIndex(spark: SparkSession, path: String): Unit =
     tombstonesOf(spark, path).foreach { t =>
-      val survivors = spark.read.parquet(s"$path/assigned")
-        .join(t, Seq("vec_id"), "left_anti")
+      val survivors = minusTombstones(spark, path,
+        spark.read.parquet(s"$path/assigned"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("epoch"),
+          col("cid"))
       val tmp = java.nio.file.Paths.get(s"$path/assigned_compact")
-      survivors.write.mode("overwrite").parquet(tmp.toString)
+      survivors.write.mode("overwrite").partitionBy("cid")
+        .parquet(tmp.toString)
       deleteDir(java.nio.file.Paths.get(s"$path/assigned"))
       java.nio.file.Files.move(tmp,
         java.nio.file.Paths.get(s"$path/assigned"))
@@ -652,16 +708,19 @@ object SimilarityOps {
     * `(qid, nbr, cos, rk)`.
     *
     * @note scale: serve cost is a broadcast of ≤ nCells centroid rows
-    *   + one hash join of the probe list against the assigned table —
-    *   no training pass, no full-corpus scan beyond the probed cells
-    *   when `assigned/` is partitioned by cid. */
+    *   + one hash join of the probe list against the assigned table.
+    *   The probed cell ids (≤ nCells values however many queries ride
+    *   the batch) are collected and pushed as a STATIC `cid IN (…)`
+    *   filter, which partition-prunes the `partitionBy("cid")` layout
+    *   [[saveIvfIndex]] writes — a 1-cell probe reads ~1/nCells of
+    *   `assigned/`'s files, never the whole table
+    *   (`AnnIndexLayoutSpec` pins selectedPartitions == probed
+    *   cells). No training pass, no full-corpus scan. */
   def knnIvfSaved(queries: DataFrame, path: String,
       isQuery: org.apache.spark.sql.Column, nprobe: Int = 4, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
-    val assigned =
-      minusTombstones(spark, path, spark.read.parquet(s"$path/assigned"))
     val nq = normed(queries, idCol, vecCol).filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val wq = Window.partitionBy(col("qid"))
@@ -671,6 +730,14 @@ object SimilarityOps {
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    // distinct probed cells: bounded by nCells whatever the query
+    // count, so the collect is a tiny driver-side set that turns the
+    // assigned-table scan into a static partition-pruned read
+    val probedCells = probes.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = minusTombstones(spark, path,
+      spark.read.parquet(s"$path/assigned")
+        .filter(col("cid").isin(probedCells: _*)))
     val scored = assigned.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",

@@ -42,15 +42,17 @@ object BoundedReplay {
     * queries) would spend the whole batch on per-partition state-store
     * file I/O — 32 partitions × chunks batches of checkpoint deltas
     * for kilobytes of state each. The partition count is baked into
-    * the query's checkpoint, so this must be decided here, not by the
-    * caller's conf. (A real deployment sizes it to peak per-batch
+    * the query's checkpoint, so this is decided here (the
+    * `shufflePartitions` parameter), never inherited from the
+    * caller's session conf. (A real deployment sizes it to peak per-batch
     * volume; 2 keeps multi-partition semantics — partitioned state,
     * cross-partition watermark, partition-independent results — under
     * test at the minimum per-batch store overhead: 8 → 2 measured
     * −20–40% on every replay key, most on the state-heavy dedup
     * index.) */
   private def replayCore(spark: SparkSession, df: SparkSession => DataFrame,
-      orderCol: Column, chunks: Int, prefix: String, sinkPartitions: Int)(
+      orderCol: Column, chunks: Int, prefix: String, sinkPartitions: Int,
+      shufflePartitions: Int = 2)(
       op: DataFrame => Dataset[_])(
       flush: Option[String => Dataset[_]]): DataFrame = {
     val root = graft.Scratch.dir(prefix)
@@ -58,7 +60,7 @@ object BoundedReplay {
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 2)
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     // bounded replay: no restart-from-old-batch scenario, so keep
     // only the latest committed batch of checkpoint/state files
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
@@ -118,20 +120,24 @@ object BoundedReplay {
     *              the SAME operator code runs in both modes
     * @param flush drains the stopped query's surviving state from the
     *              checkpoint (a [[StateFlush]] method) */
-  def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5)(
+  def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5,
+      shufflePartitions: Int = 2)(
       op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.events(ss, sfDir),
-      unix_micros(col("ts")), chunks, "graft-replay", 1)(op)(Some(flush))
+      unix_micros(col("ts")), chunks, "graft-replay", 1,
+      shufflePartitions)(op)(Some(flush))
 
   /** [[replayEvents]] for the EMBEDDINGS table — the query-stream
     * replay the serving-shape keys run under (synthetic arrival stamp
     * from vec_id, id-ordered chunks, REAL streaming query, no flush —
     * stateless lookups answer within their own micro-batch). */
-  def replayEmbeddings(spark: SparkSession, sfDir: String, chunks: Int = 5)(
+  def replayEmbeddings(spark: SparkSession, sfDir: String, chunks: Int = 5,
+      shufflePartitions: Int = 2)(
       op: DataFrame => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.embeddings(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L))),
-      col("vec_id"), chunks, "graft-replay-emb", 1)(op)(None)
+      col("vec_id"), chunks, "graft-replay-emb", 1,
+      shufflePartitions)(op)(None)
 
   /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
     * replay the streaming dedup family runs under: documents are
@@ -143,9 +149,10 @@ object BoundedReplay {
     * emit a pair the moment its second document arrives, so a
     * complete replay leaves no closable state behind. */
   def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5,
-      sinkPartitions: Int = 1)(
+      sinkPartitions: Int = 1, shufflePartitions: Int = 2)(
       op: DataFrame => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.documents(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L))),
-      col("doc_id"), chunks, "graft-replay-docs", sinkPartitions)(op)(None)
+      col("doc_id"), chunks, "graft-replay-docs", sinkPartitions,
+      shufflePartitions)(op)(None)
 }

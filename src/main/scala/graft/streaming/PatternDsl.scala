@@ -193,14 +193,25 @@ final class PatternBuilder private[streaming] (
   /** Whole-match time bound (Kleene / times / absence shapes). */
   def within(d: String): PatternBuilder = copy(globalWithin = Some(d))
 
+  // Alternation slots carry their full branch set in `alts`; every
+  // compile case below except the dedicated cepAlternation one reads
+  // only `steps(i).pred` (seeded with branches.head._2), so letting an
+  // alts step through would SILENTLY drop every non-first branch.
+  private def requireNoAlts(shape: String): Unit =
+    require(steps.forall(_.alts.isEmpty),
+      s"alternation slots (beginAny/nextAny) only compile the " +
+        s"plain-sequence shape; $shape is not a compiled combination")
+
   /** Validate the assembled shape and run it over `ev`. */
   def over(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String): DataFrame = (absent, nTimes) match {
     case (Some((_, abs)), None) =>
+      requireNoAlts("notFollowedBy")
       val w = globalWithin.getOrElse(
         sys.error("absence pattern needs .within(...)"))
       CepOps.cepAbsence(ev, keyCol, tsCol, idCol, steps.head.pred, abs, w)
     case (None, Some(n)) =>
+      requireNoAlts("times(n)")
       require(consecutive,
         "times(n) relaxed contiguity is cepPattern with n identical steps; " +
           "the DSL compiles the .consecutive() form")
@@ -208,6 +219,7 @@ final class PatternBuilder private[streaming] (
         sys.error("times pattern needs .within(...)"))
       CepOps.cepTimes(ev, keyCol, tsCol, idCol, steps.head.pred, n, w)
     case (None, None) if untilPred.isDefined =>
+      requireNoAlts("until")
       require(steps.size == 2 && steps(1).oneOrMore && !steps.head.oneOrMore,
         "until compiles the A B+ until(U) shape")
       val w = globalWithin.getOrElse(
@@ -218,6 +230,7 @@ final class PatternBuilder private[streaming] (
         k.filter(org.apache.spark.sql.functions.col("n_b") >= steps(1).minTimes)
       else k
     case (None, None) if steps.exists(_.oneOrMore) =>
+      requireNoAlts("oneOrMore/timesOrMore")
       require(steps.size == 3 && steps(1).oneOrMore &&
         !steps.head.oneOrMore && !steps.last.oneOrMore &&
         steps.forall(!_.optional),

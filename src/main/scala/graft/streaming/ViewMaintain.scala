@@ -66,7 +66,9 @@ object ViewMaintain {
   def maintainViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String], compactEvery: Int = 1): DataFrame = {
+      minMaxCols: Seq[String], compactEvery: Int = 1,
+      shufflePartitions: Int = 8,
+      snapshotBuckets: Option[Int] = None): DataFrame = {
     val aggs = Seq(count(lit(1)).as("cnt")) ++
       sumCols.map(c => sum(col(c)).as("sum_" + c)) ++
       minMaxCols.flatMap(c => Seq(min(col(c)).as("min_" + c),
@@ -78,7 +80,9 @@ object ViewMaintain {
       maintain = (prev, batch, live) =>
         ViewOps.maintainAggView(prev, batch, live,
           groupCols, sumCols, minMaxCols),
-      compactEvery = compactEvery)
+      compactEvery = compactEvery,
+      shufflePartitions = shufflePartitions,
+      snapshotBuckets = snapshotBuckets)
   }
 
   /** [[maintainViewStream]] for a per-group TOP-K leaderboard view
@@ -87,13 +91,16 @@ object ViewMaintain {
   def maintainTopKViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String], scoreCol: String, idCol: String,
-      k: Int): DataFrame =
+      k: Int, shufflePartitions: Int = 8,
+      snapshotBuckets: Option[Int] = None): DataFrame =
     maintainCustomViewStream(spark, oldBase, deltas, orderCol, chunks,
       groupCols,
       buildView = b => ViewOps.topKView(b, groupCols, scoreCol, idCol, k),
       maintain = (prev, batch, live) =>
         ViewOps.maintainTopKView(prev, batch, live,
-          groupCols, scoreCol, idCol, k))
+          groupCols, scoreCol, idCol, k),
+      shufflePartitions = shufflePartitions,
+      snapshotBuckets = snapshotBuckets)
 
   /** The generic single-table core: stage the changelog into `chunks`
     * range-ordered micro-batches, and per batch (a) commit the
@@ -113,19 +120,55 @@ object ViewMaintain {
     * live base is reconstructed lazily from snapshot + pending slices
     * (bounded by N, never "every slice since the start" — the
     * unbounded-rescan design this loop replaced). Same hashes either
-    * way; `ViewOpsSpec` pins cadence-independence. */
+    * way; `ViewOpsSpec` pins cadence-independence. One documented
+    * semantic nuance of N > 1: [[applyDelta]]'s over-delete detection
+    * runs on the NET weight of the pooled pending slices, so a
+    * changelog that deletes a base-absent payload in batch i and
+    * re-inserts it in batch j (both inside one compaction window) nets
+    * to zero and passes, where compactEvery = 1 would fail loudly on
+    * batch i — deferred compaction trades per-slice validation
+    * granularity for the amortized rewrite, exactly like a lakehouse
+    * table that validates at commit-compaction rather than per
+    * transaction. Final view hashes are unaffected (a netted
+    * delete+reinsert is a no-op either way).
+    *
+    * `shufflePartitions` sizes every shuffle inside the maintainer's
+    * isolated session (compaction group-by, view merges). The default
+    * 8 is right for local[32] at the test scale where each micro-batch
+    * carries kilobytes-to-megabytes; a production deployment sizes it
+    * to the per-compaction input (delta + touched base mass), exactly
+    * as it would any batch job — pass it through rather than inherit
+    * the session-wide count sized for full-table scans.
+    *
+    * `snapshotBuckets = Some(n)` switches the snapshot layout to
+    * hash-bucketed directories (`gb = pmod(hash(groupCols), n)`,
+    * written `partitionBy("gb")`) and makes compaction INCREMENTAL:
+    * only buckets the pending slices touch are reconciled and
+    * rewritten; untouched bucket directories are carried into the new
+    * batchId-keyed snapshot as hard links (fall back to copy across
+    * devices) — the production-lake shape where the O(base) rewrite
+    * becomes O(touched partitions) under skewed churn, and the
+    * delete-touched-group rescan partition-prunes at the scan. The
+    * default None keeps the flat single-directory snapshot (right for
+    * the uniform-churn bench fixtures, where every bucket is touched
+    * and bucketing would only add write fan-out). Hashes are identical
+    * either way — `ViewOpsSpec` pins bucketed == flat. */
   def maintainCustomViewStream(spark: SparkSession, oldBase: DataFrame,
       deltas: DataFrame, orderCol: String, chunks: Int,
       groupCols: Seq[String],
       buildView: DataFrame => DataFrame,
       maintain: (DataFrame, DataFrame, DataFrame) => DataFrame,
-      compactEvery: Int = 1): DataFrame = {
+      compactEvery: Int = 1,
+      shufflePartitions: Int = 8,
+      snapshotBuckets: Option[Int] = None): DataFrame = {
     require(deltas.columns.toSet == oldBase.columns.toSet + "w",
       s"delta schema ${deltas.columns.mkString(",")} must be the base " +
         s"schema ${oldBase.columns.mkString(",")} plus 'w' — a base " +
         "column absent from the changelog would read as NULL in the " +
         "delta log and break full-payload multiset cancellation")
     require(compactEvery >= 1, s"compactEvery must be >= 1")
+    require(shufflePartitions >= 1, "shufflePartitions must be >= 1")
+    require(snapshotBuckets.forall(_ >= 1), "snapshotBuckets must be >= 1")
     val root = graft.Scratch.dir("graft-view-maintain")
     val baseCols = oldBase.columns.toSeq
     val logDir = root.resolve("log")
@@ -134,14 +177,28 @@ object ViewMaintain {
     Files.createDirectories(logDir)
     Files.createDirectories(snapDir)
     Files.createDirectories(viewDir)
+    def gbOf(d: DataFrame): Column = snapshotBuckets.fold(lit(0))(n =>
+      pmod(hash(groupCols.map(d(_)): _*), lit(n)))
+    // bucketed snapshot dirs hold the schema only in their part files —
+    // a snapshot whose every row was deleted has none, so read with the
+    // schema pinned (flat parquet writes always emit a schema-bearing
+    // file and can keep inference)
+    val snapSchema = StructType(oldBase.schema.fields :+
+      org.apache.spark.sql.types.StructField("gb",
+        org.apache.spark.sql.types.IntegerType))
+    def readSnap(sb: SparkSession, dir: Path): DataFrame =
+      if (snapshotBuckets.isDefined)
+        sb.read.schema(snapSchema).parquet(dir.toString)
+      else sb.read.parquet(dir.toString)
 
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
 
     // durable state seeds: base snapshot s0 + view version v0
-    oldBase.write.parquet(snapDir.resolve("s0").toString)
-    buildView(ss.read.parquet(snapDir.resolve("s0").toString))
+    writeSnap(oldBase, gbOf(oldBase), snapshotBuckets, snapDir.resolve("s0"))
+    buildView(readSnap(ss, snapDir.resolve("s0"))
+        .select(baseCols.map(col): _*))
       .write.parquet(viewDir.resolve("v0").toString)
 
     replayChunks(ss, root, deltas, orderCol, chunks) {
@@ -156,30 +213,67 @@ object ViewMaintain {
         // 2) live base = latest snapshot ⊎ pending slices (at most
         //    compactEvery of them — idempotent on retry: a replayed
         //    batch overwrote its own slice above and recomputes from
-        //    the same surviving snapshot)
+        //    the same surviving snapshot. If the retry fires AFTER its
+        //    own compaction already committed s{batchId+1}, the
+        //    pending range is empty and that snapshot IS the live
+        //    base — the view step still recomputes v{batchId+1} from
+        //    identical inputs instead of failing on a zero-path read.
         val snapV = maxVersion(snapDir, "s")
+        val prevSnapDir = snapDir.resolve(s"s$snapV")
+        val prevSnap = readSnap(sb, prevSnapDir)
+          .select(baseCols.map(col): _*)
         val pending = (snapV to batchId).map(b =>
           logDir.resolve(s"b$b").toString).filter(p =>
           Files.isDirectory(java.nio.file.Paths.get(p)))
-        val pendingDf = sb.read.parquet(pending: _*)
-        val prevSnap =
-          sb.read.parquet(snapDir.resolve(s"s$snapV").toString)
-        val live = applyDelta(prevSnap, pendingDf, baseCols)
+        val pendingDf =
+          if (pending.isEmpty) null else sb.read.parquet(pending: _*)
+        val live = if (pending.isEmpty) prevSnap
+          else applyDelta(prevSnap, pendingDf, baseCols)
         // 3) compact on cadence: write the reconciled base as the new
-        //    batchId-keyed snapshot and truncate the consumed slices
-        val compactNow = (batchId + 1 - snapV) >= compactEvery
+        //    batchId-keyed snapshot and truncate the consumed slices.
+        //    Bucketed layout: reconcile ONLY the slice-touched buckets
+        //    (a slice row can only affect the bucket its own groupCols
+        //    hash to) and hard-link the untouched bucket dirs across —
+        //    rewrite cost ∝ touched churn, not base size.
+        val compactNow = pending.nonEmpty &&
+          (batchId + 1 - snapV) >= compactEvery
+        val newSnapDir = snapDir.resolve(s"s${batchId + 1}")
         val snap = if (compactNow) {
-          val newSnapDir = snapDir.resolve(s"s${batchId + 1}")
-          live.write.mode("overwrite").parquet(newSnapDir.toString)
-          sb.read.parquet(newSnapDir.toString)
+          snapshotBuckets match {
+            case Some(_) =>
+              val touched = pendingDf
+                .select(gbOf(pendingDf).as("gb")).distinct()
+                .collect().map(_.getInt(0)).toSet // ≤ n values by construction
+              val snapTouched = readSnap(sb, prevSnapDir)
+                .filter(col("gb").isin(touched.toSeq: _*))
+                .select(baseCols.map(col): _*)
+              val reconciled = applyDelta(snapTouched, pendingDf, baseCols)
+              writeSnap(reconciled, gbOf(reconciled), snapshotBuckets,
+                newSnapDir)
+              linkUntouchedBuckets(prevSnapDir, newSnapDir, touched)
+            case None =>
+              live.write.mode("overwrite").parquet(newSnapDir.toString)
+          }
+          readSnap(sb, newSnapDir)
+        } else if (pending.isEmpty) {
+          readSnap(sb, prevSnapDir) // retry-after-compaction
         } else live
         // 4) advance view v{batchId} -> v{batchId+1}; the maintain
         //    step only rescans delete-touched groups, so hand it the
-        //    live base pruned to those groups
+        //    live base pruned to those groups — under the bucketed
+        //    layout a bucket filter partition-prunes the snapshot scan
+        //    before the semi join refines to exact groups
         val slice = sb.read.parquet(sliceDir.toString)
         val negKeys = slice.filter(col("w") < 0)
           .select(groupCols.map(col): _*).distinct()
-        val pruned = snap.join(negKeys, groupCols, "left_semi")
+        val snapForPrune =
+          if (snap.columns.contains("gb")) {
+            val negBuckets = negKeys.select(gbOf(negKeys).as("gb"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            snap.filter(col("gb").isin(negBuckets: _*))
+              .select(baseCols.map(col): _*)
+          } else snap.select(baseCols.map(col): _*)
+        val pruned = snapForPrune.join(negKeys, groupCols, "left_semi")
         val prev =
           sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
         maintain(prev, slice, pruned)
@@ -190,12 +284,46 @@ object ViewMaintain {
         //    superseded snapshot
         if (compactNow) {
           (snapV to batchId).foreach(b => rm(logDir.resolve(s"b$b")))
-          rm(snapDir.resolve(s"s$snapV"))
+          rm(prevSnapDir)
         }
         ()
     }
     spark.read.parquet(
       viewDir.resolve(s"v${maxVersion(viewDir)}").toString)
+  }
+
+  /** Write a snapshot version — flat single directory, or
+    * `partitionBy("gb")` hash-bucketed when `buckets` is set. */
+  private def writeSnap(d: DataFrame, gb: Column, buckets: Option[Int],
+      dir: Path): Unit = buckets match {
+    case Some(_) => d.withColumn("gb", gb).write.mode("overwrite")
+      .partitionBy("gb").parquet(dir.toString)
+    case None => d.write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Carry the bucket directories the compaction did NOT touch from
+    * the previous snapshot into the new one — hard links (same-device
+    * scratch: metadata-only, no data copied), falling back to a file
+    * copy if the filesystem refuses the link. This is what turns the
+    * per-compaction snapshot rewrite from O(base) into O(touched). */
+  private def linkUntouchedBuckets(prevDir: Path, newDir: Path,
+      touched: Set[Int]): Unit = {
+    val ls = Files.list(prevDir)
+    try ls.iterator().forEachRemaining { bdir =>
+      val name = bdir.getFileName.toString
+      if (name.startsWith("gb=") &&
+          !touched.contains(name.stripPrefix("gb=").toInt)) {
+        val dst = Files.createDirectories(newDir.resolve(name))
+        val fs = Files.list(bdir)
+        try fs.iterator().forEachRemaining { f =>
+          val t = dst.resolve(f.getFileName.toString)
+          try Files.createLink(t, f)
+          catch { case _: Exception =>
+            Files.copy(f, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+        } finally fs.close()
+      }
+    } finally ls.close()
   }
 
   /** TWO-INPUT continuous maintenance of an aggregate-over-join view —
@@ -230,8 +358,9 @@ object ViewMaintain {
       orderCol: String, chunks: Int, joinKeys: Seq[String],
       aVals: Seq[String], bVals: Seq[String],
       viewGroupCols: Seq[String], viewSumCols: Seq[String],
-      compactEvery: Int = 1): DataFrame = {
+      compactEvery: Int = 1, shufflePartitions: Int = 8): DataFrame = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(shufflePartitions >= 1, "shufflePartitions must be >= 1")
     val aCols = oldA.columns.toSeq
     val bCols = oldB.columns.toSeq
     require(deltaA.columns.toSet == aCols.toSet + "w" &&
@@ -273,7 +402,7 @@ object ViewMaintain {
       .foreach(Files.createDirectories(_))
 
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", 8)
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
 
     oldA.write.parquet(snapADir.resolve("s0").toString)

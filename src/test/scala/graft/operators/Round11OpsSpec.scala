@@ -18,7 +18,7 @@ class Round11OpsSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("ivf-asg-spec").toString
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
     val bulk = spark.read.parquet(s"$path/assigned")
-      .select("vec_id", "cid", "nrm")
+      .select(col("vec_id"), col("cid").cast("long"), col("nrm"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val kernel = SimilarityOps.ivfAssignSaved(emb, path)
       .select("vec_id", "cid", "nrm")
@@ -40,7 +40,7 @@ class Round11OpsSpec extends SparkSpec {
     SimilarityOps.saveIvfIndex(emb, rebuilt, nCells = 8, iters = 2,
       trainOn = Some(base))
     def assigned(p: String) = spark.read.parquet(s"$p/assigned")
-      .select("vec_id", "cid")
+      .select(col("vec_id"), col("cid").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(assigned(maintained) == assigned(rebuilt),
       "appended index must equal the from-scratch build row for row")
@@ -91,6 +91,7 @@ class Round11OpsSpec extends SparkSpec {
       val path = java.nio.file.Files.createTempDirectory("cell-cov").toString
       SimilarityOps.saveIvfIndex(e, path, nCells = 16, iters = 2)
       spark.read.parquet(s"$path/assigned")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
     }
     val sameCell = kernel.keySet.filter { case (a, b) => assigned(a) == assigned(b) }

@@ -315,4 +315,33 @@ class ViewOpsSpec extends SparkSpec {
     assert(run(2) == everyBatch, "amortized cadence drifted")
     assert(run(3) == everyBatch, "compact-once-at-end drifted")
   }
+
+  test("bucketed snapshot layout (snapshotBuckets) is invisible to the view") {
+    def run(buckets: Option[Int], every: Int) = graft.streaming.ViewMaintain
+      .maintainViewStream(spark, oldS, deltas, orderCol = "id",
+        chunks = 3, groupCols = Seq("grp"), sumCols = Seq("x"),
+        minMaxCols = Seq("x"), compactEvery = every,
+        snapshotBuckets = buckets)
+      .collect().map(_.toSeq).toSet
+    val flat = run(None, 1)
+    assert(run(Some(4), 1) == flat, "bucketed compaction drifted")
+    assert(run(Some(4), 2) == flat, "bucketed + deferred cadence drifted")
+  }
+
+  test("bucketed compaction under skewed churn: untouched buckets carried exactly") {
+    // 20 groups, churn confined to ONE — most bucket dirs must be
+    // carried across by the hard-link path, and the carried rows must
+    // be byte-exact in the final view (delete + insert both land in
+    // g7's bucket; every other group's min/max/sum must be untouched)
+    val base = (1 to 200).map(i => (s"g${i % 20}", i.toLong))
+      .toDF("grp", "x")
+    val d = Seq(("g7", 7L, -1), ("g7", 1000L, 1), ("g7", 2000L, 1))
+      .toDF("grp", "x", "w")
+    def run(buckets: Option[Int]) = graft.streaming.ViewMaintain
+      .maintainViewStream(spark, base, d, orderCol = "x", chunks = 2,
+        groupCols = Seq("grp"), sumCols = Seq("x"),
+        minMaxCols = Seq("x"), snapshotBuckets = buckets)
+      .collect().map(_.toSeq).toSet
+    assert(run(Some(16)) == run(None), "skewed-churn bucketed view drifted")
+  }
 }

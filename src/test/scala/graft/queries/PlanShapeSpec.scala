@@ -15,11 +15,40 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(key: String): String =
     SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
 
-  test("no key plans a cartesian product") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { k =>
-      plan(k).contains("CartesianProduct")
+  // Keys ALLOWED to plan a BroadcastNestedLoopJoin: each was audited
+  // (PLANS.md) and broadcasts a deliberately tiny side — query vectors,
+  // sketch/quantile grid tables, one-row scalar aggregates, the
+  // documented small cross joins. A BNLJ appearing anywhere else is a
+  // plan regression (an equi-join that lost its keys, or an
+  // accidental all-pairs), which this census turns into a test failure
+  // instead of a silent bench cliff.
+  private val bnljAllowed = Set(
+    "agg_cms_meanmin", "agg_gap_fill", "agg_kmv_retention",
+    "agg_kmv_setops", "agg_theta_retention", "agg_topk_portable",
+    "graph_triangles", "join_cross_small", "join_theta",
+    "llm_dedup_embcell", "llm_domain_mix", "llm_edit_join_exact",
+    "llm_edit_join_long", "llm_hybrid_rrf", "llm_knn_cosine",
+    "llm_knn_ivf_det", "llm_knn_ivf_saved", "llm_knn_ivfpq_det",
+    "llm_knn_ivfsq8_det", "llm_knn_sq8", "llm_lm_heldout",
+    "llm_lm_score", "llm_sample_temperature", "llm_tfidf_top",
+    "profile_skew", "sql_tpch_q22", "stream_ann_delete_replay",
+    "stream_ann_upsert_replay", "stream_topk_window_portable")
+
+  test("global plan census: zero cartesian products; BNLJ only in the audited small-broadcast allowlist") {
+    val cartesian = Seq.newBuilder[String]
+    val bnljRogue = Seq.newBuilder[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
+      val p = plan(k)
+      if (p.contains("CartesianProduct")) cartesian += k
+      if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(k))
+        bnljRogue += k
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(cartesian.result().isEmpty,
+      s"cartesian products in: ${cartesian.result()}")
+    assert(bnljRogue.result().isEmpty,
+      s"BNLJ outside the audited allowlist in: ${bnljRogue.result()} — " +
+        "either a plan regression or a new key that needs auditing " +
+        "(PLANS.md) before joining bnljAllowed")
   }
 
   test("compound predicates reach the parquet scan") {

@@ -276,4 +276,35 @@ class PatternDslSpec extends SparkSpec {
         .over(ev, "user_id", "ts", "event_id") // missing within
     }
   }
+
+  test("alternation slots REJECT quantified/absence shapes instead of degrading to the first branch") {
+    // every non-alternation compile case reads only steps(i).pred
+    // (seeded with the FIRST branch), so letting one of these through
+    // would silently ignore every other branch — they must throw
+    val pView = col("event_type") === "view"
+    val pClick = col("event_type") === "click"
+    val pErr = col("event_type") === "error"
+    intercept[IllegalArgumentException] { // alternation + absence
+      Pattern.beginAny("s", "v" -> pView, "c" -> pClick)
+        .notFollowedBy("e", pErr).within("60 minutes")
+        .over(ev, "user_id", "ts", "event_id")
+    }
+    intercept[IllegalArgumentException] { // alternation + times(n)
+      Pattern.beginAny("s", "v" -> pView, "c" -> pClick)
+        .times(2).consecutive().within("60 minutes")
+        .over(ev, "user_id", "ts", "event_id")
+    }
+    intercept[IllegalArgumentException] { // alternation + oneOrMore
+      Pattern.begin("a", pView)
+        .nextAny("m", "60 minutes", "c" -> pClick, "e" -> pErr)
+        .oneOrMore().next("z", pErr, "60 minutes")
+        .over(ev, "user_id", "ts", "event_id")
+    }
+    intercept[IllegalArgumentException] { // alternation + until
+      Pattern.begin("a", pView)
+        .nextAny("m", "60 minutes", "c" -> pClick, "e" -> pErr)
+        .oneOrMore().until("u", pErr).within("60 minutes")
+        .over(ev, "user_id", "ts", "event_id")
+    }
+  }
 }
