@@ -418,6 +418,65 @@ object StreamingQueries {
         .orderBy("user_id", "first_id", "last_id", "reps")
   }
 
+  /** T8 MIXED group quantifier — `A (B C){2} D`
+    * ([[graft.streaming.CepOps.cepGroupTimesMixed]], via
+    * [[graft.streaming.Pattern.group]]`.times(2).precededBy(...).
+    * followedBy(...)`): a signup, then TWO repetitions of a
+    * high-value→low-value event pair, then a purchase — the group
+    * unrolls into the flat 6-slot chain signup→hi→lo→hi→lo→purchase
+    * (relaxed contiguity, each event within 24 h of the previous
+    * match), closing the "group quantifiers combine with outer
+    * variables" gap. The fixture restricts to `user_id < 30` so the
+    * DuckDB oracle's 6-way chain stays small; the oracle is the
+    * unrolled chain as MATERIALIZED CTEs (one per slot — forcing the
+    * same left-deep order the operator plans; DuckDB's join reorder
+    * otherwise picks a catastrophically slow shape for this chain). */
+  private val cepGroupMixed = Q(
+    "cep_group_mixed",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    value, event_type
+      |  FROM events WHERE user_id < 30),
+      |c1 AS MATERIALIZED (
+      |  SELECT user_id, event_id AS signup_id, ts AS ts0
+      |  FROM ev WHERE event_type = 'signup'),
+      |c2 AS MATERIALIZED (
+      |  SELECT c1.*, e.event_id AS hi_1_id, e.ts AS ts1 FROM c1 JOIN ev e
+      |  ON e.user_id = c1.user_id AND e.value >= 50
+      |  AND e.ts > ts0 AND e.ts <= ts0 + INTERVAL 1440 MINUTE),
+      |c3 AS MATERIALIZED (
+      |  SELECT c2.*, e.event_id AS lo_1_id, e.ts AS ts2 FROM c2 JOIN ev e
+      |  ON e.user_id = c2.user_id AND e.value < 50
+      |  AND e.ts > ts1 AND e.ts <= ts1 + INTERVAL 1440 MINUTE),
+      |c4 AS MATERIALIZED (
+      |  SELECT c3.*, e.event_id AS hi_2_id, e.ts AS ts3 FROM c3 JOIN ev e
+      |  ON e.user_id = c3.user_id AND e.value >= 50
+      |  AND e.ts > ts2 AND e.ts <= ts2 + INTERVAL 1440 MINUTE),
+      |c5 AS MATERIALIZED (
+      |  SELECT c4.*, e.event_id AS lo_2_id, e.ts AS ts4 FROM c4 JOIN ev e
+      |  ON e.user_id = c4.user_id AND e.value < 50
+      |  AND e.ts > ts3 AND e.ts <= ts3 + INTERVAL 1440 MINUTE),
+      |c6 AS MATERIALIZED (
+      |  SELECT c5.*, e.event_id AS purchase_id, e.ts AS ts5 FROM c5 JOIN ev e
+      |  ON e.user_id = c5.user_id AND e.event_type = 'purchase'
+      |  AND e.ts > ts4 AND e.ts <= ts4 + INTERVAL 1440 MINUTE)
+      |SELECT user_id, signup_id, hi_1_id, lo_1_id, hi_2_id, lo_2_id,
+      |  purchase_id, epoch_us(ts5) - epoch_us(ts0) AS total_us
+      |FROM c6
+      |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .group("1440 minutes",
+        "hi" -> (col("value") >= 50),
+        "lo" -> (col("value") < 50))
+      .times(2)
+      .precededBy("signup", col("event_type") === "signup")
+      .followedBy("purchase", col("event_type") === "purchase")
+      .over(Tables.events(s, d).filter(col("user_id") < 30),
+        "user_id", "ts", "event_id")
+      .orderBy("user_id", "signup_id", "hi_1_id", "lo_1_id", "hi_2_id",
+        "lo_2_id", "purchase_id")
+  }
+
   // Group-pattern streaming lives under specs, not a replay key, on
   // measurement: every unrolled slot is a stream-stream join paying
   // two state stores per micro-batch, so a bounded replay of even the
@@ -1215,7 +1274,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
-    cepGroupKleene, cepAbsence,
+    cepGroupKleene, cepGroupMixed, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,

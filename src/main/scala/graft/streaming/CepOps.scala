@@ -173,6 +173,46 @@ object CepOps {
     cepAlternation(ev, keyCol, tsCol, idCol, steps)
   }
 
+  /** MIXED group quantifier — a fixed-count sequence group embedded in
+    * an outer sequence, Flink's
+    * `begin(A).next(groupPattern.times(n)).next(D)`, e.g.
+    * `A (B C){2} D` = A B C B C D: the group unrolls exactly as in
+    * [[cepGroupTimes]] and the outer `pre`/`post` steps join the same
+    * flat [[cepAlternation]] chain (relaxed contiguity, every event
+    * within `within` of the previous match). Output:
+    * `(key, <pre>_id …, <step>_<rep>_id …, <post>_id …, total_us)` —
+    * every bound event survives, MEASURES over any position are
+    * renames.
+    *
+    * Only the TIMES form mixes: `(B C)+ D` would multiply the
+    * Kleene's per-repetition unions by the outer chain and is
+    * rejected loudly where it is declared
+    * ([[Pattern.group]]`.oneOrMore`, [[MatchRecognize]]).
+    *
+    * @note scale: `|pre| + n·|group| + |post|` keyed interval joins —
+    *   the same fixed-length bounded-state chain as [[cepGroupTimes]];
+    *   no per-key history scan. */
+  def cepGroupTimesMixed(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, pre: Seq[(String, Column)],
+      group: Seq[(String, Column)], n: Int,
+      post: Seq[(String, Column)], within: String): DataFrame = {
+    require(group.nonEmpty, "a group needs at least one step")
+    require(n >= 1, s"times($n): need n >= 1")
+    require(pre.nonEmpty || post.nonEmpty,
+      "no outer steps — use cepGroupTimes for a standalone group")
+    require(group.map(_._1).distinct.size == group.size,
+      "group step names must be distinct")
+    val unrolled = (1 to n).flatMap(r => group.map { case (nm, p) =>
+      s"${nm}_$r" -> p })
+    val names = pre.map(_._1) ++ unrolled.map(_._1) ++ post.map(_._1)
+    require(names.distinct.size == names.size,
+      s"outer step names must not collide with the unrolled group " +
+        s"columns: $names")
+    val steps = (pre ++ unrolled ++ post).map { case (nm, p) =>
+      AltStep(nm, Seq(nm -> p), within) }
+    cepAlternation(ev, keyCol, tsCol, idCol, steps)
+  }
+
   /** Group pattern under a Kleene plus — Flink's
     * `Pattern.begin(groupPattern).oneOrMore()`, e.g. `(A B)+`: one
     * match PER repetition count (Flink's oneOrMore emission — a run

@@ -44,8 +44,10 @@ import org.apache.spark.sql.functions._
   *                      only
   *  - `(A B){n}`      — quantified SEQUENCE group, fixed count →
   *                      [[CepOps.cepGroupTimes]] (unrolled to a flat
-  *                      2n-slot chain, relaxed contiguity; standalone
-  *                      only)
+  *                      2n-slot chain, relaxed contiguity); MIXES with
+  *                      plain outer variables — `A (B C){n} D` →
+  *                      [[CepOps.cepGroupTimesMixed]] (the outer steps
+  *                      join the unrolled chain)
   *  - `(A B)+`        — group Kleene → [[CepOps.cepGroupKleene]]: one
   *                      match per repetition count, unrolled to
   *                      `groupMaxReps` (a HARD bound — candidate growth
@@ -304,10 +306,31 @@ object MatchRecognize {
             CepOps.cepGroupTimes(ev, keyCol, tsCol, idCol, grp,
               t.quant.drop(2).dropRight(1).toInt, normWithin)
         base.filter(col("total_us") <= withinUs)
+      case _ if toks.count(_.quant.startsWith("G")) == 1 &&
+          toks.find(_.quant.startsWith("G")).get.quant != "G+" &&
+          toks.filterNot(_.quant.startsWith("G"))
+            .forall(t => t.quant == "" && t.branches.isEmpty) =>
+        // MIXED fixed-count group `A (B C){n} D` → cepGroupTimesMixed:
+        // the group unrolls and the outer plain variables join the
+        // same flat chain. WITHIN bounds the whole match (per-step
+        // bound = full interval, closed by total_us), as everywhere.
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with group quantifiers; every " +
+            "bound event is already a column")
+        val gi = toks.indexWhere(_.quant.startsWith("G"))
+        val g = toks(gi)
+        val base = CepOps.cepGroupTimesMixed(ev, keyCol, tsCol, idCol,
+          pre = toks.take(gi).map(t => t.name -> binds(t.name)),
+          group = g.branches.map(b => b -> binds(b)),
+          n = g.quant.drop(2).dropRight(1).toInt,
+          post = toks.drop(gi + 1).map(t => t.name -> binds(t.name)),
+          within = normWithin)
+        base.filter(col("total_us") <= withinUs)
       case _ if toks.exists(t => t.quant.startsWith("G")) =>
-        sys.error("a quantified group must be the entire PATTERN " +
-          "(mixing (A B){n} / (A B)+ with other variables is not a " +
-          "compiled combination)")
+        sys.error("unsupported group-quantifier mix: (A B){n} combines " +
+          "with PLAIN outer variables only, and (A B)+ must be the " +
+          "entire PATTERN (its per-repetition unions would multiply " +
+          "by the outer chain)")
       case _ if toks.exists(_.branches.nonEmpty) =>
         // named alternation `A (B|C) D` → cepAlternation; the group
         // slot's output columns are `<b1>_or_<b2>_id` + `_branch` (the

@@ -76,12 +76,43 @@ final class GroupPattern private[streaming] (
     new QuantifiedGroup(steps, within, None, maxReps)
 }
 
-/** A quantified group ready to compile — see [[Pattern.group]]. */
+/** A quantified group ready to compile — see [[Pattern.group]]. Fixed
+  * (`times`) groups additionally MIX with outer plain steps
+  * (`precededBy`/`followedBy` — Flink's
+  * `begin(A).next(group.times(n)).next(D)`), compiling the
+  * `A (B C){n} D` shape via [[CepOps.cepGroupTimesMixed]]; the Kleene
+  * form rejects outer steps loudly (its per-repetition unions would
+  * multiply by the outer chain). */
 final class QuantifiedGroup private[streaming] (
     steps: Vector[(String, Column)], within: String,
-    fixed: Option[Int], maxReps: Int) {
+    fixed: Option[Int], maxReps: Int,
+    pre: Vector[(String, Column)] = Vector.empty,
+    post: Vector[(String, Column)] = Vector.empty) {
+
+  /** Prepend an outer step BEFORE the group (repeatable; steps keep
+    * call order: `precededBy(a).precededBy(b)` matches `a b (group)`). */
+  def precededBy(name: String, pred: Column): QuantifiedGroup = {
+    require(fixed.isDefined,
+      "outer steps mix with times(n) groups only — (group)+ with outer " +
+        "steps is not a compiled combination")
+    new QuantifiedGroup(steps, within, fixed, maxReps,
+      pre :+ (name -> pred), post)
+  }
+
+  /** Append an outer step AFTER the group (repeatable, call order). */
+  def followedBy(name: String, pred: Column): QuantifiedGroup = {
+    require(fixed.isDefined,
+      "outer steps mix with times(n) groups only — (group)+ with outer " +
+        "steps is not a compiled combination")
+    new QuantifiedGroup(steps, within, fixed, maxReps, pre,
+      post :+ (name -> pred))
+  }
+
   def over(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String): DataFrame = fixed match {
+    case Some(n) if pre.nonEmpty || post.nonEmpty =>
+      CepOps.cepGroupTimesMixed(ev, keyCol, tsCol, idCol,
+        pre, steps, n, post, within)
     case Some(n) =>
       CepOps.cepGroupTimes(ev, keyCol, tsCol, idCol, steps, n, within)
     case None =>

@@ -208,6 +208,66 @@ class PatternDslSpec extends SparkSpec {
     assert(firsts2.subsetOf(firsts1), "prefix matches must be emitted")
   }
 
+  test("MIXED group quantifier A (B C){2} D: DSL == direct == MATCH_RECOGNIZE == the cep_group_mixed key") {
+    val sub = ev.filter(col("user_id") < 30)
+    val dsl = Pattern.group("1440 minutes",
+        "hi" -> (col("value") >= 50), "lo" -> (col("value") < 50))
+      .times(2)
+      .precededBy("signup", col("event_type") === "signup")
+      .followedBy("purchase", col("event_type") === "purchase")
+      .over(sub, "user_id", "ts", "event_id")
+    assert(dsl.columns.toSeq == Seq("user_id", "signup_id", "hi_1_id",
+      "lo_1_id", "hi_2_id", "lo_2_id", "purchase_id", "total_us"),
+      "outer steps and every repetition's events bound as columns")
+    val direct = CepOps.cepGroupTimesMixed(sub, "user_id", "ts",
+      "event_id",
+      pre = Seq("signup" -> (col("event_type") === "signup")),
+      group = Seq("hi" -> (col("value") >= 50),
+        "lo" -> (col("value") < 50)),
+      n = 2,
+      post = Seq("purchase" -> (col("event_type") === "purchase")),
+      within = "1440 minutes")
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_mixed")(spark, sf)))
+    val mr = MatchRecognize(sub, "user_id", "ts", "event_id",
+      """PATTERN (signup (hi lo){2} purchase)
+        |DEFINE signup AS event_type = 'signup',
+        |       hi AS value >= 50,
+        |       lo AS value < 50,
+        |       purchase AS event_type = 'purchase'
+        |WITHIN INTERVAL '1440' MINUTE""".stripMargin)
+    // the SQL face closes WITHIN over the WHOLE match (per-step bound
+    // + total filter), so it selects the subset of the relaxed
+    // per-step chains whose total span fits the interval
+    val mrRows = rows(mr.select(dsl.columns.map(col): _*))
+    val dslTotal = rows(dsl.filter(col("total_us") <= 1440L * 60000000L))
+    assert(mrRows == dslTotal,
+      "MATCH_RECOGNIZE must equal the DSL under the whole-match bound")
+  }
+
+  test("mixed group quantifier rejects the Kleene form and bad mixes loudly") {
+    intercept[IllegalArgumentException] { // (B C)+ with outer steps
+      Pattern.group("60 minutes",
+          "b" -> lit(true), "c" -> lit(true))
+        .oneOrMore(2)
+        .precededBy("a", lit(true))
+    }
+    intercept[RuntimeException] { // MR face: (B C)+ D
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN ((B C)+ D)
+          |DEFINE B AS event_type = 'click', C AS event_type = 'view',
+          |       D AS event_type = 'purchase'
+          |WITHIN INTERVAL '60' MINUTE""".stripMargin)
+    }
+    intercept[IllegalArgumentException] { // colliding outer name
+      CepOps.cepGroupTimesMixed(ev, "user_id", "ts", "event_id",
+        pre = Seq("b_1" -> lit(true)),
+        group = Seq("b" -> lit(true), "c" -> lit(true)), n = 2,
+        post = Nil, within = "60 minutes")
+    }
+  }
+
   test("group quantifier semantics on a hand-built alternating run") {
     val sp = spark
     import sp.implicits._
@@ -250,9 +310,15 @@ class PatternDslSpec extends SparkSpec {
     assert(plus.columns.toSeq ==
       Seq("user_id", "first_id", "last_id", "reps", "total_us"))
     assert(plus.filter(col("reps") > 2).count() == 0)
-    intercept[RuntimeException] { // group must be the entire pattern
+    // `A (A B){2}` is the MIXED shape — it now compiles (r14); the
+    // unrolled columns are A_id then A_1/B_1/A_2/B_2
+    val mixed = MatchRecognize(ev, "user_id", "ts", "event_id",
+      s"PATTERN (A (A B){2}) $defs")
+    assert(mixed.columns.toSeq == Seq("user_id", "A_id", "A_1_id",
+      "B_1_id", "A_2_id", "B_2_id", "total_us"))
+    intercept[RuntimeException] { // Kleene groups do NOT mix
       MatchRecognize(ev, "user_id", "ts", "event_id",
-        s"PATTERN (A (A B){2}) $defs")
+        s"PATTERN (A (A B)+) $defs")
     }
     intercept[RuntimeException] { // sequence group needs a quantifier
       MatchRecognize(ev, "user_id", "ts", "event_id",
