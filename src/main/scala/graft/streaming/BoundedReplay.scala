@@ -31,10 +31,41 @@ import java.nio.file.Files
   */
 object BoundedReplay {
 
+  // Staged-chunk cache: the range-split fixture staging is a pure
+  // function of (table, sfDir, chunks) — every replay key over the
+  // same table stages BYTE-IDENTICAL chunk files, and ~20 bench keys
+  // re-paid the bounds aggregate + partitioned write (~0.6 s each,
+  // measured by graft.tools.ReplayProbe) for nothing. Stage once per
+  // (cacheKey, chunks) per JVM and hard-link the cached files into
+  // each query's source dir. This was the real "replay-band floor"
+  // lever: ReplayProbe shows session setup is free (newSession 0.000 s,
+  // plan build 0.05 s warm) and the per-micro-batch ~0.12 s of
+  // queryPlanning + offset/WAL commits is engine cost — the staging
+  // was the only repeated harness work left.
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Range-split `base` on `orderCol` into `chunks` partition dirs
+    * under a fresh scratch root (one bounds aggregate + one
+    * range-partitioned write) and return the staged dir. */
+  private def stageOnce(base: DataFrame, orderCol: Column,
+      chunks: Int): java.nio.file.Path = {
+    val b = base.agg(min(orderCol).as("lo"), max(orderCol).as("hi")).head()
+    val (lo, span) =
+      (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
+    val bucket = least(lit(chunks - 1),
+      floor((orderCol - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
+    val stage = graft.Scratch.dir("graft-replay-stage").resolve("chunks")
+    base.withColumn("ck", bucket).repartition(col("ck"))
+      .write.partitionBy("ck").parquet(stage.toString)
+    stage
+  }
+
   /** Shared replay core: stage `df` into `chunks` files range-split on
-    * `orderCol` (one pass), feed them to a file-source streaming query
-    * built by `op` one rename per trigger, and return streamed output
-    * ∪ `flush`(checkpoint).
+    * `orderCol` (one pass, cached per `cacheKey` across calls in this
+    * JVM — the staging depends only on the table), feed them to a
+    * file-source streaming query built by `op` one hard-link per
+    * trigger, and return streamed output ∪ `flush`(checkpoint).
     *
     * The stream runs in an isolated session with few shuffle/state
     * partitions: each micro-batch carries 1/chunks of the input, so
@@ -52,7 +83,7 @@ object BoundedReplay {
     * index.) */
   private def replayCore(spark: SparkSession, df: SparkSession => DataFrame,
       orderCol: Column, chunks: Int, prefix: String, sinkPartitions: Int,
-      shufflePartitions: Int = 2)(
+      shufflePartitions: Int = 2, cacheKey: Option[String] = None)(
       op: DataFrame => Dataset[_])(
       flush: Option[String => Dataset[_]]): DataFrame = {
     val root = graft.Scratch.dir(prefix)
@@ -65,17 +96,17 @@ object BoundedReplay {
     // only the latest committed batch of checkpoint/state files
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
     val base = df(ss)
-    val b = base.agg(min(orderCol).as("lo"), max(orderCol).as("hi")).head()
-    val (lo, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
-    val bucket = least(lit(chunks - 1),
-      floor((orderCol - lit(lo)) * lit(chunks.toLong) / lit(span))).cast("int")
 
     // stage every chunk in ONE range-partitioned pass (per-chunk
-    // filter+write jobs would rescan the input `chunks` times), then
-    // feed the source dir one rename at a time
-    val stage = root.resolve("stage")
-    base.withColumn("ck", bucket).repartition(col("ck"))
-      .write.partitionBy("ck").parquet(stage.toString)
+    // filter+write jobs would rescan the input `chunks` times) —
+    // cached per (cacheKey, chunks) across calls, since the staging is
+    // a pure function of the table — then feed the source dir one
+    // hard-link per trigger (links leave the cached files in place)
+    val stage = cacheKey match {
+      case Some(k) => stageCache.computeIfAbsent(s"$k|$chunks",
+        _ => stageOnce(base, orderCol, chunks))
+      case None => stageOnce(base, orderCol, chunks)
+    }
 
     val streamed = op(ss.readStream.schema(base.schema).parquet(src))
     val sinkSchema = streamed.schema
@@ -98,7 +129,9 @@ object BoundedReplay {
             while (files.hasNext) {
               val f = files.next()
               if (f.getFileName.toString.endsWith(".parquet")) {
-                Files.move(f, java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet"))
+                val t = java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet")
+                try Files.createLink(t, f)
+                catch { case _: Exception => Files.copy(f, t) }
                 j += 1
               }
             }
@@ -125,7 +158,7 @@ object BoundedReplay {
       op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.events(ss, sfDir),
       unix_micros(col("ts")), chunks, "graft-replay", 1,
-      shufflePartitions)(op)(Some(flush))
+      shufflePartitions, cacheKey = Some(s"events|$sfDir"))(op)(Some(flush))
 
   /** [[replayEvents]] for the EMBEDDINGS table — the query-stream
     * replay the serving-shape keys run under (synthetic arrival stamp
@@ -137,7 +170,7 @@ object BoundedReplay {
     replayCore(spark, ss => Tables.embeddings(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L))),
       col("vec_id"), chunks, "graft-replay-emb", 1,
-      shufflePartitions)(op)(None)
+      shufflePartitions, cacheKey = Some(s"embeddings|$sfDir"))(op)(None)
 
   /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
     * replay the streaming dedup family runs under: documents are
@@ -154,5 +187,5 @@ object BoundedReplay {
     replayCore(spark, ss => Tables.documents(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L))),
       col("doc_id"), chunks, "graft-replay-docs", sinkPartitions,
-      shufflePartitions)(op)(None)
+      shufflePartitions, cacheKey = Some(s"documents|$sfDir"))(op)(None)
 }
