@@ -161,7 +161,8 @@ object SimilarityQueries {
     * filtered by `trainWhere`) while the final corpus assignment `af`
     * uses the FULL `n`. Shared by the serving oracle ([[oIvfDetSql]])
     * and the cell-blocked near-dup oracle ([[embCellSql]]). */
-  private def oIvfTrainCtes(trainWhere: String): String =
+  private def oIvfTrainCtes(trainWhere: String,
+      assignFrom: String = "n"): String =
     s"""nb AS (SELECT * FROM n WHERE $trainWhere),
        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nb ORDER BY vec_id LIMIT 16),
        |a1 AS (SELECT vec_id, v, nrm, cid FROM (
@@ -197,16 +198,17 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |      list_sum(list_transform(list_zip(n.v, c.cv), p -> p[1]*p[2]))
        |        / (n.nrm * c.cnrm) DESC, c.cid) AS rk
-       |  FROM n CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
+       |  FROM $assignFrom n CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
 
   /** det-IVF serving oracle: [[oIvfTrainCtes]] + probe routing +
     * exact rerank — `TRUE` is the classic train-on-everything form;
     * the append-maintenance key trains on the bulk epoch only, and
     * the delete-maintenance key serves the `serveWhere` survivors. */
   private def oIvfDetSql(trainWhere: String,
-      serveWhere: String = "TRUE"): String =
-    s"""WITH $oNormed,
-       |${oIvfTrainCtes(trainWhere)},
+      serveWhere: String = "TRUE", extraCte: String = "",
+      assignFrom: String = "n"): String =
+    s"""WITH $oNormed,$extraCte
+       |${oIvfTrainCtes(trainWhere, assignFrom)},
        |pr AS (SELECT qid, qv, qn, cid FROM (
        |  SELECT n.vec_id AS qid, n.v AS qv, n.nrm AS qn, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -317,6 +319,45 @@ object SimilarityQueries {
     val doomed = graft.streaming.BoundedReplay.replayEmbeddings(s, d)(embS =>
       embS.filter(col("vec_id") % 10 === 7).select(col("vec_id")))
     SimilarityOps.deleteFromIvfIndex(doomed, path)
+    SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** ANN INDEX MAINTENANCE, the UPDATE half, on the REAL streaming
+    * runtime — the epoch-versioned tombstone path end to end
+    * ([[SimilarityOps.deleteFromIvfIndex]] epoch N, then
+    * [[SimilarityOps.appendToIvfIndex]] epoch N+1): every
+    * `vec_id % 10 = 7` vector is UPDATED in place — its embedding
+    * NEGATED — by streaming the new vectors through the stateless
+    * assignment kernel (5 micro-batches, frozen centroids), recording
+    * one tombstone epoch for the old rows, and appending the re-
+    * assigned rows at a HIGHER epoch, which serves immediately with
+    * ZERO compaction (the r13 "tombstone masks re-appends" nuance,
+    * closed). The oracle rebuilds the full det training on the
+    * ORIGINAL corpus (centroids are frozen before the update arrives)
+    * but assigns and serves the UPDATED corpus — update ==
+    * rebuild-with-the-new-vectors, cross-engine certified. */
+  private val streamAnnUpdateReplay = Q(
+    "stream_ann_update_replay",
+    oIvfDetSql("TRUE",
+      extraCte = """
+        |nu AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 10 = 7 THEN list_transform(v, x -> -x)
+        |       ELSE v END AS v, nrm FROM n),""".stripMargin,
+      assignFrom = "nu")) { (s, d) =>
+    val path = graft.Scratch.dirString("graft-ivf-update")
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 16, iters = 2)
+    // the streamed UPDATE feed: new (negated) vectors routed to their
+    // cells by the frozen saved centroids, per micro-batch
+    val updated = graft.streaming.BoundedReplay.replayEmbeddings(s, d)(embS =>
+      SimilarityOps.ivfAssignSaved(
+        embS.filter(col("vec_id") % 10 === 7)
+          .withColumn("embedding",
+            transform(col("embedding"), x => -x)), path))
+    SimilarityOps.deleteFromIvfIndex(updated.select("vec_id"), path)
+    SimilarityOps.appendToIvfIndex(updated, path)
     SimilarityOps.knnIvfSaved(emb, path,
         isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
       .orderBy("qid", "rk")
@@ -794,7 +835,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(knnCosine, streamKnnLookupReplay, hybridRrf, embCos,
     embCosBlocked, embCosCelled, knnIvf, knnIvfDet,
     knnIvfSaved, streamKnnIvfServeReplay, streamAnnUpsertReplay,
-    streamAnnDeleteReplay,
+    streamAnnDeleteReplay, streamAnnUpdateReplay,
     knnPqDet, knnIvfPqDet,
     streamKnnIvfPqServeReplay, knnIvfProbeAll,
     knnPq, knnSq8, knnIvfPq, knnIvfSq8, knnIvfSq8Det, embedCentroid, embLsh, multimodalJoin,

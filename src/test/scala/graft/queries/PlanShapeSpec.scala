@@ -32,6 +32,7 @@ class PlanShapeSpec extends SparkSpec {
     "llm_knn_ivfsq8_det", "llm_knn_sq8", "llm_lm_heldout",
     "llm_lm_score", "llm_sample_temperature", "llm_tfidf_top",
     "profile_skew", "sql_tpch_q22", "stream_ann_delete_replay",
+    "stream_ann_update_replay",
     "stream_ann_upsert_replay", "stream_topk_window_portable")
 
   test("global plan census: zero cartesian products; BNLJ only in the audited small-broadcast allowlist") {
