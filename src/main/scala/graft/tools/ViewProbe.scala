@@ -16,10 +16,23 @@ object ViewProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // physical write mass: bytes the executors actually wrote — the
+    // honest "rewrite cost" metric (wall time at sf0.1 is dominated by
+    // fixture recompute + per-batch floor; hard links write nothing)
+    val bytesWritten = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesWritten.addAndGet(e.taskMetrics.outputMetrics.bytesWritten)
+      })
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
+      val b0 = bytesWritten.get()
       val r = f
-      println(f"[viewprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[viewprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        f"  (wrote ${(bytesWritten.get() - b0) / 1048576.0}%.1f MiB)")
       r
     }
     // warm the session on a trivial scan
@@ -62,6 +75,51 @@ object ViewProbe {
             minMaxCols = Seq("price_c"))
           .queryExecution.toRdd.count()
       }
+    }
+
+    // SKEWED-CHURN face: the bench fixture above rewrites 75% of the
+    // base (every bucket touched — bucketing can only add write
+    // fan-out there, which is why the bench keys stay flat). Here the
+    // changelog touches THREE part keys out of ~20k, the regime the
+    // bucketed layout exists for: compaction must reconcile+rewrite
+    // only the touched buckets and hard-link the rest, so the
+    // maintain total drops toward the harness floor while the flat
+    // form still pays a full O(base) snapshot rewrite per batch.
+    println("[viewprobe] === skewed churn: flat vs bucketed snapshots ===")
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").as("pk"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .withColumn("rid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey", "l_linenumber")
+          .orderBy("price_c", "qty_c", "pk")))
+    val oldSk = li.select("l_orderkey", "l_linenumber", "rid", "pk",
+      "qty_c", "price_c")
+    val newSk = oldSk.withColumn("qty_c",
+      when(col("pk") <= 3, col("qty_c") + 100L).otherwise(col("qty_c")))
+    val dSk = graft.operators.ViewOps.rowDeltas(oldSk, newSk,
+      keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+      valCols = Seq("pk", "qty_c", "price_c"))
+    println(s"[viewprobe]   skewed deltas rows: ${dSk.count()} " +
+      s"(base ${oldSk.count()})")
+    (1 to 2).foreach { rep =>
+      println(s"[viewprobe] --- skewed rep $rep ---")
+      def run(label: String, buckets: Option[Int], every: Int = 1): Unit =
+        t(label) {
+          graft.streaming.ViewMaintain.maintainViewStream(spark, oldSk,
+              dSk, orderCol = "l_orderkey", chunks = 3,
+              groupCols = Seq("pk"), sumCols = Seq("qty_c"),
+              minMaxCols = Seq("price_c"), compactEvery = every,
+              snapshotBuckets = buckets)
+            .queryExecution.toRdd.count()
+        }
+      run("flat            maintain", None)
+      run("bucketed(8)     maintain", Some(8))
+      run("bucketed(64)    maintain", Some(64))
+      run("flat  every=3   maintain", None, every = 3)
+      run("buck64 every=3  maintain", Some(64), every = 3)
     }
     spark.stop()
   }
