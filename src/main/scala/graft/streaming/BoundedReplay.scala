@@ -83,7 +83,8 @@ object BoundedReplay {
     * index.) */
   private def replayCore(spark: SparkSession, df: SparkSession => DataFrame,
       orderCol: Column, chunks: Int, prefix: String, sinkPartitions: Int,
-      shufflePartitions: Int = 2, cacheKey: Option[String] = None)(
+      shufflePartitions: Int = 2, cacheKey: Option[String] = None,
+      stateStore: String = "hdfs")(
       op: DataFrame => Dataset[_])(
       flush: Option[String => Dataset[_]]): DataFrame = {
     val root = graft.Scratch.dir(prefix)
@@ -95,6 +96,22 @@ object BoundedReplay {
     // bounded replay: no restart-from-old-batch scenario, so keep
     // only the latest committed batch of checkpoint/state files
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
+    // state-store provider: the default HDFS-backed map rewrites every
+    // partition's FULL state per checkpoint — fine for kilobyte state,
+    // quadratic-feeling under the index-building dedup ops whose state
+    // grows each batch. "rocksdb" switches to Spark's bundled RocksDB
+    // provider with changelog checkpointing (only the batch's changed
+    // entries hit the checkpoint) — the production choice for large
+    // streaming state, and the provider is pinned into the checkpoint
+    // exactly like the partition count, so it is decided here.
+    if (stateStore == "rocksdb") {
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    } else require(stateStore == "hdfs",
+      s"stateStore must be 'hdfs' or 'rocksdb', got '$stateStore'")
     val base = df(ss)
 
     // stage every chunk in ONE range-partitioned pass (per-chunk
@@ -154,23 +171,25 @@ object BoundedReplay {
     * @param flush drains the stopped query's surviving state from the
     *              checkpoint (a [[StateFlush]] method) */
   def replayEvents(spark: SparkSession, sfDir: String, chunks: Int = 5,
-      shufflePartitions: Int = 2)(
+      shufflePartitions: Int = 2, stateStore: String = "hdfs")(
       op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.events(ss, sfDir),
       unix_micros(col("ts")), chunks, "graft-replay", 1,
-      shufflePartitions, cacheKey = Some(s"events|$sfDir"))(op)(Some(flush))
+      shufflePartitions, cacheKey = Some(s"events|$sfDir"),
+      stateStore = stateStore)(op)(Some(flush))
 
   /** [[replayEvents]] for the EMBEDDINGS table — the query-stream
     * replay the serving-shape keys run under (synthetic arrival stamp
     * from vec_id, id-ordered chunks, REAL streaming query, no flush —
     * stateless lookups answer within their own micro-batch). */
   def replayEmbeddings(spark: SparkSession, sfDir: String, chunks: Int = 5,
-      shufflePartitions: Int = 2)(
+      shufflePartitions: Int = 2, stateStore: String = "hdfs")(
       op: DataFrame => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.embeddings(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("vec_id") * lit(1000000L))),
       col("vec_id"), chunks, "graft-replay-emb", 1,
-      shufflePartitions, cacheKey = Some(s"embeddings|$sfDir"))(op)(None)
+      shufflePartitions, cacheKey = Some(s"embeddings|$sfDir"),
+      stateStore = stateStore)(op)(None)
 
   /** [[replayEvents]] for the DOCUMENTS table — the corpus-ingest
     * replay the streaming dedup family runs under: documents are
@@ -182,10 +201,12 @@ object BoundedReplay {
     * emit a pair the moment its second document arrives, so a
     * complete replay leaves no closable state behind. */
   def replayDocuments(spark: SparkSession, sfDir: String, chunks: Int = 5,
-      sinkPartitions: Int = 1, shufflePartitions: Int = 2)(
+      sinkPartitions: Int = 1, shufflePartitions: Int = 2,
+      stateStore: String = "hdfs")(
       op: DataFrame => Dataset[_]): DataFrame =
     replayCore(spark, ss => Tables.documents(ss, sfDir).withColumn("ts",
         timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L))),
       col("doc_id"), chunks, "graft-replay-docs", sinkPartitions,
-      shufflePartitions, cacheKey = Some(s"documents|$sfDir"))(op)(None)
+      shufflePartitions, cacheKey = Some(s"documents|$sfDir"),
+      stateStore = stateStore)(op)(None)
 }
