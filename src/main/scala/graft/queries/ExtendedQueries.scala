@@ -535,6 +535,55 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exponentially-weighted moving average per key (pandas
+    * `ewm(alpha=0.5, adjust=True).mean()` semantics): each event's
+    * smoothed level weights history by `(1-α)^(age in rows)` with
+    * α = 1/2, computed as a RATIO OF TWO RUNNING SUMS over the scaled
+    * series — `Σ x_j·2^j / Σ 2^j` with j the per-key row index — so
+    * one window partitioning serves row-numbering and both cumsums
+    * (one shuffle), and every weight `2^j` is an EXACT power-of-two
+    * double both engines represent identically (a `pow(0.75, n)`-style
+    * libm call would be the cross-engine wobble). Guard: `2^j`
+    * overflows past j ≈ 1020, so a run longer than 900 rows per key
+    * fails loudly naming the fix (chunk the series or rescale by the
+    * frame minimum) instead of returning Inf/NaN quietly.
+    *
+    * @note scale: one hash shuffle on the key; the three window
+    *   functions share the exchange and evaluate in one pass. The
+    *   smoothing itself is the streaming-anomaly baseline every
+    *   monitoring pipeline keeps per entity. */
+  private val windowEwma = Q(
+    "window_ewma",
+    """WITH v AS (SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) - 1 AS j
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  round(sum(value * power(2.0, j)) OVER win
+      |        / sum(power(2.0, j)) OVER win, 6) AS ewma
+      |FROM v
+      |WINDOW win AS (PARTITION BY user_id ORDER BY j
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val win = Window.partitionBy("user_id").orderBy(col("j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("j", row_number().over(byTime) - 1)
+      .withColumn("j", when(col("j") >= 900, raise_error(concat(
+          lit("window_ewma: run length "), col("j").cast("string"),
+          lit(" >= 900 per key overflows the 2^j weight scale — chunk "),
+          lit("the series or rescale by the frame minimum"))).cast("int"))
+        .otherwise(col("j")))
+      .withColumn("ewma", round(
+        sum(col("value") * pow(lit(2.0), col("j"))).over(win) /
+          sum(pow(lit(2.0), col("j"))).over(win), 6))
+      .select("user_id", "event_id", "ewma")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Mode (most frequent value) with an EXPLICIT tiebreak — built-in
     * `mode()` leaves ties unspecified in both engines, so the key
     * states the deterministic form every production dedup-to-one query
@@ -2031,7 +2080,7 @@ object ExtendedQueries {
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
+    windowZscore, windowEwma, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggTopkPortable, aggThetaRetention,

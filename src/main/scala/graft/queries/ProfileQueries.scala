@@ -268,6 +268,40 @@ object ProfileQueries {
       .orderBy("doc_id")
   }
 
+  /** POPULATION STABILITY INDEX between two epochs of the event
+    * stream ([[graft.operators.ProfileOps.psi]]) — the drift gate a
+    * training pipeline runs before trusting a new data batch: fixed
+    * 50-unit bins of `value` (last open-ended), reference = even
+    * event_ids, current = odd (a deterministic epoch split), PSI per
+    * event_type with the standard 1e-6 probability floor for
+    * one-side-empty bins. The oracle restates the one-pass
+    * conditional-count + total-join + ln fold directly. */
+  private val profilePsi = Q(
+    "profile_psi",
+    """WITH b AS (SELECT event_type,
+      |    CAST(least(floor(value / 50), 9) AS INT) AS bin,
+      |    CAST(event_id % 2 AS INT) AS side FROM events),
+      |c AS (SELECT event_type, bin,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN side != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+      |  FROM c GROUP BY 1),
+      |j AS (SELECT c.event_type, t_ref, t_cur,
+      |    greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6) AS pr,
+      |    greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6) AS pc
+      |  FROM c JOIN t USING (event_type))
+      |SELECT event_type, CAST(max(t_ref) AS BIGINT) AS n_ref,
+      |  CAST(max(t_cur) AS BIGINT) AS n_cur,
+      |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.ProfileOps.psi(Tables.events(s, d),
+        valueCol = col("value"), sideCol = col("event_id") % 2,
+        groupCols = Seq("event_type"), width = 50.0, maxBin = 9)
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(histogram, profile, quantileBins, constraints,
-    jsonKeys, corruptTolerant, moments, skew, winsorize, madOutliers)
+    jsonKeys, corruptTolerant, moments, skew, winsorize, madOutliers,
+    profilePsi)
 }
