@@ -814,6 +814,127 @@ object DedupOps {
       .select(col("ai"), col("bi"), col("dist"))
   }
 
+  /** One row per document with its DISTINCT hashed shingle SET —
+    * `(doc_id, xs: array<long> sorted, n_sh)` — the per-row twin of
+    * [[hashedShingles]] (same normalize → word split → n-gram →
+    * poly-hash pipeline, folded to an array instead of exploded to
+    * rows). The per-row shape is what makes the saved-index serve
+    * kernel STATELESS: signature, banding and exact verification are
+    * all row-local expressions, so the same code answers a Structured
+    * Streaming document feed inside its own micro-batch. Documents
+    * shorter than `n` words have no shingle set and are absent, as in
+    * [[shingles]]. */
+  def shingleSets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    normalized(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), array_sort(array_distinct(transform(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"),
+        sh => Hashes.polyHash(sh)))).as("xs"))
+      .withColumn("n_sh", size(col("xs")).cast("long"))
+
+  /** Per-row 64-permutation MinHash signature + 16×4-row banding over
+    * a [[shingleSets]] frame — `(doc_id, band, bsig)`, arithmetic
+    * BIT-IDENTICAL to [[graft.functions.SketchAggregators.MinHashSig]]
+    * (`x = h mod M`, `(2i+1)·x + (1000003·i + 12345) mod M`, min per
+    * permutation), pinned by `DedupIndexSpec`. Row-local (no groupBy,
+    * no UDAF state), so it runs unchanged on a streaming frame. */
+  private[graft] def rowBands(sets: DataFrame): DataFrame = {
+    val M = 2147483647L
+    sets
+      .withColumn("sig", transform(sequence(lit(0), lit(63)), i =>
+        array_min(transform(col("xs"), h =>
+          ((lit(2L) * i + lit(1L)) * (h % lit(M)) +
+            (lit(1000003L) * i + lit(12345L))) % lit(M)))))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      .withColumn("bsig", expr(
+        "concat_ws(',', transform(slice(sig, band*4 + 1, 4), v -> CAST(v AS STRING)))"))
+      .select("doc_id", "band", "bsig")
+  }
+
+  /** PERSIST a corpus epoch's near-dup index — the cross-epoch dedup
+    * shape every growing training corpus needs ("dedup the NEW crawl
+    * against everything we already have" WITHOUT rescanning the old
+    * corpus): two plain-parquet tables under `path`,
+    * `bands/ (doc_id, band, bsig)` — the MinHash-LSH bucket table new
+    * documents probe — and `sets/ (doc_id, xs, n_sh)` — the hashed
+    * shingle sets that exact-verify candidates. No document text is
+    * stored; any engine can read both.
+    *
+    * @note scale: the index is O(corpus shingle mass); at lake scale
+    *   bucket `bands/` by `(band, hash(bsig))` so the serve join
+    *   co-locates, and `sets/` by `hash(doc_id)` — plain layouts here,
+    *   the joins shuffle-partition either way. */
+  def saveDedupIndex(df: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): Unit = {
+    val sets = shingleSets(df, idCol, textCol, n).persist()
+    rowBands(sets).write.mode("overwrite").parquet(s"$path/bands")
+    sets.write.mode("overwrite").parquet(s"$path/sets")
+    sets.unpersist()
+    ()
+  }
+
+  /** Append a new (already-admitted) document batch to a
+    * [[saveDedupIndex]] index — the ingest half of the cross-epoch
+    * loop: after [[dedupAgainstIndex]] filtered a batch, its keepers
+    * join the index so the NEXT batch dedups against them too. Plain
+    * parquet append into both tables. */
+  def appendToDedupIndex(df: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): Unit = {
+    val sets = shingleSets(df, idCol, textCol, n).persist()
+    rowBands(sets).write.mode("append").parquet(s"$path/bands")
+    sets.write.mode("append").parquet(s"$path/sets")
+    sets.unpersist()
+    ()
+  }
+
+  /** Serve NEAR-DUP LOOKUPS against a [[saveDedupIndex]] epoch: every
+    * `(new_id, old_id, jac ≥ minJaccard)` pair linking the incoming
+    * batch to the SAVED corpus — candidates from the band-bucket
+    * equi-join (new docs' row-local signatures probe the stored bucket
+    * table; the only pairs formed share an LSH band, never all-pairs),
+    * verified with EXACT Jaccard between the row-local shingle set and
+    * the saved one. Emits one row per COLLIDING BAND — callers
+    * `.distinct()` after (kept outside so the kernel stays stateless:
+    * the same code answers a streaming document feed per micro-batch,
+    * where an in-kernel distinct would be unbounded state).
+    *
+    * New-vs-new pairs inside the incoming batch are out of scope by
+    * design (run the batch operators for that); ids must not collide
+    * across epochs.
+    *
+    * @note scale: one shuffle of 16 band rows per new doc against the
+    *   bucket table, then a candidate-sized join against `sets/` —
+    *   cost tracks true near-dup mass. Recall is LSH's
+    *   `1−(1−J⁴)¹⁶` per pair, the same contract as
+    *   [[minhashNearDups]]; verification keeps precision exact. */
+  def dedupAgainstIndex(newDocs: DataFrame, path: String,
+      minJaccard: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val nd = shingleSets(newDocs, idCol, textCol, n)
+    val probe = rowBands(nd)
+      .join(nd.select(col("doc_id"), col("xs").as("new_xs"),
+        col("n_sh").as("new_n")), "doc_id")
+    val savedBands = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id").as("old_id"), col("band"), col("bsig"))
+    val savedSets = spark.read.parquet(s"$path/sets")
+      .select(col("doc_id").as("old_id"), col("xs").as("old_xs"),
+        col("n_sh").as("old_n"))
+    probe.join(savedBands, Seq("band", "bsig"))
+      .join(savedSets, "old_id")
+      .withColumn("c",
+        size(array_intersect(col("new_xs"), col("old_xs"))).cast("double"))
+      .select(col("doc_id").as("new_id"), col("old_id"),
+        round(col("c") / (col("new_n") + col("old_n") - col("c")), 6)
+          .as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   def editSimilarityJoin(df: DataFrame, maxDist: Int,
       idCol: String = "doc_id", strCol: String = "text",
       dfCap: Int = 1000): DataFrame = {

@@ -125,6 +125,73 @@ object DedupQueries {
       .orderBy("ai", "bi")
   }
 
+  /** CROSS-EPOCH near-dup lookup against a SAVED index
+    * ([[DedupOps.saveDedupIndex]] / [[DedupOps.dedupAgainstIndex]]) —
+    * the growing-corpus production shape: the even-id half of the
+    * corpus persists as a two-table plain-parquet index (MinHash band
+    * buckets + hashed shingle sets, no text), and the odd-id half
+    * dedups against it WITHOUT rescanning the old documents — banded
+    * candidates, exact-Jaccard verify, stateless row-local serve
+    * kernel. Oracle: the capped-exact cross-epoch pair set (the
+    * [[dedupFuzzy]] oracle restricted to odd→even pairs), certifying
+    * LSH recall + the persisted round-trip end to end. */
+  private val dedupXepoch = Q(
+    "llm_dedup_xepoch",
+    s"""WITH $oShingles,
+       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= 1000),
+       |cands AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |          FROM sh a JOIN cold USING (sh) JOIN sh b ON a.sh = b.sh
+       |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.new_id, c.old_id, count(*) AS c
+       |          FROM cands c JOIN sh a ON a.doc_id = c.new_id
+       |          JOIN sh b ON b.doc_id = c.old_id AND b.sh = a.sh GROUP BY 1, 2),
+       |j AS (SELECT new_id, old_id, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+       |      FROM inter JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = old_id)
+       |SELECT new_id, old_id, jac FROM j WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val path = graft.Scratch.dirString("graft-dedup-index")
+    DedupOps.saveDedupIndex(docs.filter(col("doc_id") % 2 === 0), path)
+    DedupOps.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        path, minJaccard = 0.8)
+      .distinct()
+      .orderBy("new_id", "old_id")
+  }
+
+  /** The SAME cross-epoch lookup on the REAL streaming runtime: the
+    * saved index stands, and the new epoch arrives as a 5-micro-batch
+    * document stream — [[DedupOps.dedupAgainstIndex]] is row-local
+    * (per-row signature + banding) plus stream-static equi-joins
+    * against the two index tables, so each document is answered
+    * within its own micro-batch with ZERO streaming state; the
+    * replayed union (one row per colliding band) distinct-folds to
+    * the batch answer under the same oracle. The ingest firewall for
+    * near-duplicates, as [[graft.streaming.TextOps]]'
+    * decontamination firewall is for eval overlap. */
+  private val streamDedupXepochReplay = Q(
+    "stream_dedup_xepoch_replay",
+    s"""WITH $oShingles,
+       |cold AS (SELECT sh FROM (SELECT sh, count(*) AS dfc FROM sh GROUP BY 1) WHERE dfc <= 1000),
+       |cands AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |          FROM sh a JOIN cold USING (sh) JOIN sh b ON a.sh = b.sh
+       |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.new_id, c.old_id, count(*) AS c
+       |          FROM cands c JOIN sh a ON a.doc_id = c.new_id
+       |          JOIN sh b ON b.doc_id = c.old_id AND b.sh = a.sh GROUP BY 1, 2),
+       |j AS (SELECT new_id, old_id, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jac
+       |      FROM inter JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = old_id)
+       |SELECT new_id, old_id, jac FROM j WHERE jac >= 0.8 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val path = graft.Scratch.dirString("graft-dedup-index-stream")
+    DedupOps.saveDedupIndex(docs.filter(col("doc_id") % 2 === 0), path)
+    graft.streaming.BoundedReplay.replayDocuments(s, d)(stream =>
+      DedupOps.dedupAgainstIndex(stream.filter(col("doc_id") % 2 === 1),
+        path, minJaccard = 0.8))
+      .distinct()
+      .orderBy("new_id", "old_id")
+  }
+
   /** Near-dup clustering: connected components over the Jaccard ≥ 0.5
     * pair graph, every document labeled with the min id reachable from
     * it. Oracle computes the same components via a recursive-CTE
@@ -709,7 +776,8 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupNgramComplete,
     dedupSimhash, dedupSimhashBanded,
-    dedupFuzzy, pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
+    dedupFuzzy, dedupXepoch, streamDedupXepochReplay,
+    pipelineClean, dedupCluster, dedupKeepBest, dupSpans, dedupUrl,
     editJoin, editJoinExact, editJoinLong, topkSimilar, topkRelated, containment,
     streamDedupCompleteReplay, streamContainmentCompleteReplay,
     streamDedupCappedReplay, pipelineFull, streamPipelineFullReplay)
