@@ -356,16 +356,23 @@ object ViewMaintain {
     *   per-batch snapshot rewrites exactly as in
     *   [[maintainCustomViewStream]]: between compactions the
     *   pre-batch live sides are reconstructed lazily from snapshot +
-    *   bounded pending slices. */
+    *   bounded pending slices. `snapshotBuckets` carries the
+    *   single-table loop's bucketed layout to BOTH side snapshots
+    *   (bucket = hash of the side's full payload): compaction
+    *   reconciles only pending-touched buckets and hard-links the
+    *   rest — O(touched) rewrite per side under skewed churn, same
+    *   hashes (`ViewOpsSpec`). */
   def maintainJoinViewStream(spark: SparkSession,
       oldA: DataFrame, deltaA: DataFrame,
       oldB: DataFrame, deltaB: DataFrame,
       orderCol: String, chunks: Int, joinKeys: Seq[String],
       aVals: Seq[String], bVals: Seq[String],
       viewGroupCols: Seq[String], viewSumCols: Seq[String],
-      compactEvery: Int = 1, shufflePartitions: Int = 8): DataFrame = {
+      compactEvery: Int = 1, shufflePartitions: Int = 8,
+      snapshotBuckets: Option[Int] = None): DataFrame = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(shufflePartitions >= 1, "shufflePartitions must be >= 1")
+    require(snapshotBuckets.forall(_ >= 1), "snapshotBuckets must be >= 1")
     val aCols = oldA.columns.toSeq
     val bCols = oldB.columns.toSeq
     require(deltaA.columns.toSet == aCols.toSet + "w" &&
@@ -410,10 +417,31 @@ object ViewMaintain {
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
 
-    oldA.write.parquet(snapADir.resolve("s0").toString)
-    oldB.write.parquet(snapBDir.resolve("s0").toString)
-    buildJoinView(ss.read.parquet(snapADir.resolve("s0").toString),
-        ss.read.parquet(snapBDir.resolve("s0").toString))
+    // per-side bucketing (the single-table loop's snapshotBuckets,
+    // keyed on the side's FULL payload — a slice row can only affect
+    // the bucket its own payload hashes to, so compaction reconciles
+    // ONLY the pending-touched buckets and hard-links the rest)
+    def gbOfSide(d: DataFrame, cols: Seq[String]): Column =
+      snapshotBuckets.fold(lit(0))(nb =>
+        pmod(hash(cols.map(d(_)): _*), lit(nb)))
+    def sideSchema(old: DataFrame) = StructType(old.schema.fields :+
+      org.apache.spark.sql.types.StructField("gb",
+        org.apache.spark.sql.types.IntegerType))
+    val (schemaA, schemaB) = (sideSchema(oldA), sideSchema(oldB))
+    def readSide(sb: SparkSession, dir: Path,
+        schema: StructType): DataFrame =
+      if (snapshotBuckets.isDefined) sb.read.schema(schema).parquet(dir.toString)
+      else sb.read.parquet(dir.toString)
+
+    writeSnap(oldA, gbOfSide(oldA, aCols), snapshotBuckets,
+      snapADir.resolve("s0"))
+    writeSnap(oldB, gbOfSide(oldB, bCols), snapshotBuckets,
+      snapBDir.resolve("s0"))
+    buildJoinView(
+        readSide(ss, snapADir.resolve("s0"), schemaA)
+          .select(aCols.map(col): _*),
+        readSide(ss, snapBDir.resolve("s0"), schemaB)
+          .select(bCols.map(col): _*))
       .write.parquet(viewDir.resolve("v0").toString)
 
     replayChunks(ss, root, envelope, orderCol, chunks) {
@@ -437,14 +465,15 @@ object ViewMaintain {
           logDir.resolve(s"b$b").toString).filter(p =>
           Files.isDirectory(java.nio.file.Paths.get(p)))
         def liveSide(snapSideDir: Path, side: String,
-            cols: Seq[String]): DataFrame = {
-          val snap = sb.read.parquet(snapSideDir.resolve(s"s$snapV").toString)
+            cols: Seq[String], schema: StructType): DataFrame = {
+          val snap = readSide(sb, snapSideDir.resolve(s"s$snapV"), schema)
+            .select(cols.map(col): _*)
           if (pendingPrev.isEmpty) snap
           else applyDelta(snap,
             sideOf(sb.read.parquet(pendingPrev: _*), side, cols), cols)
         }
-        val prevA = liveSide(snapADir, "A", aCols)
-        val prevB = liveSide(snapBDir, "B", bCols)
+        val prevA = liveSide(snapADir, "A", aCols, schemaA)
+        val prevB = liveSide(snapBDir, "B", bCols, schemaB)
         val dJ = ViewOps.joinViewDeltas(prevA, dA, prevB, dB,
           joinKeys, aVals, bVals)
         val prevV =
@@ -453,12 +482,40 @@ object ViewMaintain {
           .write.mode("overwrite")
           .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
         // 3) compact both snapshots on cadence, then truncate the
-        //    absorbed slices + superseded snapshots
+        //    absorbed slices + superseded snapshots. Bucketed layout:
+        //    fold the WHOLE pending range (strictly-before slices +
+        //    this batch) into only its touched buckets and hard-link
+        //    the rest from the last file-backed snapshot — rewrite
+        //    mass ∝ touched churn per side, as in the single-table
+        //    loop.
         if (batchId + 1 - snapV >= compactEvery) {
-          applyDelta(prevA, dA, aCols).write.mode("overwrite")
-            .parquet(snapADir.resolve(s"s${batchId + 1}").toString)
-          applyDelta(prevB, dB, bCols).write.mode("overwrite")
-            .parquet(snapBDir.resolve(s"s${batchId + 1}").toString)
+          def compactSide(snapSideDir: Path, side: String,
+              cols: Seq[String], schema: StructType,
+              prevLive: DataFrame, dSide: DataFrame): Unit = {
+            val newDir = snapSideDir.resolve(s"s${batchId + 1}")
+            snapshotBuckets match {
+              case Some(_) =>
+                val pendingAll = (snapV to batchId).map(b =>
+                  logDir.resolve(s"b$b").toString).filter(pp =>
+                  Files.isDirectory(java.nio.file.Paths.get(pp)))
+                val dAll = sideOf(sb.read.parquet(pendingAll: _*), side, cols)
+                val touched = dAll.select(gbOfSide(dAll, cols).as("gb"))
+                  .distinct().collect().map(_.getInt(0)).toSet
+                val prevDir = snapSideDir.resolve(s"s$snapV")
+                val snapTouched = readSide(sb, prevDir, schema)
+                  .filter(col("gb").isin(touched.toSeq: _*))
+                  .select(cols.map(col): _*)
+                val reconciled = applyDelta(snapTouched, dAll, cols)
+                writeSnap(reconciled, gbOfSide(reconciled, cols),
+                  snapshotBuckets, newDir)
+                linkUntouchedBuckets(prevDir, newDir, touched)
+              case None =>
+                applyDelta(prevLive, dSide, cols).write.mode("overwrite")
+                  .parquet(newDir.toString)
+            }
+          }
+          compactSide(snapADir, "A", aCols, schemaA, prevA, dA)
+          compactSide(snapBDir, "B", bCols, schemaB, prevB, dB)
           (snapV to batchId).foreach(b => rm(logDir.resolve(s"b$b")))
           rm(snapADir.resolve(s"s$snapV"))
           rm(snapBDir.resolve(s"s$snapV"))

@@ -328,6 +328,27 @@ class ViewOpsSpec extends SparkSpec {
     assert(run(Some(4), 2) == flat, "bucketed + deferred cadence drifted")
   }
 
+  test("join maintainer: bucketed side snapshots are invisible to the view") {
+    val oldA = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "g")
+    val newA = Seq((1L, "x"), (2L, "x"), (4L, "y")).toDF("k", "g")
+    val oldB = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L),
+      (3L, 1L, 40L)).toDF("k", "i", "v")
+    val newB = Seq((1L, 1L, 11L), (2L, 1L, 30L), (2L, 2L, 50L),
+      (4L, 1L, 60L)).toDF("k", "i", "v")
+    val dA = ViewOps.rowDeltas(oldA, newA, Seq("k"), Seq("g"))
+    val dB = ViewOps.rowDeltas(oldB, newB, Seq("k", "i"), Seq("v"))
+    def run(buckets: Option[Int], every: Int) =
+      graft.streaming.ViewMaintain.maintainJoinViewStream(
+        spark, oldA, dA, oldB, dB, orderCol = "k", chunks = 3,
+        joinKeys = Seq("k"), aVals = Seq("g"), bVals = Seq("v"),
+        viewGroupCols = Seq("g"), viewSumCols = Seq("v"),
+        compactEvery = every, snapshotBuckets = buckets)
+      .collect().map(_.toSeq).toSet
+    val flat = run(None, 1)
+    assert(run(Some(4), 1) == flat, "bucketed join-view drifted")
+    assert(run(Some(4), 2) == flat, "bucketed + deferred cadence drifted")
+  }
+
   test("bucketed compaction under skewed churn: untouched buckets carried exactly") {
     // 20 groups, churn confined to ONE — most bucket dirs must be
     // carried across by the hard-link path, and the carried rows must
