@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig64"),
+      new ExpressionInfo(classOf[MinHashSig64].getName, "minhash_sig64"),
+      (children: Seq[Expression]) => MinHashSig64(children.head)))
     // hilbert_index(x, y[, order]) — order must be a foldable int literal
     ext.injectFunction((
       FunctionIdentifier("hilbert_index"),

@@ -839,14 +839,14 @@ object DedupOps {
     * BIT-IDENTICAL to [[graft.functions.SketchAggregators.MinHashSig]]
     * (`x = h mod M`, `(2i+1)·x + (1000003·i + 12345) mod M`, min per
     * permutation), pinned by `DedupIndexSpec`. Row-local (no groupBy,
-    * no UDAF state), so it runs unchanged on a streaming frame. */
+    * no UDAF state), so it runs unchanged on a streaming frame; the
+    * signature is the native [[graft.functions.MinHashSig64]]
+    * expression — the first cut's nested HOF lambdas cost 64·|xs|
+    * interpreted invocations per document (measured 15–23 s per
+    * cross-epoch bench key at sf0.1; the native kernel removed it). */
   private[graft] def rowBands(sets: DataFrame): DataFrame = {
-    val M = 2147483647L
     sets
-      .withColumn("sig", transform(sequence(lit(0), lit(63)), i =>
-        array_min(transform(col("xs"), h =>
-          ((lit(2L) * i + lit(1L)) * (h % lit(M)) +
-            (lit(1000003L) * i + lit(12345L))) % lit(M)))))
+      .withColumn("sig", call_function("minhash_sig64", col("xs")))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
       .withColumn("bsig", expr(
@@ -898,10 +898,10 @@ object DedupOps {
     * equi-join (new docs' row-local signatures probe the stored bucket
     * table; the only pairs formed share an LSH band, never all-pairs),
     * verified with EXACT Jaccard between the row-local shingle set and
-    * the saved one. Emits one row per COLLIDING BAND — callers
-    * `.distinct()` after (kept outside so the kernel stays stateless:
-    * the same code answers a streaming document feed per micro-batch,
-    * where an in-kernel distinct would be unbounded state).
+    * the saved one, ONCE per candidate pair (the pre-verify
+    * dropDuplicates is the kernel's single stateful stage on a stream
+    * — state = candidate-pair keys, bounded by near-dup mass; callers
+    * still `.distinct()` the final output across micro-batches).
     *
     * New-vs-new pairs inside the incoming batch are out of scope by
     * design (run the batch operators for that); ids must not collide
@@ -926,6 +926,13 @@ object DedupOps {
       .select(col("doc_id").as("old_id"), col("xs").as("old_xs"),
         col("n_sh").as("old_n"))
     probe.join(savedBands, Seq("band", "bsig"))
+      // one verify per PAIR, not per colliding band: a true near-dup
+      // collides on many of its 16 bands, and each redundant row would
+      // re-pay the exact-intersect (on a stream this dedup is the one
+      // stateful stage — state is the candidate-pair keys, bounded by
+      // near-dup mass, and all rows of a pair carry the same payload
+      // so keep-any is deterministic downstream)
+      .dropDuplicates("doc_id", "old_id")
       .join(savedSets, "old_id")
       .withColumn("c",
         size(array_intersect(col("new_xs"), col("old_xs"))).cast("double"))
