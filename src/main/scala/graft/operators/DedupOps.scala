@@ -871,8 +871,10 @@ object DedupOps {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
     val sets = shingleSets(df, idCol, textCol, n).persist()
-    rowBands(sets).write.mode("overwrite").parquet(s"$path/bands")
-    sets.write.mode("overwrite").parquet(s"$path/sets")
+    rowBands(sets).withColumn("epoch", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sets.withColumn("epoch", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/sets")
     sets.unpersist()
     ()
   }
@@ -885,12 +887,80 @@ object DedupOps {
   def appendToDedupIndex(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
+    val e = EpochLog.next(path)
     val sets = shingleSets(df, idCol, textCol, n).persist()
-    rowBands(sets).write.mode("append").parquet(s"$path/bands")
-    sets.write.mode("append").parquet(s"$path/sets")
+    rowBands(sets).withColumn("epoch", lit(e))
+      .write.mode("append").parquet(s"$path/bands")
+    sets.withColumn("epoch", lit(e))
+      .write.mode("append").parquet(s"$path/sets")
     sets.unpersist()
     ()
   }
+
+  /** DELETE a document set from a [[saveDedupIndex]] index — the
+    * takedown/right-to-forget path every persisted corpus index needs:
+    * `(doc_id, epoch)` tombstones land as plain parquet under
+    * `path/tombstones/` with ZERO index rewrite (the LSM shape shared
+    * with the ANN index), and [[dedupAgainstIndex]] masks exactly the
+    * rows that existed when the delete was issued — a later
+    * [[appendToDedupIndex]] re-crawl of the same id claims a higher
+    * epoch and serves immediately, no compaction needed.
+    * [[compactDedupIndex]] folds tombstones in offline. */
+  def deleteFromDedupIndex(ids: DataFrame, path: String,
+      idCol: String = "doc_id"): Unit = {
+    ids.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("epoch", lit(EpochLog.next(path)))
+      .write.mode("append").parquet(s"$path/tombstones")
+    ()
+  }
+
+  /** The index's live tombstone set `(doc_id, epoch)` — one row per id
+    * at its LATEST delete epoch — if any deletes were recorded. */
+  private def dedupTombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(path, "tombstones")
+    if (java.nio.file.Files.isDirectory(dir))
+      Some(spark.read.parquet(dir.toString)
+        .groupBy(col("doc_id").cast("long").as("doc_id"))
+        .agg(max(col("epoch")).as("t_epoch")))
+    else None
+  }
+
+  /** Mask an index table's tombstoned rows: a row survives unless a
+    * tombstone of its id was issued AT OR AFTER the row's write epoch. */
+  private def minusDedupTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      tbl: DataFrame): DataFrame =
+    dedupTombstonesOf(spark, path).fold(tbl) { t =>
+      tbl.join(t, tbl("doc_id") === t("doc_id") &&
+        t("t_epoch") >= tbl("epoch"), "left_anti")
+    }
+
+  /** Fold tombstones into the index: rewrite `bands/` and `sets/`
+    * without the masked rows (epoch-aware — re-crawls newer than
+    * their id's tombstone survive) and drop `tombstones/` —
+    * serve-before == serve-after, spec-pinned (`DedupIndexSpec`). */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    dedupTombstonesOf(spark, path).foreach { _ =>
+      Seq("bands", "sets").foreach { tbl =>
+        val survivors =
+          minusDedupTombstones(spark, path, spark.read.parquet(s"$path/$tbl"))
+        val tmp = java.nio.file.Paths.get(s"$path/${tbl}_compact")
+        survivors.write.mode("overwrite").parquet(tmp.toString)
+        rmTree(java.nio.file.Paths.get(s"$path/$tbl"))
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/$tbl"))
+      }
+      rmTree(java.nio.file.Paths.get(s"$path/tombstones"))
+    }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   /** Serve NEAR-DUP LOOKUPS against a [[saveDedupIndex]] epoch: every
     * `(new_id, old_id, jac ≥ minJaccard)` pair linking the incoming
@@ -920,9 +990,11 @@ object DedupOps {
     val probe = rowBands(nd)
       .join(nd.select(col("doc_id"), col("xs").as("new_xs"),
         col("n_sh").as("new_n")), "doc_id")
-    val savedBands = spark.read.parquet(s"$path/bands")
+    val savedBands = minusDedupTombstones(spark, path,
+        spark.read.parquet(s"$path/bands"))
       .select(col("doc_id").as("old_id"), col("band"), col("bsig"))
-    val savedSets = spark.read.parquet(s"$path/sets")
+    val savedSets = minusDedupTombstones(spark, path,
+        spark.read.parquet(s"$path/sets"))
       .select(col("doc_id").as("old_id"), col("xs").as("old_xs"),
         col("n_sh").as("old_n"))
     probe.join(savedBands, Seq("band", "bsig"))

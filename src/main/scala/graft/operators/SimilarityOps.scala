@@ -544,22 +544,7 @@ object SimilarityOps {
     * tombstone mask exactly the rows that existed when it was issued.
     * A production lake would use its transaction log's commit id here
     * — same monotonicity contract. */
-  private def nextEpoch(path: String): Long = {
-    val dir = java.nio.file.Paths.get(path, "epochs")
-    java.nio.file.Files.createDirectories(dir)
-    val ls = java.nio.file.Files.list(dir)
-    val m = try {
-      var mx = 0L
-      val it = ls.iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("e")) mx = math.max(mx, n.drop(1).toLong)
-      }
-      mx
-    } finally ls.close()
-    java.nio.file.Files.createFile(dir.resolve(s"e${m + 1}"))
-    m + 1
-  }
+  private def nextEpoch(path: String): Long = EpochLog.next(path)
 
   /** Append [[ivfAssignSaved]] rows to the index's `assigned/` table —
     * the commit half of ANN index maintenance. Plain parquet append

@@ -74,4 +74,37 @@ class DedupIndexSpec extends SparkSpec {
     assert(served == want, "append-maintained index != rebuilt index")
     assert(want.nonEmpty, "fixture must contain cross-epoch pairs at 0.5")
   }
+
+  test("delete path: tombstones mask, re-crawl serves without compaction, compaction preserves") {
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx-del").toString
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val nw = docs.filter(col("doc_id") % 2 === 1)
+    DedupOps.saveDedupIndex(old, path)
+    def serve() = DedupOps.dedupAgainstIndex(nw, path, minJaccard = 0.5)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = serve()
+    assert(before.nonEmpty, "fixture must contain cross-epoch pairs")
+    // take down every indexed doc that currently serves as a match
+    val doomedIds = before.map(_._2).toSeq
+    val sp = spark
+    import sp.implicits._
+    DedupOps.deleteFromDedupIndex(doomedIds.toDF("doc_id"), path)
+    assert(serve().isEmpty, "tombstoned docs must stop serving")
+    // re-crawl ONE of them: it must serve again with ZERO compaction
+    // (its re-append epoch outranks the tombstone)
+    val back = doomedIds.head
+    DedupOps.appendToDedupIndex(docs.filter(col("doc_id") === back), path)
+    val after = serve()
+    assert(after == before.filter(_._2 == back),
+      s"re-crawled doc must serve immediately: $after")
+    // compaction folds the masked rows out and PRESERVES the re-crawl
+    DedupOps.compactDedupIndex(spark, path)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "tombstones")))
+    assert(serve() == after, "compaction changed the served pairs")
+    // a SECOND delete outranks the re-crawl
+    DedupOps.deleteFromDedupIndex(Seq(back).toDF("doc_id"), path)
+    assert(serve().isEmpty, "newer tombstone must mask the re-crawl")
+  }
 }
