@@ -477,6 +477,59 @@ object StreamingQueries {
         "lo_2_id", "purchase_id")
   }
 
+  /** T8 group quantifier with ALTERNATION MEMBERS — `((click|view)
+    * purchase){2}` ([[graft.streaming.CepOps.cepGroupAlt]], via
+    * [[graft.streaming.Pattern.groupAny]]`.times(2)`): the unrolled
+    * 4-slot chain where the first slot of EACH repetition matches
+    * either branch and binds which one fired (`m_1_branch`,
+    * `m_2_branch` — the per-repetition CLASSIFIER()). Same `user_id <
+    * 30` fixture slice and 24 h per-step band as [[cepGroupMixed]];
+    * the oracle is the UNION ALL of the four branch-combination legs,
+    * each a MATERIALIZED left-deep chain with literal branch tags. */
+  private val cepGroupAlt = Q(
+    "cep_group_alt", {
+      def leg(tag: String, b1: String, b2: String): String =
+        s"""${tag}c0 AS MATERIALIZED (
+           |  SELECT user_id, event_id AS m1, CAST(ts AS TIMESTAMP) AS t0
+           |  FROM ev WHERE event_type = '$b1'),
+           |${tag}c1 AS MATERIALIZED (
+           |  SELECT x.*, e.event_id AS p1, e.ts AS t1 FROM ${tag}c0 x JOIN ev e
+           |  ON e.user_id = x.user_id AND e.event_type = 'purchase'
+           |  AND e.ts > t0 AND e.ts <= t0 + INTERVAL 1440 MINUTE),
+           |${tag}c2 AS MATERIALIZED (
+           |  SELECT x.*, e.event_id AS m2, e.ts AS t2 FROM ${tag}c1 x JOIN ev e
+           |  ON e.user_id = x.user_id AND e.event_type = '$b2'
+           |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 1440 MINUTE),
+           |${tag}c3 AS MATERIALIZED (
+           |  SELECT x.*, e.event_id AS p2, e.ts AS t3 FROM ${tag}c2 x JOIN ev e
+           |  ON e.user_id = x.user_id AND e.event_type = 'purchase'
+           |  AND e.ts > t2 AND e.ts <= t2 + INTERVAL 1440 MINUTE)""".stripMargin
+      def sel(tag: String, b1: String, b2: String): String =
+        s"""SELECT user_id, m1 AS m_1_id, '$b1' AS m_1_branch,
+           |  p1 AS p_1_id, m2 AS m_2_id, '$b2' AS m_2_branch,
+           |  p2 AS p_2_id, epoch_us(t3) - epoch_us(t0) AS total_us
+           |FROM ${tag}c3""".stripMargin
+      val combos = for (b1 <- Seq("click", "view"); b2 <- Seq("click", "view"))
+        yield (s"l${b1.head}${b2.head}_", b1, b2)
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events WHERE user_id < 30),
+         |${combos.map(c => leg(c._1, c._2, c._3)).mkString(",\n")}
+         |${combos.map(c => sel(c._1, c._2, c._3)).mkString("\nUNION ALL\n")}
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+    }) { (s, d) =>
+    graft.streaming.Pattern
+      .groupAny("1440 minutes",
+        "m" -> Seq("click" -> (col("event_type") === "click"),
+          "view" -> (col("event_type") === "view")),
+        "p" -> Seq("purchase" -> (col("event_type") === "purchase")))
+      .times(2)
+      .over(Tables.events(s, d).filter(col("user_id") < 30),
+        "user_id", "ts", "event_id")
+      .orderBy("user_id", "m_1_id", "m_1_branch", "p_1_id", "m_2_id",
+        "m_2_branch", "p_2_id")
+  }
+
   // Group-pattern streaming lives under specs, not a replay key, on
   // measurement: every unrolled slot is a stream-stream join paying
   // two state stores per micro-batch, so a bounded replay of even the
@@ -1274,7 +1327,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
-    cepGroupKleene, cepGroupMixed, cepAbsence,
+    cepGroupKleene, cepGroupMixed, cepGroupAlt, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,

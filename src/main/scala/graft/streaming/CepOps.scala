@@ -173,6 +173,35 @@ object CepOps {
     cepAlternation(ev, keyCol, tsCol, idCol, steps)
   }
 
+  /** Quantified sequence group with NAMED-ALTERNATION members —
+    * `((B|C) D){n}`: each group member may itself be a branch set, so
+    * the unrolled flat chain carries BRANCH IDENTITY per repetition
+    * (`<member>_<rep>_branch` columns for multi-branch members — the
+    * per-rep `CLASSIFIER()`). Unrolls exactly as [[cepGroupTimes]]
+    * (relaxed contiguity, every event within `within` of the previous
+    * match) onto the [[cepAlternation]] chain; a single-branch member
+    * is a plain step.
+    *
+    * @note scale: `n·|group|` keyed interval joins, each slot a UNION
+    *   of its branch legs — fixed-length bounded-state chain, branch
+    *   legs usually partition the slot's input (disjoint predicates)
+    *   rather than multiply it. */
+  def cepGroupAlt(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Seq[(String, Column)])],
+      n: Int, within: String): DataFrame = {
+    require(group.nonEmpty, "a group needs at least one member")
+    require(n >= 1, s"times($n): need n >= 1")
+    require(group.size * n >= 2, "a pattern needs at least two slots")
+    require(group.forall(_._2.nonEmpty), "every member needs a branch")
+    require(group.map(_._1).distinct.size == group.size,
+      "group member names must be distinct")
+    require(group.exists(_._2.size > 1),
+      "no multi-branch member — use cepGroupTimes for the plain form")
+    val steps = (1 to n).flatMap(r => group.map { case (nm, branches) =>
+      AltStep(s"${nm}_$r", branches, within) })
+    cepAlternation(ev, keyCol, tsCol, idCol, steps)
+  }
+
   /** MIXED group quantifier — a fixed-count sequence group embedded in
     * an outer sequence, Flink's
     * `begin(A).next(groupPattern.times(n)).next(D)`, e.g.

@@ -44,6 +44,25 @@ object Pattern {
       None, None, consecutive = false, None)
   }
 
+  /** A quantified sequence group whose members may be NAMED
+    * ALTERNATIONS — `((B|C) D){n}` with per-repetition branch
+    * identity ([[CepOps.cepGroupAlt]]):
+    * {{{
+    * Pattern.groupAny("60 minutes",
+    *     "m" -> Seq("b" -> predB, "c" -> predC),
+    *     "d" -> Seq("d" -> predD))
+    *   .times(2)
+    *   .over(events, "user_id", "ts", "event_id")
+    * }}}
+    * Fixed counts only — a Kleene over alternation members would
+    * multiply the per-repetition unions by the branch combinations
+    * and is rejected at the builder. */
+  def groupAny(within: String,
+      steps: (String, Seq[(String, Column)])*): AltGroupPattern = {
+    require(steps.size >= 1, "a group needs at least one member")
+    new AltGroupPattern(steps.toVector, within)
+  }
+
   /** A quantified SEQUENCE group — Flink's
     * `Pattern.begin(groupPattern)` under `times`/`oneOrMore`:
     * {{{
@@ -60,6 +79,25 @@ object Pattern {
     require(steps.size >= 2, "a group needs two or more steps")
     new GroupPattern(steps.toVector, within)
   }
+}
+
+/** An alternation-member group awaiting its quantifier — see
+  * [[Pattern.groupAny]]. */
+final class AltGroupPattern private[streaming] (
+    steps: Vector[(String, Seq[(String, Column)])], within: String) {
+  /** `(group){n}` — fixed repetition count; multi-branch members bind
+    * `<member>_<rep>_branch` alongside `<member>_<rep>_id`. */
+  def times(n: Int): QuantifiedAltGroup =
+    new QuantifiedAltGroup(steps, within, n)
+}
+
+/** A quantified alternation-member group ready to compile. */
+final class QuantifiedAltGroup private[streaming] (
+    steps: Vector[(String, Seq[(String, Column)])], within: String,
+    n: Int) {
+  def over(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    CepOps.cepGroupAlt(ev, keyCol, tsCol, idCol, steps, n, within)
 }
 
 /** A sequence group awaiting its quantifier — see [[Pattern.group]]. */

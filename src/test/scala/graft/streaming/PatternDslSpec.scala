@@ -268,6 +268,37 @@ class PatternDslSpec extends SparkSpec {
     }
   }
 
+  test("groupAny(...).times(2) binds branch identity per repetition == the cep_group_alt key") {
+    val sub = ev.filter(col("user_id") < 30)
+    val dsl = Pattern.groupAny("1440 minutes",
+        "m" -> Seq("click" -> (col("event_type") === "click"),
+          "view" -> (col("event_type") === "view")),
+        "p" -> Seq("purchase" -> (col("event_type") === "purchase")))
+      .times(2)
+      .over(sub, "user_id", "ts", "event_id")
+    assert(dsl.columns.toSeq == Seq("user_id", "m_1_id", "m_1_branch",
+      "p_1_id", "m_2_id", "m_2_branch", "p_2_id", "total_us"),
+      "multi-branch members bind a branch column PER repetition")
+    val direct = CepOps.cepGroupAlt(sub, "user_id", "ts", "event_id",
+      Seq("m" -> Seq("click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view")),
+        "p" -> Seq("purchase" -> (col("event_type") === "purchase"))),
+      n = 2, within = "1440 minutes")
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_alt")(spark, sf)))
+    // the two repetitions choose branches INDEPENDENTLY: both orders
+    // must occur in a fixture rich enough to contain them
+    val combos = dsl.select("m_1_branch", "m_2_branch").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(combos.size >= 2, s"expected mixed branch combos, got $combos")
+    intercept[IllegalArgumentException] { // plain form must use group()
+      CepOps.cepGroupAlt(ev, "user_id", "ts", "event_id",
+        Seq("a" -> Seq("a" -> lit(true)), "b" -> Seq("b" -> lit(true))),
+        n = 2, within = "60 minutes")
+    }
+  }
+
   test("group quantifier semantics on a hand-built alternating run") {
     val sp = spark
     import sp.implicits._
