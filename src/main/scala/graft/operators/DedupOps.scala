@@ -863,18 +863,35 @@ object DedupOps {
     * shingle sets that exact-verify candidates. No document text is
     * stored; any engine can read both.
     *
-    * @note scale: the index is O(corpus shingle mass); at lake scale
-    *   bucket `bands/` by `(band, hash(bsig))` so the serve join
-    *   co-locates, and `sets/` by `hash(doc_id)` — plain layouts here,
-    *   the joins shuffle-partition either way. */
+    * @note scale: the index is O(corpus shingle mass), and both
+    *   tables are written in their lake layout: `bands/` is
+    *   `partitionBy("band")` (16 values — a band-sliced serve or
+    *   band-targeted audit prunes to 1/16th of the files, and each
+    *   serve shuffle partition's build side is bounded by one band's
+    *   mass), `sets/` is `partitionBy("bkt")` with
+    *   `bkt = pmod(hash(doc_id), 16)` (point lookups and targeted
+    *   takedown audits prune to one bucket's files). The serve joins
+    *   still shuffle on their keys — hive-style partitioning prunes
+    *   IO, it does not replace the exchange — but no serve ever has
+    *   to read the whole table to answer a banded or id-targeted
+    *   probe (layout gated by `DedupIndexSpec`).
+    *
+    * Rebuild-in-place is safe: a bulk build RESETS `tombstones/` and
+    * the `epochs/` counter before writing — without that, tombstones
+    * surviving from the index's previous life (epoch ≥ 1) would mask
+    * every fresh epoch-0 row and the rebuilt index would silently
+    * serve nothing (spec-pinned). */
   def saveDedupIndex(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
+    rmTree(java.nio.file.Paths.get(s"$path/tombstones"))
+    EpochLog.reset(path)
     val sets = shingleSets(df, idCol, textCol, n).persist()
     rowBands(sets).withColumn("epoch", lit(0L))
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
     sets.withColumn("epoch", lit(0L))
-      .write.mode("overwrite").parquet(s"$path/sets")
+      .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/sets")
     sets.unpersist()
     ()
   }
@@ -883,16 +900,19 @@ object DedupOps {
     * [[saveDedupIndex]] index — the ingest half of the cross-epoch
     * loop: after [[dedupAgainstIndex]] filtered a batch, its keepers
     * join the index so the NEXT batch dedups against them too. Plain
-    * parquet append into both tables. */
+    * parquet append into the same partitioned layout the bulk build
+    * wrote ([[saveDedupIndex]]'s scale note), so file pruning keeps
+    * holding as the index grows. */
   def appendToDedupIndex(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
     val e = EpochLog.next(path)
     val sets = shingleSets(df, idCol, textCol, n).persist()
     rowBands(sets).withColumn("epoch", lit(e))
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
     sets.withColumn("epoch", lit(e))
-      .write.mode("append").parquet(s"$path/sets")
+      .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+      .write.mode("append").partitionBy("bkt").parquet(s"$path/sets")
     sets.unpersist()
     ()
   }
@@ -943,11 +963,14 @@ object DedupOps {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     dedupTombstonesOf(spark, path).foreach { _ =>
-      Seq("bands", "sets").foreach { tbl =>
+      // keep each table's lake layout across compactions, so the
+      // pruning guarantees of [[saveDedupIndex]] survive the rewrite
+      Seq("bands" -> "band", "sets" -> "bkt").foreach { case (tbl, part) =>
         val survivors =
           minusDedupTombstones(spark, path, spark.read.parquet(s"$path/$tbl"))
         val tmp = java.nio.file.Paths.get(s"$path/${tbl}_compact")
-        survivors.write.mode("overwrite").parquet(tmp.toString)
+        survivors.write.mode("overwrite").partitionBy(part)
+          .parquet(tmp.toString)
         rmTree(java.nio.file.Paths.get(s"$path/$tbl"))
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/$tbl"))
       }

@@ -8,22 +8,56 @@ package graft.operators
   * mask exactly the rows that existed when the delete was issued —
   * shared by the ANN index ([[SimilarityOps]]) and the cross-epoch
   * dedup index ([[DedupOps]]). A production lake would use its
-  * transaction log's commit id here — same monotonicity contract. */
+  * transaction log's commit id here — same monotonicity contract.
+  *
+  * Concurrency: `Files.createFile` is the atomic arbiter — two
+  * writers who list the same max race on `e(m+1)`; the loser's
+  * createFile throws `FileAlreadyExists` and RETRIES with the
+  * refreshed max (CAS loop), so concurrent single-machine mutators
+  * each get a distinct epoch instead of crashing. Non-numeric
+  * `e*` names (editor droppings, partial copies) are ignored. */
 private[graft] object EpochLog {
+  private val Name = "^e(\\d+)$".r
+
   def next(path: String): Long = {
     val dir = java.nio.file.Paths.get(path, "epochs")
     java.nio.file.Files.createDirectories(dir)
-    val ls = java.nio.file.Files.list(dir)
-    val m = try {
-      var mx = 0L
-      val it = ls.iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("e")) mx = math.max(mx, n.drop(1).toLong)
+    var claimed = -1L
+    while (claimed < 0) {
+      val ls = java.nio.file.Files.list(dir)
+      val m = try {
+        var mx = 0L
+        val it = ls.iterator()
+        while (it.hasNext) {
+          it.next().getFileName.toString match {
+            case Name(d) => mx = math.max(mx, d.toLong)
+            case _       => ()
+          }
+        }
+        mx
+      } finally ls.close()
+      try {
+        java.nio.file.Files.createFile(dir.resolve(s"e${m + 1}"))
+        claimed = m + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race; re-list
       }
-      mx
-    } finally ls.close()
-    java.nio.file.Files.createFile(dir.resolve(s"e${m + 1}"))
-    m + 1
+    }
+    claimed
+  }
+
+  /** Drop the counter entirely — bulk rebuilds call this so a
+    * from-scratch index restarts at epoch 1 with no stale markers. */
+  def reset(path: String): Unit = {
+    val dir = java.nio.file.Paths.get(path, "epochs")
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val ls = java.nio.file.Files.list(dir)
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally ls.close()
+      java.nio.file.Files.deleteIfExists(dir)
+      ()
+    }
   }
 }

@@ -462,10 +462,18 @@ object SimilarityOps {
     *   Rows additionally carry `epoch` (0 at bulk build) so the
     *   delete path's versioned tombstones can mask exactly the rows
     *   that existed when the delete was issued — see
-    *   [[deleteFromIvfIndex]]. */
+    *   [[deleteFromIvfIndex]].
+    *
+    * Rebuild-in-place is safe: a bulk build RESETS `tombstones/` and
+    * the `epochs/` counter before writing — without that, tombstones
+    * surviving from the index's previous life (epoch ≥ 1) would mask
+    * every fresh epoch-0 row and the rebuilt index would silently
+    * serve nothing (spec-pinned by `AnnIndexLayoutSpec`). */
   def saveIvfIndex(df: DataFrame, path: String, nCells: Int = 16,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", trainOn: Option[DataFrame] = None): Unit = {
+    deleteDir(java.nio.file.Paths.get(s"$path/tombstones"))
+    EpochLog.reset(path)
     val n = normed(df, idCol, vecCol).persist()
     // trainOn: centroids from a designated training corpus (the bulk
     // epoch) while `df` is what gets indexed — the split the append
@@ -700,7 +708,17 @@ object SimilarityOps {
     *   [[saveIvfIndex]] writes — a 1-cell probe reads ~1/nCells of
     *   `assigned/`'s files, never the whole table
     *   (`AnnIndexLayoutSpec` pins selectedPartitions == probed
-    *   cells). No training pass, no full-corpus scan. */
+    *   cells). No training pass, no full-corpus scan. The probe
+    *   routing runs ONCE: the probes frame was already the broadcast
+    *   side of the serve join — i.e. driver-memory-bounded by design
+    *   — so it is collected a single time and both the probed-cell
+    *   set and the join's (local-relation) build side come from that
+    *   one evaluation, instead of running the window-ranked
+    *   crossJoin as two jobs.
+    *
+    * BATCH-ONLY: the probed-cell collect (and the window ranking)
+    * are illegal on a streaming frame — streaming serves go through
+    * [[knnLookupIvf]], the broadcast-index twin. */
   def knnIvfSaved(queries: DataFrame, path: String,
       isQuery: org.apache.spark.sql.Column, nprobe: Int = 4, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -710,16 +728,21 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__cos").desc, col("cid"))
-    val probes = nq.crossJoin(broadcast(cents))
+    val probesPlan = nq.crossJoin(broadcast(cents))
       .withColumn("__cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cnrm")))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cid"))
-    // distinct probed cells: bounded by nCells whatever the query
-    // count, so the collect is a tiny driver-side set that turns the
-    // assigned-table scan into a static partition-pruned read
-    val probedCells = probes.select(col("cid").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .select(col("qid"), col("qv"), col("qn"), col("cid").cast("long").as("cid"))
+    // the probes frame is the serve join's BROADCAST side, i.e.
+    // driver-memory-bounded by design — collect it once; the probed
+    // cells (≤ nCells values) fall out of the same rows and become a
+    // static partition-pruned filter on the assigned-table scan, and
+    // the local relation below is the join's build side with no
+    // second probe-routing job
+    val probeRows = probesPlan.collect()
+    val probedCells = probeRows.map(_.getLong(3)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     val assigned = minusTombstones(spark, path,
       spark.read.parquet(s"$path/assigned")
         .filter(col("cid").isin(probedCells: _*)))

@@ -147,8 +147,15 @@ object BoundedReplay {
               val f = files.next()
               if (f.getFileName.toString.endsWith(".parquet")) {
                 val t = java.nio.file.Paths.get(src, s"chunk_${i}_$j.parquet")
+                // already-fed chunk (retried/partial prior replay) is
+                // fine — the staged file is byte-identical, so keep it;
+                // the copy fallback likewise replaces rather than throws
                 try Files.createLink(t, f)
-                catch { case _: Exception => Files.copy(f, t) }
+                catch {
+                  case _: java.nio.file.FileAlreadyExistsException => ()
+                  case _: Exception => Files.copy(f, t,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                }
                 j += 1
               }
             }

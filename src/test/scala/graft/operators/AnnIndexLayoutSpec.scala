@@ -113,4 +113,26 @@ class AnnIndexLayoutSpec extends SparkSpec {
     assert(!serveJoin().exists(_._2 % 10 == 7),
       "a newer tombstone must mask the earlier re-insert")
   }
+
+  test("rebuild-in-place after deletes serves fresh rows (stale tombstones reset)") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
+    def serve() = SimilarityOps.knnIvfSaved(emb, path,
+        isQuery = col("vec_id") < 5, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val fresh = serve()
+    assert(fresh.nonEmpty)
+    // delete every served neighbor, then REBUILD in place: without
+    // the bulk build resetting tombstones/ + epochs/, the surviving
+    // tombstones (epoch >= 1) would mask every fresh epoch-0 row
+    val sp = spark
+    import sp.implicits._
+    SimilarityOps.deleteFromIvfIndex(
+      fresh.map(_._2).toSeq.toDF("vec_id"), path)
+    assert(serve() != fresh, "deletes must change the served set")
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
+    assert(serve() == fresh,
+      "in-place rebuild must serve exactly what a fresh-path build serves")
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Pins for the cross-epoch dedup index: the row-local MinHash
   * signature/banding must be BIT-IDENTICAL to the UDAF the batch LSH
@@ -106,5 +107,73 @@ class DedupIndexSpec extends SparkSpec {
     // a SECOND delete outranks the re-crawl
     DedupOps.deleteFromDedupIndex(Seq(back).toDF("doc_id"), path)
     assert(serve().isEmpty, "newer tombstone must mask the re-crawl")
+  }
+
+  test("rebuild-in-place after deletes serves fresh rows (stale tombstones reset)") {
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx-rebuild").toString
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val nw = docs.filter(col("doc_id") % 2 === 1)
+    DedupOps.saveDedupIndex(old, path)
+    def serve() = DedupOps.dedupAgainstIndex(nw, path, minJaccard = 0.5)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fresh = serve()
+    assert(fresh.nonEmpty, "fixture must contain cross-epoch pairs")
+    // delete everything that serves, then REBUILD the index in place:
+    // without the bulk build resetting tombstones/ + epochs/, the old
+    // tombstones (epoch >= 1) would mask every fresh epoch-0 row and
+    // the rebuilt index would silently serve nothing
+    val sp = spark
+    import sp.implicits._
+    DedupOps.deleteFromDedupIndex(fresh.map(_._2).toSeq.toDF("doc_id"), path)
+    assert(serve().isEmpty)
+    DedupOps.saveDedupIndex(old, path)
+    assert(serve() == fresh,
+      "in-place rebuild must serve exactly what a fresh-path build serves")
+  }
+
+  test("lake layout: bands/ partitioned by band, sets/ by doc_id hash bucket; a slice prunes the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx-layout").toString
+    DedupOps.saveDedupIndex(docs, path)
+    def dirNames(p: String): Seq[String] = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try {
+        val b = Seq.newBuilder[String]
+        ls.iterator().forEachRemaining(f => b += f.getFileName.toString)
+        b.result()
+      } finally ls.close()
+    }
+    assert(dirNames(s"$path/bands").count(_.startsWith("band=")) == 16,
+      "bands/ must be laid out as 16 band= partition dirs")
+    assert(dirNames(s"$path/sets").exists(_.startsWith("bkt=")),
+      "sets/ must be laid out as bkt= partition dirs")
+    def prunedFiles(tbl: String, filter: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(s"$path/$tbl").filter(filter)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value)
+        .getOrElse(fail(s"no file scan for $tbl"))
+    }
+    def totalFiles(tbl: String): Long = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/$tbl"))
+      try walk.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet")).toLong
+      finally walk.close()
+    }
+    assert(prunedFiles("bands", col("band") === 3) < totalFiles("bands"),
+      "a 1-band filter must partition-prune bands/")
+    assert(prunedFiles("sets", col("bkt") === 0) < totalFiles("sets"),
+      "a 1-bucket filter must partition-prune sets/")
+    // compaction preserves the layout
+    val sp = spark
+    import sp.implicits._
+    DedupOps.deleteFromDedupIndex(Seq(0L).toDF("doc_id"), path)
+    DedupOps.compactDedupIndex(spark, path)
+    assert(dirNames(s"$path/bands").count(_.startsWith("band=")) == 16,
+      "compaction must keep bands/ band-partitioned")
+    assert(dirNames(s"$path/sets").exists(_.startsWith("bkt=")),
+      "compaction must keep sets/ bucket-partitioned")
   }
 }
