@@ -351,6 +351,58 @@ object StreamingQueries {
           "view_2_id")
   }
 
+  /** T8 group quantifier, BOUNDED RANGE — `(click view){1,2}`
+    * ([[graft.streaming.CepOps.cepGroupRange]], via
+    * [[graft.streaming.Pattern.group]]`.times(1, 2)`): Flink's
+    * `times(from, to)` on a sequence group — one match per repetition
+    * count (a 2-rep run also reports its 1-rep prefix), every
+    * repetition's events bound as columns NULL-PADDED to the 2-shape
+    * plus a `reps` count. Same relaxed-contiguity 360-min band as
+    * [[cepGroupTimes]]. The oracle is the UNION ALL of the two
+    * unrolled chains as MATERIALIZED CTEs (forcing the operator's
+    * left-deep order — DuckDB's free join reorder is catastrophic on
+    * these chains), the short chain's missing repetition columns NULL
+    * literals; ordering puts `reps` right after the key so the null
+    * columns never have to discriminate. */
+  private val cepGroupRange = Q(
+    "cep_group_range",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |r1a AS MATERIALIZED (
+      |  SELECT user_id, event_id AS c1, ts AS t0
+      |  FROM ev WHERE event_type = 'click'),
+      |r1b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v1, e.ts AS t1 FROM r1a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t0 AND e.ts <= t0 + INTERVAL 360 MINUTE),
+      |r2a AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS c2, e.ts AS t2 FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'click'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 360 MINUTE),
+      |r2b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v2, e.ts AS t3 FROM r2a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t2 AND e.ts <= t2 + INTERVAL 360 MINUTE)
+      |SELECT user_id, c1 AS click_1_id, v1 AS view_1_id,
+      |  CAST(NULL AS BIGINT) AS click_2_id, CAST(NULL AS BIGINT) AS view_2_id,
+      |  CAST(1 AS INT) AS reps, epoch_us(t1) - epoch_us(t0) AS total_us
+      |FROM r1b
+      |UNION ALL
+      |SELECT user_id, c1, v1, c2, v2, CAST(2 AS INT),
+      |  epoch_us(t3) - epoch_us(t0)
+      |FROM r2b
+      |ORDER BY 1, 6, 2, 3, 4, 5""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .group("360 minutes",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .times(1, 2)
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "reps", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id")
+  }
+
   /** T8 group Kleene — `(click view)+`
     * ([[graft.streaming.CepOps.cepGroupKleene]], via
     * [[graft.streaming.Pattern.group]]`.oneOrMore(3)`): one match per
@@ -1327,7 +1379,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
-    cepGroupKleene, cepGroupMixed, cepGroupAlt, cepAbsence,
+    cepGroupRange, cepGroupKleene, cepGroupMixed, cepGroupAlt, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,

@@ -242,6 +242,54 @@ object CepOps {
     cepAlternation(ev, keyCol, tsCol, idCol, steps)
   }
 
+  /** Group pattern with a BOUNDED RANGE repetition count — Flink's
+    * `Pattern.begin(groupPattern).times(n, m)`, e.g. `(A B){1,2}` =
+    * `A B` or `A B A B`: one match PER repetition count in `n..m`
+    * (the same per-count emission as [[cepGroupKleene]] — a run that
+    * completes m repetitions also reports its n..m-1-rep prefixes),
+    * compiled as the UNION of the [[cepGroupTimes]] expansions, with
+    * every repetition's events bound as columns NULL-PADDED to the
+    * m-shape (repetitions a shorter match did not reach are null —
+    * the same contract as an unmatched `optional` step). Output:
+    * `(key, <step>_<rep>_id for rep = 1..m, reps, total_us)`.
+    *
+    * `m` is a hard bound exactly like the Kleene's `maxReps` —
+    * candidate matches multiply with per-step band fan-out at every
+    * extra repetition, so the cap fails loudly instead of silently
+    * truncating.
+    *
+    * @note scale: Σ r·|group| keyed interval joins over the unrolled
+    *   chains (r = n..m) — each chain is [[cepGroupTimes]]'s bounded
+    *   fixed-length shape, and the union preserves the key
+    *   partitioning; no per-key history scan. */
+  def cepGroupRange(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], n: Int, m: Int,
+      within: String): DataFrame = {
+    require(group.nonEmpty, "a group needs at least one step")
+    require(n >= 1 && m > n,
+      s"times($n,$m): need 1 <= n < m — times(n) is the fixed-count form")
+    require(m <= 8,
+      s"times($n,$m) unrolls to m·|group| joined slots with " +
+        s"band-fan-out^slots candidate growth; m=$m is outside the " +
+        "supported 2..8 — tighten the bound or the `within` band")
+    require(group.size * n >= 2, "a pattern needs at least two slots")
+    require(group.map(_._1).distinct.size == group.size,
+      "group step names must be distinct")
+    val runs = (n to m).map { r =>
+      val run = cepGroupTimes(ev, keyCol, tsCol, idCol, group, r, within)
+      val idType = run.schema(s"${group.head._1}_1_id").dataType
+      val padded = (r + 1 to m)
+        .flatMap(rr => group.map { case (nm, _) => s"${nm}_${rr}_id" })
+        .foldLeft(run)((d, c) => d.withColumn(c, lit(null).cast(idType)))
+      padded.withColumn("reps", lit(r).cast("int"))
+    }
+    val outCols = col(keyCol) +:
+      (1 to m).flatMap(r =>
+        group.map { case (nm, _) => col(s"${nm}_${r}_id") }) :+
+      col("reps") :+ col("total_us")
+    runs.reduce(_ unionByName _).select(outCols: _*)
+  }
+
   /** Group pattern under a Kleene plus — Flink's
     * `Pattern.begin(groupPattern).oneOrMore()`, e.g. `(A B)+`: one
     * match PER repetition count (Flink's oneOrMore emission — a run

@@ -48,6 +48,11 @@ import org.apache.spark.sql.functions._
   *                      plain outer variables — `A (B C){n} D` →
   *                      [[CepOps.cepGroupTimesMixed]] (the outer steps
   *                      join the unrolled chain)
+  *  - `(A B){n,m}`    — quantified SEQUENCE group, bounded range →
+  *                      [[CepOps.cepGroupRange]]: one match per
+  *                      repetition count in n..m, per-repetition
+  *                      columns null-padded to the m-shape plus a
+  *                      `reps` count; standalone only
   *  - `(A B)+`        — group Kleene → [[CepOps.cepGroupKleene]]: one
   *                      match per repetition count, unrolled to
   *                      `groupMaxReps` (a HARD bound — candidate growth
@@ -95,8 +100,8 @@ object MatchRecognize {
   private val DefineRe = raw"(?is)DEFINE\s+(.*?)\s*(?:WITHIN\s+.*)?$$".r.unanchored
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
   private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+)\})?".r
-  private val GroupTokRe = raw"\(([^()]*)\)(\+\?|[+?]|\{\d+\})?".r
-  private val TokSplitRe = raw"\([^()]*\)(?:\+\?|[+?]|\{\d+\})?|\S+".r
+  private val GroupTokRe = raw"\(([^()]*)\)(\+\?|[+?]|\{\d+(?:,\d+)?\})?".r
+  private val TokSplitRe = raw"\([^()]*\)(?:\+\?|[+?]|\{\d+(?:,\d+)?\})?|\S+".r
   private val IntervalRe = raw"(?i)(?:INTERVAL\s+)?'?(\d+)'?\s+([A-Za-z]+)".r
   private val SkipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+(?:ROW|EVENT))".r.unanchored
@@ -139,7 +144,7 @@ object MatchRecognize {
           case s if s.startsWith("{") =>
             Tok(names.mkString("_"), "G" + s, names)
           case s => sys.error(s"unsupported group quantifier ($inner)$s " +
-            "— {n} and + compile")
+            "— {n}, {n,m} and + compile")
         }
       case TokenRe(name, q, n) =>
         Tok(name, Option(q).map(x => if (x.startsWith("{")) n else x).getOrElse(""))
@@ -302,12 +307,21 @@ object MatchRecognize {
           if (t.quant == "G+")
             CepOps.cepGroupKleene(ev, keyCol, tsCol, idCol, grp,
               groupMaxReps, normWithin)
-          else
-            CepOps.cepGroupTimes(ev, keyCol, tsCol, idCol, grp,
-              t.quant.drop(2).dropRight(1).toInt, normWithin)
+          else t.quant.drop(2).dropRight(1) match {
+            // "{n,m}" — bounded range, one match per count, columns
+            // null-padded to the m-shape (cepGroupRange)
+            case spec if spec.contains(",") =>
+              val Array(lo, hi) = spec.split(",").map(_.trim.toInt)
+              CepOps.cepGroupRange(ev, keyCol, tsCol, idCol, grp,
+                lo, hi, normWithin)
+            case spec =>
+              CepOps.cepGroupTimes(ev, keyCol, tsCol, idCol, grp,
+                spec.toInt, normWithin)
+          }
         base.filter(col("total_us") <= withinUs)
       case _ if toks.count(_.quant.startsWith("G")) == 1 &&
           toks.find(_.quant.startsWith("G")).get.quant != "G+" &&
+          !toks.find(_.quant.startsWith("G")).get.quant.contains(",") &&
           toks.filterNot(_.quant.startsWith("G"))
             .forall(t => t.quant == "" && t.branches.isEmpty) =>
         // MIXED fixed-count group `A (B C){n} D` → cepGroupTimesMixed:
@@ -328,9 +342,9 @@ object MatchRecognize {
         base.filter(col("total_us") <= withinUs)
       case _ if toks.exists(t => t.quant.startsWith("G")) =>
         sys.error("unsupported group-quantifier mix: (A B){n} combines " +
-          "with PLAIN outer variables only, and (A B)+ must be the " +
-          "entire PATTERN (its per-repetition unions would multiply " +
-          "by the outer chain)")
+          "with PLAIN outer variables only, and (A B)+ / (A B){n,m} " +
+          "must be the entire PATTERN (their per-repetition unions " +
+          "would multiply by the outer chain)")
       case _ if toks.exists(_.branches.nonEmpty) =>
         // named alternation `A (B|C) D` → cepAlternation; the group
         // slot's output columns are `<b1>_or_<b2>_id` + `_branch` (the

@@ -107,11 +107,27 @@ final class GroupPattern private[streaming] (
     * `<step>_<rep>_id` column. */
   def times(n: Int): QuantifiedGroup =
     new QuantifiedGroup(steps, within, Some(n), 0)
+  /** `(group){n,m}` — one match per repetition count in `n..m`
+    * (Flink's `times(from, to)`), per-repetition columns null-padded
+    * to the m-shape plus a `reps` count
+    * ([[CepOps.cepGroupRange]]). Outer steps do not mix — each rep
+    * count would multiply the outer chain. */
+  def times(n: Int, m: Int): QuantifiedGroupRange =
+    new QuantifiedGroupRange(steps, within, n, m)
   /** `(group)+` — one match per repetition count up to `maxReps` (a
     * hard bound, loud on overflow); output
     * `(key, first_id, last_id, reps, total_us)`. */
   def oneOrMore(maxReps: Int = 3): QuantifiedGroup =
     new QuantifiedGroup(steps, within, None, maxReps)
+}
+
+/** A range-quantified sequence group ready to compile — see
+  * [[GroupPattern.times(n:Int,m:Int)*]]. */
+final class QuantifiedGroupRange private[streaming] (
+    steps: Vector[(String, Column)], within: String, n: Int, m: Int) {
+  def over(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    CepOps.cepGroupRange(ev, keyCol, tsCol, idCol, steps, n, m, within)
 }
 
 /** A quantified group ready to compile — see [[Pattern.group]]. Fixed

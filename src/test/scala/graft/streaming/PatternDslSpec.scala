@@ -186,6 +186,62 @@ class PatternDslSpec extends SparkSpec {
       graft.SparkEntry.queries("cep_group_times")(spark, sf)))
   }
 
+  test("group(...).times(1,2) range: DSL == direct == MATCH_RECOGNIZE == the cep_group_range key") {
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val dsl = Pattern.group("360 minutes", grp: _*)
+      .times(1, 2)
+      .over(ev, "user_id", "ts", "event_id")
+    assert(dsl.columns.toSeq == Seq("user_id", "click_1_id", "view_1_id",
+      "click_2_id", "view_2_id", "reps", "total_us"),
+      "per-repetition columns null-padded to the m-shape plus reps")
+    val direct = CepOps.cepGroupRange(ev, "user_id", "ts", "event_id",
+      grp, n = 1, m = 2, within = "360 minutes")
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_range")(spark, sf)))
+    // the r-rep slice IS the fixed-count expansion: reps=2 rows equal
+    // cepGroupTimes(n=2), reps=1 rows equal cepGroupTimes(n=1) (with
+    // the pad columns null)
+    val r2 = dsl.filter(col("reps") === 2).drop("reps")
+    assert(rows(r2) == rows(CepOps.cepGroupTimes(ev, "user_id", "ts",
+        "event_id", grp, n = 2, within = "360 minutes")),
+      "reps=2 slice must equal the fixed times(2) expansion")
+    val r1 = dsl.filter(col("reps") === 1)
+    assert(r1.filter(col("click_2_id").isNotNull ||
+      col("view_2_id").isNotNull).count() == 0,
+      "short matches must null-pad the unreached repetitions")
+    assert(rows(r1.select("user_id", "click_1_id", "view_1_id", "total_us")) ==
+      rows(CepOps.cepGroupTimes(ev, "user_id", "ts", "event_id", grp,
+        n = 1, within = "360 minutes")),
+      "reps=1 slice must equal the fixed times(1) expansion")
+    // SQL face: (click view){1,2} — whole-match WITHIN bound
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN ((click view){1,2})
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+    assert(rows(mr.select(dsl.columns.map(col): _*)) ==
+      rows(dsl.filter(col("total_us") <= 360L * 60000000L)),
+      "MATCH_RECOGNIZE must equal the DSL under the whole-match bound")
+    // loud rejects: degenerate range, over-cap, range mixed with outer
+    intercept[IllegalArgumentException] {
+      CepOps.cepGroupRange(ev, "user_id", "ts", "event_id", grp,
+        n = 2, m = 2, within = "60 minutes")
+    }
+    intercept[IllegalArgumentException] {
+      CepOps.cepGroupRange(ev, "user_id", "ts", "event_id", grp,
+        n = 1, m = 9, within = "60 minutes")
+    }
+    intercept[RuntimeException] { // MR face: A (B C){1,2} not compiled
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN (A (B C){1,2})
+          |DEFINE A AS event_type = 'signup', B AS event_type = 'click',
+          |       C AS event_type = 'view'
+          |WITHIN INTERVAL '60' MINUTE""".stripMargin)
+    }
+  }
+
   test("group(...).oneOrMore emits one match per repetition count == the cep_group_kleene key") {
     val dsl = Pattern.group("360 minutes",
         "click" -> (col("event_type") === "click"),
