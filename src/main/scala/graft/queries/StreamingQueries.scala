@@ -582,14 +582,41 @@ object StreamingQueries {
         "m_2_branch", "p_2_id")
   }
 
-  // Group-pattern streaming lives under specs, not a replay key, on
-  // measurement: every unrolled slot is a stream-stream join paying
-  // two state stores per micro-batch, so a bounded replay of even the
-  // single-chain (click view){2} costs ~15 s at sf0.1 (and the
-  // (click view)+ union ~56 s) for a handful of output rows —
-  // CepOpsSpec certifies append-mode parity on the real runtime
-  // (MemoryStream, watermark advanced across batches) at spec cost,
-  // and the batch keys above hash-gate the unrolled semantics.
+  /** T8 group quantifier on the REAL streaming runtime — the r15
+    * multiplexed automaton
+    * ([[graft.streaming.StreamOps.cepGroupTimesStream]]): ONE
+    * `flatMapGroupsWithState` state row per key (packed primitive
+    * arrays) holding every in-progress path through the unrolled
+    * chain, replacing the r14 join-form replay that paid two state
+    * stores per unrolled slot per micro-batch and was adjudicated out
+    * at 15–56 s per key at sf0.1. This form probes at the
+    * replay-harness floor (~1.2x the kleene-replay reference in the
+    * same JVM — `graft.tools.GroupStreamProbe`). Same oracle as the
+    * batch [[cepGroupTimes]] key: replay output must equal the batch
+    * unrolled chain exactly (all-paths emission, no flush gap). */
+  private val streamGroupTimesReplay = Q(
+    "stream_group_times_replay", cepGroupTimes.oracle.get) { (s, d) =>
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val schema = graft.streaming.CepOps.cepGroupTimes(
+      Tables.events(s, d), "user_id", "ts", "event_id", grp, n = 2,
+      within = "360 minutes").schema
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupTimesStream(ev, "user_id",
+          "ts", "event_id", grp, n = 2,
+          withinUs = 360L * 60L * 1000000L))(
+        _ => s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      .orderBy("user_id", "click_1_id", "view_1_id", "click_2_id",
+        "view_2_id")
+  }
+
+  // The group KLEENE's streaming form stays spec-only on measurement:
+  // its per-count union multiplies the automaton's live-partial set by
+  // maxReps chains (the r14 join-form replay of (click view)+ measured
+  // ~56 s at sf0.1); GroupTimesStreamSpec certifies the times-form
+  // automaton on the real runtime, and the batch keys above hash-gate
+  // the unrolled semantics.
 
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
@@ -1379,7 +1406,8 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
-    cepGroupRange, cepGroupKleene, cepGroupMixed, cepGroupAlt, cepAbsence,
+    cepGroupRange, cepGroupKleene, cepGroupMixed, cepGroupAlt,
+    streamGroupTimesReplay, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     streamWindowTopn, intervalJoinFull,

@@ -112,6 +112,29 @@ case class RelaxedEvent(k: Long, ts_us: Long, event_id: Long, cls: String,
     tsw: java.sql.Timestamp)
 case class RelaxedMEvent(k: Long, ts_us: Long, event_id: Long, cls: String,
     v6: Long, tsw: java.sql.Timestamp)
+/** [[StreamOps.cepGroupTimesStream]] rows — the MULTIPLEXED group-
+  * quantifier automaton: `mask` carries which group members an event
+  * satisfies (bit j = member j's predicate), each [[GTPartial]] is one
+  * in-progress path through the unrolled `n·|group|` slot chain (next
+  * expected slot = `ids.length`), and ONE state row per key holds all
+  * of them — where the join-form replay paid two state stores per
+  * unrolled slot per micro-batch, this pays a single keyed store
+  * however long the pattern is. A partial is dropped the moment any
+  * in-order event (or the watermark, via the event-time timer) passes
+  * its `lastTs + within` extension deadline — past it every later
+  * event is also past it, so the drop is exact, and an unfinished
+  * partial is unmatched in the batch form too (no flush gap). */
+case class GTEvent(k: Long, ts_us: Long, event_id: Long, mask: Int,
+    tsw: java.sql.Timestamp)
+/** Packed state row: the key's live partials as parallel PRIMITIVE
+  * arrays (`lens(i)` ids of partial i live at their offset in
+  * `idsFlat`) — the [[ContCandPack]] trick applied to STATE: a nested
+  * `List[case class(Seq[Long])]` state row pays the object-encoder
+  * per touched key per micro-batch; primitive arrays serialize flat
+  * (measured 2.5-4x on the sf0.1 replay probe). */
+case class GTState(idsFlat: Array[Long], lens: Array[Int],
+    firstTs: Array[Long], lastTs: Array[Long])
+case class GTMatch(user_id: Long, ids: Seq[Long], total_us: Long)
 /** [[StreamOps.cepKleeneRelaxedMeasuresStream]] rows: the relaxed
   * anchor plus cumulative micro-unit prefix sums parallel to `bIds`
   * (`bSum6s(L−1)` IS prefix L's exact decimal(18,6) sum ×10⁶). */
@@ -1155,6 +1178,128 @@ object StreamOps {
   private def armRelaxedTimer(state: GroupState[_], deadlinesUs: Seq[Long]): Unit = {
     val nextMs = deadlinesUs.min / 1000L + 1L
     state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+  }
+
+  /** Streaming twin of [[CepOps.cepGroupTimes]] — the group quantifier
+    * `(s₁ … s_g){n}` as ONE per-key automaton instead of the unrolled
+    * join chain: the r14 join-form replay paid TWO state stores per
+    * unrolled slot per micro-batch (measured 15–56 s at sf0.1 and
+    * adjudicated out); here the whole pattern is one
+    * `flatMapGroupsWithState` over a single multiplexed state row per
+    * key holding every in-progress path ([[GTPartial]] — next expected
+    * slot is just `ids.length`). All-paths semantics exactly as the
+    * batch form: an event extends every live partial whose next slot
+    * it satisfies inside `(lastTs, lastTs + within]`, WITHOUT
+    * consuming it (a later event may extend the same partial again),
+    * and every slot-1 event anchors a fresh partial; completing slot
+    * `g·n` emits. Same per-key in-order arrival contract as
+    * [[cepKleeneStream]].
+    *
+    * Output is the batch column shape (`<member>_<rep>_id` per slot +
+    * `total_us`), so replay output unions/compares against
+    * [[CepOps.cepGroupTimes]] directly.
+    *
+    * @note scale: one shuffle on the key, ONE state row per key; live
+    *   partials are bounded by the per-key event mass inside the
+    *   `within` horizon raised to the slot fan-out — the same
+    *   partial-match set Flink's NFA buffers for this pattern. A
+    *   partial dies the moment any in-order event or the watermark
+    *   passes its extension deadline; `maxPartials` fails loudly on
+    *   pathological fan-out (tighten `within`, or lower n) instead of
+    *   letting state grow silently. */
+  def cepGroupTimesStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], n: Int,
+      withinUs: Long, delay: String = "10 minutes",
+      maxPartials: Int = 100000): DataFrame = {
+    val g = group.size
+    val slots = g * n
+    require(g >= 1 && n >= 1 && slots >= 2,
+      "a group pattern needs at least two unrolled slots")
+    require(group.map(_._1).distinct.size == g,
+      "group step names must be distinct")
+    val sp = ev.sparkSession
+    import sp.implicits._
+    // bit j of mask = member j's predicate matches (bits are disjoint
+    // powers, so the sum is a bitwise OR)
+    val mask = group.zipWithIndex.map { case ((_, p), j) =>
+      when(p, lit(1 << j)).otherwise(lit(0)) }.reduce(_ + _)
+    val matches = ev.withWatermark(tsCol, delay)
+      .withColumn("__mask", mask.cast("int"))
+      .filter(col("__mask") =!= 0)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col("__mask").as("mask"), col(tsCol).as("tsw"))
+      .as[GTEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[GTState, GTMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        // internal working form — never crosses the encoder boundary
+        final case class P(ids: Array[Long], firstTs: Long, lastTs: Long)
+        def unpack(s: GTState): List[P] = {
+          var off = 0
+          val b = List.newBuilder[P]
+          var i = 0
+          while (i < s.lens.length) {
+            b += P(java.util.Arrays.copyOfRange(s.idsFlat, off, off + s.lens(i)),
+              s.firstTs(i), s.lastTs(i))
+            off += s.lens(i)
+            i += 1
+          }
+          b.result()
+        }
+        def pack(ps: List[P]): GTState = GTState(
+          ps.iterator.flatMap(_.ids).toArray, ps.map(_.ids.length).toArray,
+          ps.map(_.firstTs).toArray, ps.map(_.lastTs).toArray)
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val live = state.getOption.map(unpack).getOrElse(Nil)
+            .filter(p => wmUs <= p.lastTs + withinUs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(pack(live))
+            armRelaxedTimer(state, live.map(_.lastTs + withinUs))
+          }
+          Iterator.empty
+        } else {
+          var partials = state.getOption.map(unpack).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GTMatch]
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            // a partial any in-order event has out-waited can never
+            // extend again — drop before processing (exact, see class doc)
+            partials = partials.filter(p => e.ts_us <= p.lastTs + withinUs)
+            val grown = partials.flatMap { p =>
+              val member = p.ids.length % g
+              if (((e.mask >> member) & 1) == 1 && e.ts_us > p.lastTs) {
+                val ext = P(p.ids :+ e.event_id, p.firstTs, e.ts_us)
+                if (ext.ids.length == slots) {
+                  out += GTMatch(key, ext.ids.toSeq, ext.lastTs - ext.firstTs)
+                  None
+                } else Some(ext)
+              } else None
+            }
+            partials = grown ::: partials
+            if ((e.mask & 1) == 1 && slots > 1)
+              partials = P(Array(e.event_id), e.ts_us, e.ts_us) :: partials
+            require(partials.size <= maxPartials,
+              s"cepGroupTimesStream: key $key holds ${partials.size} live " +
+                s"partial matches (> maxPartials=$maxPartials) — the " +
+                "within band times per-key event rate exceeds the " +
+                "supported fan-out; tighten `within` or reduce n")
+          }
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(pack(partials))
+            armRelaxedTimer(state, partials.map(_.lastTs + withinUs))
+          }
+          out.iterator
+        }
+      }
+    matches.toDF().select(
+      col("user_id").as(keyCol) +:
+        (0 until slots).map(i =>
+          col("ids").getItem(i).as(s"${group(i % g)._1}_${i / g + 1}_id")) :+
+        col("total_us"): _*)
   }
 
   /** [[cepKleeneRelaxedStream]] carrying MEASURES: each anchor records

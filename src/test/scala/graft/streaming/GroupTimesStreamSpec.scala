@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Parity pins for the MULTIPLEXED streaming group quantifier
+  * ([[StreamOps.cepGroupTimesStream]]): the r14 join-form replay was
+  * adjudicated out at 15–56 s per key (two state stores per unrolled
+  * slot per micro-batch); this automaton holds ONE state row per key.
+  * The gate: replay through real micro-batches must equal the batch
+  * [[CepOps.cepGroupTimes]] EXACTLY — same all-paths emission, same
+  * strict-increase/within bands, no flush gap. */
+class GroupTimesStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  // value-split members (the cep_group_mixed fixture shape): every
+  // event matches one of the two, so sf0.001 still has real match mass
+  private val grp = Seq("hi" -> (col("value") >= 50),
+    "lo" -> (col("value") < 50))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSet
+
+  private def emptyLike(schema: org.apache.spark.sql.types.StructType) =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  test("replay through real micro-batches == batch cepGroupTimes, all paths") {
+    val ev0 = Tables.events(spark, sf).filter(col("user_id") < 30)
+    val batch = CepOps.cepGroupTimes(ev0,
+      "user_id", "ts", "event_id", grp, n = 2, within = "360 minutes")
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupTimesStream(ev.filter(col("user_id") < 30),
+        "user_id", "ts", "event_id",
+        grp, n = 2, withinUs = 360L * 60L * 1000000L))(
+      _ => emptyLike(batch.schema))
+    assert(streamed.columns.toSeq == batch.columns.toSeq,
+      "streaming output must carry the batch column shape")
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s == b,
+      s"streamed != batch: extra=${(s -- b).take(3)} missing=${(b -- s).take(3)}")
+    assert(b.nonEmpty, "fixture must contain (hi lo){2} matches")
+  }
+
+  test("3-member group with OVERLAPPING predicates and n=1 replays to batch parity") {
+    // "any" overlaps both value splits — one event can satisfy several
+    // members (multi-bit mask), the case a per-member class column
+    // cannot express
+    val grp3 = Seq("hi" -> (col("value") >= 50),
+      "lo" -> (col("value") < 50), "any" -> (col("value") >= 0))
+    val ev0 = Tables.events(spark, sf).filter(col("user_id") < 10)
+    val batch = CepOps.cepGroupTimes(ev0,
+      "user_id", "ts", "event_id", grp3, n = 1, within = "60 minutes")
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupTimesStream(ev.filter(col("user_id") < 10),
+        "user_id", "ts", "event_id",
+        grp3, n = 1, withinUs = 60L * 60L * 1000000L))(
+      _ => emptyLike(batch.schema))
+    assert(rows(streamed) == rows(batch))
+    assert(rows(batch).nonEmpty, "fixture must contain hi lo any chains")
+  }
+
+  test("maxPartials fails loudly instead of growing state silently") {
+    val e = intercept[Exception] {
+      BoundedReplay.replayEvents(spark, sf)(ev =>
+        StreamOps.cepGroupTimesStream(ev, "user_id", "ts", "event_id",
+          grp, n = 2, withinUs = 360L * 60L * 1000000L, maxPartials = 1))(
+        _ => spark.emptyDataFrame).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("maxPartials"))),
+      s"expected the maxPartials loud fail, got: ${e.getMessage}")
+  }
+}
