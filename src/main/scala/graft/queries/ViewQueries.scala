@@ -115,6 +115,72 @@ object ViewQueries {
         .orderBy("l_partkey")
     }
 
+  private val oracleSkewed =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |n AS (
+      |  SELECT l_partkey,
+      |    qty_c + CASE WHEN l_partkey % 500 = 0 AND l_orderkey % 2 = 1
+      |                 THEN 100 ELSE 0 END AS qty_c,
+      |    price_c
+      |  FROM li
+      |  WHERE NOT (l_partkey % 500 = 0 AND l_orderkey % 2 = 0))
+      |SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      |  min(price_c) AS min_price_c, max(price_c) AS max_price_c
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SKEWED-CHURN continuous maintenance under the BUCKETED snapshot
+    * layout (`snapshotBuckets = Some(32)`): the whole changelog
+    * touches only the `l_partkey % 500 = 0` groups (deletes on even
+    * orderkeys — forcing the min/max delete-rescan down the
+    * partition-pruned path — qty bumps on odd), so each micro-batch's
+    * compaction reconciles and rewrites ONLY the few touched bucket
+    * directories and hard-links the rest — the production-lake shape
+    * the 75%-churn bench fixtures deliberately cannot show (they touch
+    * every bucket; see `ViewMaintain`'s scale note and ViewProbe's
+    * 8.2 MiB → 0.35 MiB write-mass measurement). Same full-recompute
+    * oracle contract as [[viewMaintainStream]], closing the gap where
+    * the bucketed path was spec-parity-only: here the END-TO-END
+    * result of incremental bucketed maintenance is hash-checked
+    * against DuckDB recomputing the new snapshot's aggregate. */
+  private val viewSkewedStream = Q(
+    "stream_view_skewed_replay", oracleSkewed) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li0 = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val li = li0.withColumn("rid", row_number().over(
+        Window.partitionBy("l_orderkey", "l_linenumber")
+          .orderBy("price_c", "qty_c", "l_partkey")))
+      val oldS = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("rid"), col("l_partkey").as("pk"), col("qty_c"),
+        col("price_c"))
+      val newS = li
+        .filter(!(col("l_partkey") % 500 === 0 && col("l_orderkey") % 2 === 0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("rid"),
+          col("l_partkey").as("pk"),
+          (col("qty_c") + when(
+            col("l_partkey") % 500 === 0 && col("l_orderkey") % 2 === 1,
+            lit(100L)).otherwise(lit(0L))).as("qty_c"),
+          col("price_c"))
+      val deltas = ViewOps.rowDeltas(oldS, newS,
+        keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
+        valCols = Seq("pk", "qty_c", "price_c"))
+      graft.streaming.ViewMaintain.maintainViewStream(s, oldS, deltas,
+          orderCol = "l_orderkey", chunks = 3,
+          groupCols = Seq("pk"), sumCols = Seq("qty_c"),
+          minMaxCols = Seq("price_c"),
+          snapshotBuckets = Some(32))
+        .select(col("pk").as("l_partkey"), col("cnt"),
+          col("sum_qty_c"), col("min_price_c"), col("max_price_c"))
+        .orderBy("l_partkey")
+    }
+
   /** Order snapshots for the join-view key: deletes (`%11 = 0` leave),
     * inserts (`%13 = 0` arrive), and group reassignments (`%17 = 0`
     * move to `grp + 50`). `o_orderkey` is unique in the fixture. */
@@ -405,7 +471,7 @@ object ViewQueries {
         .orderBy("l_partkey", "rank")
     }
 
-  val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream,
+  val all: Seq[Q] = Seq(viewMaintain, viewMaintainStream, viewSkewedStream,
     joinViewMaintain, joinViewStream, distinctViewMaintain, rowKindApply,
     viewCascade, topkViewMaintain, topkViewStream)
 }
