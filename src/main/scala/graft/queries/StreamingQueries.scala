@@ -876,6 +876,45 @@ object StreamingQueries {
       .orderBy("user_id", "last_id")
   }
 
+  /** `A{n,m}` — bounded-range consecutive quantifier
+    * ([[graft.streaming.CepOps.cepTimesRange]], Flink
+    * `times(from, to).consecutive()`; DSL `.times(2, 3).consecutive()`,
+    * MATCH_RECOGNIZE `PATTERN (A{2,3})`): one match per (start,
+    * length) window of 2 or 3 adjacent clicks inside 12 h, tagged
+    * `reps` — the UNION of the fixed-count forms. Oracle restates
+    * both lag-window chains with literal reps tags. */
+  private val cepTimesRange = Q(
+    "cep_times_range",
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS pos
+      |           FROM events),
+      |m AS (SELECT user_id, ts, event_id, pos FROM p WHERE event_type = 'click'),
+      |l2 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 1) OVER w AS first_ts, lag(event_id, 1) OVER w AS first_id,
+      |         lag(pos, 1) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |l3 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id,
+      |         lag(pos, 2) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, first_id, event_id AS last_id, CAST(2 AS INT) AS reps,
+      |  epoch_us(ts) - epoch_us(first_ts) AS span_us
+      |FROM l2 WHERE first_pos IS NOT NULL AND pos - first_pos = 1
+      |  AND ts <= first_ts + INTERVAL 12 HOUR
+      |UNION ALL
+      |SELECT user_id, first_id, event_id, CAST(3 AS INT),
+      |  epoch_us(ts) - epoch_us(first_ts)
+      |FROM l3 WHERE first_pos IS NOT NULL AND pos - first_pos = 2
+      |  AND ts <= first_ts + INTERVAL 12 HOUR
+      |ORDER BY user_id, reps, last_id""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "reps", "last_id")
+  }
+
   // ------------------------------------------------------- CEP Kleene B+
   /** Kleene CEP pattern ([[graft.streaming.CepOps.cepKleene]] — Flink
     * `A next B.oneOrMore().consecutive().greedy() next C within Δt`,
@@ -1410,6 +1449,7 @@ object StreamingQueries {
     streamGroupTimesReplay, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
+    cepTimesRange,
     streamWindowTopn, intervalJoinFull,
     streamCumulateAppend, streamTopnReplay, streamFfillReplay,
     streamCountwinReplay, cepKleene,

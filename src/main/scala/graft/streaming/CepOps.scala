@@ -645,6 +645,30 @@ object CepOps {
         (unix_micros(col(tsCol)) - unix_micros(col("first_ts"))).as("span_us"))
   }
 
+  /** Quantified pattern `A{n,m}` with strict contiguity — Flink
+    * `times(from, to).consecutive()`: one match per (start, length)
+    * window of `k` adjacent predicate-matching events for every
+    * `k ∈ n..m` whose span fits `within` (NO_SKIP, as [[cepTimes]] —
+    * a long run emits every qualifying window of every length in the
+    * range). The UNION of the fixed-count forms, each tagged with its
+    * `reps`. Returns `(key, first_id, last_id, reps, span_us)`.
+    *
+    * @note scale: m−n+1 [[cepTimes]] passes, each two window
+    *   functions over one keyed shuffle; the union preserves the
+    *   partitioning. */
+  def cepTimesRange(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predicate: Column, n: Int, m: Int,
+      within: String): DataFrame = {
+    require(n >= 2 && m > n,
+      s"times($n,$m): need 2 <= n < m — times(n) is the fixed-count form")
+    (n to m).map { k =>
+      cepTimes(ev, keyCol, tsCol, idCol, predicate, k, within)
+        .withColumn("reps", lit(k).cast("int"))
+        .select(col(keyCol), col("first_id"), col("last_id"), col("reps"),
+          col("span_us"))
+    }.reduce(_ unionByName _)
+  }
+
   /** 2-step pattern `A → B within Δt` under Flink's AFTER MATCH SKIP TO
     * NEXT ROW: every A-start yields at most ONE match — its earliest
     * completing B (ties on B time broken by id) — and starts are never

@@ -99,7 +99,8 @@ object MatchRecognize {
     raw"(?i)(COUNT|SUM|AVG|FIRST|LAST)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)".r
   private val DefineRe = raw"(?is)DEFINE\s+(.*?)\s*(?:WITHIN\s+.*)?$$".r.unanchored
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
-  private val TokenRe = raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+)\})?".r
+  private val TokenRe =
+    raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+(?:,\d+)?)\})?".r
   private val GroupTokRe = raw"\(([^()]*)\)(\+\?|[+?]|\{\d+(?:,\d+)?\})?".r
   private val TokSplitRe = raw"\([^()]*\)(?:\+\?|[+?]|\{\d+(?:,\d+)?\})?|\S+".r
   private val IntervalRe = raw"(?i)(?:INTERVAL\s+)?'?(\d+)'?\s+([A-Za-z]+)".r
@@ -217,6 +218,16 @@ object MatchRecognize {
     toks match {
       case Seq(Tok(a, "", Seq())) if toks.size == 1 =>
         sys.error("single plain variable is a filter, not a pattern")
+      case Seq(Tok(a, spec, Seq())) if spec.matches(raw"\d+,\d+") =>
+        // A{n,m} — bounded range with strict contiguity: one match per
+        // (start, length) window per length, tagged reps; MEASURES is
+        // rejected (reps varies per match — it IS the count column)
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with A{n,m}; the reps column " +
+            "carries the per-match count")
+        val Array(lo, hi) = spec.split(",").map(_.toInt)
+        CepOps.cepTimesRange(ev, keyCol, tsCol, idCol, binds(a),
+          lo, hi, normWithin)
       case Seq(Tok(a, n, Seq())) if n.forall(_.isDigit) && n.nonEmpty =>
         val base = CepOps.cepTimes(ev, keyCol, tsCol, idCol, binds(a),
           n.toInt, normWithin)

@@ -185,7 +185,8 @@ final class PatternBuilder private[streaming] (
     consecutive: Boolean,
     globalWithin: Option[String],
     untilPred: Option[Column] = None,
-    relaxedMax: Option[Int] = None) {
+    relaxedMax: Option[Int] = None,
+    nTimesHi: Option[Int] = None) {
 
   private def copy(steps: Vector[DslStep] = steps,
       absent: Option[(String, Column)] = absent,
@@ -193,9 +194,10 @@ final class PatternBuilder private[streaming] (
       consecutive: Boolean = consecutive,
       globalWithin: Option[String] = globalWithin,
       untilPred: Option[Column] = untilPred,
-      relaxedMax: Option[Int] = relaxedMax) =
+      relaxedMax: Option[Int] = relaxedMax,
+      nTimesHi: Option[Int] = nTimesHi) =
     new PatternBuilder(steps, absent, nTimes, consecutive, globalWithin,
-      untilPred, relaxedMax)
+      untilPred, relaxedMax, nTimesHi)
 
   /** Append a required (or `optional = true`) step bound `within` the
     * previous matched step. */
@@ -263,6 +265,13 @@ final class PatternBuilder private[streaming] (
   /** The begin step must repeat exactly `n` times. */
   def times(n: Int): PatternBuilder = copy(nTimes = Some(n))
 
+  /** Flink `times(from, to)`: the begin step repeats `n..m`
+    * consecutive times — one match per qualifying (start, length)
+    * window per length, tagged `reps`
+    * ([[CepOps.cepTimesRange]]; requires `.consecutive()`). */
+  def times(n: Int, m: Int): PatternBuilder =
+    copy(nTimes = Some(n), nTimesHi = Some(m))
+
   /** Strict contiguity for [[times]] (no other event of the key in
     * between). */
   def consecutive(): PatternBuilder = copy(consecutive = true)
@@ -302,7 +311,13 @@ final class PatternBuilder private[streaming] (
           "the DSL compiles the .consecutive() form")
       val w = globalWithin.getOrElse(
         sys.error("times pattern needs .within(...)"))
-      CepOps.cepTimes(ev, keyCol, tsCol, idCol, steps.head.pred, n, w)
+      nTimesHi match {
+        case Some(m) =>
+          CepOps.cepTimesRange(ev, keyCol, tsCol, idCol, steps.head.pred,
+            n, m, w)
+        case None =>
+          CepOps.cepTimes(ev, keyCol, tsCol, idCol, steps.head.pred, n, w)
+      }
     case (None, None) if untilPred.isDefined =>
       requireNoAlts("until")
       require(steps.size == 2 && steps(1).oneOrMore && !steps.head.oneOrMore,

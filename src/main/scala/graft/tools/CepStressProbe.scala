@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stress adjudication for the group-quantifier CEP keys: at k×
+  * event DENSITY the relaxed-contiguity chain's candidate set grows
+  * ~(k·band-fan-out)^slots — the documented cliff of every unrolled
+  * chain — and the `within` band is the lever that returns it to
+  * budget. This probe measures the same group pattern on a blown
+  * fixture at the ORIGINAL band and at band/k, each under a
+  * wall-clock budget (a run past budget is killed and reported as
+  * `>budget`). Usage: `CepStressProbe <dir> [budgetSec] [k]`. */
+object CepStressProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/stress10")
+    val budgetSec = args.lift(1).map(_.toInt).getOrElse(300)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    def run(tag: String, withinMin: Int): Unit = {
+      val t0 = System.nanoTime()
+      val fut = scala.concurrent.Future {
+        graft.streaming.CepOps.cepGroupTimes(
+          graft.Tables.events(spark, dir), "user_id", "ts", "event_id",
+          grp, n = 2, within = s"$withinMin minutes").count()
+      }(scala.concurrent.ExecutionContext.global)
+      try {
+        val n = scala.concurrent.Await.result(fut,
+          scala.concurrent.duration.Duration(budgetSec, "s"))
+        println(f"[cepstress] $tag (within=$withinMin min): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelAllJobs()
+          println(s"[cepstress] $tag (within=$withinMin min): " +
+            s">$budgetSec s (killed at budget)")
+      }
+    }
+    run(s"${k}x density, original band", 360)
+    run(s"${k}x density, band/k", 360 / k)
+    spark.stop()
+  }
+}

@@ -186,6 +186,30 @@ class PatternDslSpec extends SparkSpec {
       graft.SparkEntry.queries("cep_group_times")(spark, sf)))
   }
 
+  test("times(n,m).consecutive(): DSL == direct == MATCH_RECOGNIZE == the cep_times_range key") {
+    val dsl = Pattern.begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepTimesRange(ev, "user_id", "ts", "event_id",
+      col("event_type") === "click", n = 2, m = 3, within = "12 hours")
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_times_range")(spark, sf)))
+    // the reps slices ARE the fixed-count forms
+    assert(rows(dsl.filter(col("reps") === 3).drop("reps")) ==
+      rows(CepOps.cepTimes(ev, "user_id", "ts", "event_id",
+        col("event_type") === "click", n = 3, within = "12 hours")))
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (click{2,3})
+        |DEFINE click AS event_type = 'click'
+        |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    assert(rows(mr) == rows(dsl))
+    intercept[IllegalArgumentException] {
+      CepOps.cepTimesRange(ev, "user_id", "ts", "event_id",
+        col("event_type") === "click", n = 3, m = 3, within = "1 hours")
+    }
+  }
+
   test("group(...).times(1,2) range: DSL == direct == MATCH_RECOGNIZE == the cep_group_range key") {
     val grp = Seq("click" -> (col("event_type") === "click"),
       "view" -> (col("event_type") === "view"))
