@@ -584,6 +584,60 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** The UNBOUNDED-RUN EWMA route ([[windowEwma]]'s loud cap names
+    * it): the same α = 1/2 exponential smoothing computed as the
+    * per-key recurrence `t ← t/2 + v`, `w ← w/2 + 1`, `ewma = t/w`
+    * over a [[graft.operators.KeyedOps.mapSortedGroups]] fold — O(1)
+    * state per key, NO weight ever leaves [1, 2], so a run of any
+    * length works (the r15 10× stress run pushed the ratio form's
+    * `2^j` scale past double range at run length 900 — this is the
+    * documented chunk/rescale fix, as the telescoped rescale of the
+    * running-sum ratio). Same secondary-sort shuffle contract as
+    * every keyed fold: one exchange, external sort, per-task memory
+    * independent of run depth. The oracle replays the IDENTICAL
+    * recurrence as a DuckDB recursive CTE (same IEEE op order:
+    * `t/2 + v`, `w/2 + 1`, one division, round 6), so streaming-fold
+    * == set-oriented recursion is certified bit-exactly.
+    *
+    * @note scale: one hash shuffle on the key + spillable sort — the
+    *   100 TB shape for arbitrarily deep per-key history; the ratio
+    *   form ([[windowEwma]]) stays the declarative route for runs
+    *   under its scale guard. */
+  private val windowEwmaLong = Q(
+    "window_ewma_long",
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS j
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, j, value AS t, CAST(1 AS DOUBLE) AS w
+      |  FROM v WHERE j = 1
+      |  UNION ALL
+      |  SELECT v.user_id, v.event_id, v.j, r.t / 2 + v.value, r.w / 2 + 1
+      |  FROM r JOIN v ON v.user_id = r.user_id AND v.j = r.j + 1)
+      |SELECT user_id, event_id, round(t / w, 6) AS ewma
+      |FROM r ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("user_id").cast("long"),
+        col("event_id").cast("long"), unix_micros(col("ts")),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    graft.operators.KeyedOps.mapSortedGroups(ev, parts = 32)(
+      _._1, t => (t._3, t._2)) { (k, it) =>
+        var t = 0.0
+        var w = 0.0
+        it.map { case (_, eid, _, v) =>
+          t = t / 2 + v
+          w = w / 2 + 1
+          (k, eid, t / w)
+        }
+      }
+      .toDF("user_id", "event_id", "raw")
+      .withColumn("ewma", round(col("raw"), 6)).drop("raw")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Mode (most frequent value) with an EXPLICIT tiebreak — built-in
     * `mode()` leaves ties unspecified in both engines, so the key
     * states the deterministic form every production dedup-to-one query
@@ -2080,7 +2134,7 @@ object ExtendedQueries {
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore, windowEwma, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
+    windowZscore, windowEwma, windowEwmaLong, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggTopkPortable, aggThetaRetention,
