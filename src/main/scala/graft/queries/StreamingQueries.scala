@@ -611,6 +611,31 @@ object StreamingQueries {
         "view_2_id")
   }
 
+  /** The MIXED group quantifier `signup (hi lo){2} purchase` on the
+    * REAL streaming runtime — [[graft.streaming.StreamOps
+    * .cepGroupTimesMixedStream]]: the outer steps are just more slots
+    * in the multiplexed automaton's flat chain, one packed state row
+    * per key. Same `user_id < 30` fixture and MATERIALIZED-CTE oracle
+    * as the batch [[cepGroupMixed]] key — replay must equal the batch
+    * unrolled 6-slot chain exactly. */
+  private val streamGroupMixedReplay = Q(
+    "stream_group_mixed_replay", cepGroupMixed.oracle.get) { (s, d) =>
+    val pre = Seq("signup" -> (col("event_type") === "signup"))
+    val grp = Seq("hi" -> (col("value") >= 50), "lo" -> (col("value") < 50))
+    val post = Seq("purchase" -> (col("event_type") === "purchase"))
+    val schema = graft.streaming.CepOps.cepGroupTimesMixed(
+      Tables.events(s, d).filter(col("user_id") < 30), "user_id", "ts",
+      "event_id", pre, grp, n = 2, post, within = "1440 minutes").schema
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupTimesMixedStream(
+          ev.filter(col("user_id") < 30), "user_id", "ts", "event_id",
+          pre, grp, n = 2, post, withinUs = 1440L * 60L * 1000000L))(
+        _ => s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      .orderBy("user_id", "signup_id", "hi_1_id", "lo_1_id", "hi_2_id",
+        "lo_2_id", "purchase_id")
+  }
+
   // The group KLEENE's streaming form stays spec-only on measurement:
   // its per-count union multiplies the automaton's live-partial set by
   // maxReps chains (the r14 join-form replay of (click view)+ measured
@@ -1446,7 +1471,7 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
     cepGroupRange, cepGroupKleene, cepGroupMixed, cepGroupAlt,
-    streamGroupTimesReplay, cepAbsence,
+    streamGroupTimesReplay, streamGroupMixedReplay, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     cepTimesRange,

@@ -1212,16 +1212,62 @@ object StreamOps {
       withinUs: Long, delay: String = "10 minutes",
       maxPartials: Int = 100000): DataFrame = {
     val g = group.size
-    val slots = g * n
-    require(g >= 1 && n >= 1 && slots >= 2,
+    require(g >= 1 && n >= 1 && g * n >= 2,
       "a group pattern needs at least two unrolled slots")
     require(group.map(_._1).distinct.size == g,
       "group step names must be distinct")
+    val slotPreds = (1 to n).flatMap(_ => group.map(_._2))
+    val outNames = (1 to n).flatMap(r =>
+      group.map { case (nm, _) => s"${nm}_${r}_id" })
+    cepSlotsStream(ev, keyCol, tsCol, idCol, slotPreds, outNames,
+      withinUs, delay, maxPartials)
+  }
+
+  /** Streaming twin of [[CepOps.cepGroupTimesMixed]] — the MIXED shape
+    * `A (B C){n} D` on the same multiplexed automaton: outer `pre` and
+    * `post` steps are just more slots in the flat chain, so one state
+    * row per key still holds every in-progress path and the cost model
+    * is identical to [[cepGroupTimesStream]]. Output is the batch
+    * column shape (`<pre>_id …, <member>_<rep>_id …, <post>_id …,
+    * total_us`), so replay output compares against the batch key's
+    * oracle directly. */
+  def cepGroupTimesMixedStream(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, pre: Seq[(String, Column)],
+      group: Seq[(String, Column)], n: Int, post: Seq[(String, Column)],
+      withinUs: Long, delay: String = "10 minutes",
+      maxPartials: Int = 100000): DataFrame = {
+    require(group.nonEmpty && n >= 1, "a group needs steps and n >= 1")
+    require(pre.nonEmpty || post.nonEmpty,
+      "no outer steps — use cepGroupTimesStream for a standalone group")
+    val unrolled = (1 to n).flatMap(r =>
+      group.map { case (nm, p) => (s"${nm}_$r", p) })
+    val all = pre ++ unrolled ++ post
+    require(all.map(_._1).distinct.size == all.size,
+      s"outer step names must not collide with the unrolled group " +
+        s"columns: ${all.map(_._1)}")
+    cepSlotsStream(ev, keyCol, tsCol, idCol, all.map(_._2),
+      all.map(_._1 + "_id"), withinUs, delay, maxPartials)
+  }
+
+  /** The shared slot-chain automaton behind [[cepGroupTimesStream]] /
+    * [[cepGroupTimesMixedStream]]: an arbitrary flat slot chain, each
+    * event carrying a BITMASK of the slots it satisfies (bit = slot
+    * index, so repeated/overlapping slot predicates cost only their
+    * re-evaluation in the mask projection). ≤ 31 slots — the unrolled
+    * chains the batch forms compile are far shorter (their candidate
+    * growth is fan-out^slots; see the loud caps there). */
+  private def cepSlotsStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, slotPreds: Seq[Column], outNames: Seq[String],
+      withinUs: Long, delay: String,
+      maxPartials: Int): DataFrame = {
+    val slots = slotPreds.size
+    require(slots >= 2 && slots <= 31,
+      s"slot chain length $slots outside the supported 2..31")
     val sp = ev.sparkSession
     import sp.implicits._
-    // bit j of mask = member j's predicate matches (bits are disjoint
+    // bit j of mask = slot j's predicate matches (bits are disjoint
     // powers, so the sum is a bitwise OR)
-    val mask = group.zipWithIndex.map { case ((_, p), j) =>
+    val mask = slotPreds.zipWithIndex.map { case (p, j) =>
       when(p, lit(1 << j)).otherwise(lit(0)) }.reduce(_ + _)
     val matches = ev.withWatermark(tsCol, delay)
       .withColumn("__mask", mask.cast("int"))
@@ -1269,8 +1315,8 @@ object StreamOps {
             // extend again — drop before processing (exact, see class doc)
             partials = partials.filter(p => e.ts_us <= p.lastTs + withinUs)
             val grown = partials.flatMap { p =>
-              val member = p.ids.length % g
-              if (((e.mask >> member) & 1) == 1 && e.ts_us > p.lastTs) {
+              val slot = p.ids.length // next expected slot index
+              if (((e.mask >> slot) & 1) == 1 && e.ts_us > p.lastTs) {
                 val ext = P(p.ids :+ e.event_id, p.firstTs, e.ts_us)
                 if (ext.ids.length == slots) {
                   out += GTMatch(key, ext.ids.toSeq, ext.lastTs - ext.firstTs)
@@ -1297,8 +1343,8 @@ object StreamOps {
       }
     matches.toDF().select(
       col("user_id").as(keyCol) +:
-        (0 until slots).map(i =>
-          col("ids").getItem(i).as(s"${group(i % g)._1}_${i / g + 1}_id")) :+
+        outNames.zipWithIndex.map { case (nm, i) =>
+          col("ids").getItem(i).as(nm) } :+
         col("total_us"): _*)
   }
 

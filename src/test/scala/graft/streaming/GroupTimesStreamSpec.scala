@@ -61,6 +61,22 @@ class GroupTimesStreamSpec extends SparkSpec {
     assert(rows(batch).nonEmpty, "fixture must contain hi lo any chains")
   }
 
+  test("MIXED shape A (B C){n} D replays to batch parity") {
+    val pre = Seq("signup" -> (col("event_type") === "signup"))
+    val post = Seq("purchase" -> (col("event_type") === "purchase"))
+    val ev0 = Tables.events(spark, sf).filter(col("user_id") < 30)
+    val batch = CepOps.cepGroupTimesMixed(ev0, "user_id", "ts",
+      "event_id", pre, grp, n = 2, post, within = "1440 minutes")
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupTimesMixedStream(ev.filter(col("user_id") < 30),
+        "user_id", "ts", "event_id", pre, grp, n = 2, post,
+        withinUs = 1440L * 60L * 1000000L))(
+      _ => emptyLike(batch.schema))
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    assert(rows(streamed) == rows(batch))
+    assert(rows(batch).nonEmpty, "fixture must contain mixed matches")
+  }
+
   test("maxPartials fails loudly instead of growing state silently") {
     val e = intercept[Exception] {
       BoundedReplay.replayEvents(spark, sf)(ev =>
