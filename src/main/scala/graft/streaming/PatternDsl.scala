@@ -14,6 +14,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    streaming twin [[StreamOps.cepKleeneStream]])
   *  - `begin(A).notFollowedBy(B).within(Δ)` → [[CepOps.cepAbsence]]
   *  - `begin(A).times(n).consecutive().within(Δ)` → [[CepOps.cepTimes]]
+  *  - `begin(A).times(n, m).consecutive().within(Δ)` →
+  *    [[CepOps.cepTimesRange]] (one match per length, tagged `reps`)
+  *  - `Pattern.group(Δ, steps…).times(n)` / `.times(n, m)` /
+  *    `.oneOrMore(max)` → the quantified-sequence-group family
+  *    ([[CepOps.cepGroupTimes]] / [[CepOps.cepGroupRange]] /
+  *    [[CepOps.cepGroupKleene]]); `.precededBy/.followedBy` mix outer
+  *    steps with the times(n) form ([[CepOps.cepGroupTimesMixed]])
   *
   * The builder is immutable; `over(ev, key, ts, id)` validates the
   * shape and dispatches. Output schema is the target operator's —
