@@ -10,6 +10,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)       => (s, o, None)
       case Array(s, o, keys) => (s, o, Some(keys.split(",").toSet))
+      case _ =>
+        System.err.println("usage: Verify <sfDir> <outDir> [key,key,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

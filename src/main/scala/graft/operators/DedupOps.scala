@@ -906,6 +906,8 @@ object DedupOps {
   def appendToDedupIndex(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
+    requirePartitionedLayout(path, "bands", "band")
+    requirePartitionedLayout(path, "sets", "bkt")
     val e = EpochLog.next(path)
     val sets = shingleSets(df, idCol, textCol, n).persist()
     rowBands(sets).withColumn("epoch", lit(e))
@@ -976,6 +978,40 @@ object DedupOps {
       }
       rmTree(java.nio.file.Paths.get(s"$path/tombstones"))
     }
+
+  /** Refuse to append into a pre-r15 UNPARTITIONED index directory:
+    * mixing `<key>=…/` partition dirs into a root that already holds
+    * flat parquet files makes the next read fail partition discovery
+    * ("Conflicting directory structures") — a delayed, cryptic error
+    * far from its cause. Detect the legacy layout up front and name
+    * the migration (the legacy files carry `band`/`bkt` as DATA
+    * columns, so a bulk [[saveDedupIndex]] rebuild — or
+    * [[compactDedupIndex]] when tombstones exist — rewrites them into
+    * the partitioned layout). A missing table is fine: parquet append
+    * creates it. */
+  private def requirePartitionedLayout(path: String, tbl: String,
+      part: String): Unit = {
+    val d = java.nio.file.Paths.get(path, tbl)
+    if (java.nio.file.Files.isDirectory(d)) {
+      val ls = java.nio.file.Files.list(d)
+      val flat = try {
+        var f = false
+        val it = ls.iterator()
+        while (it.hasNext && !f) {
+          val n = it.next().getFileName.toString
+          f = n.endsWith(".parquet")
+        }
+        f
+      } finally ls.close()
+      require(!flat,
+        s"$path/$tbl holds root-level parquet files — a legacy " +
+          s"UNPARTITIONED dedup index; appending partitionBy($part) " +
+          "dirs next to them breaks the next read's partition " +
+          "discovery. Rebuild the index with saveDedupIndex (bulk) " +
+          "first — the legacy files carry the partition key as a data " +
+          "column, so the rebuild is lossless.")
+    }
+  }
 
   private def rmTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

@@ -15,7 +15,18 @@ package graft.operators
   * createFile throws `FileAlreadyExists` and RETRIES with the
   * refreshed max (CAS loop), so concurrent single-machine mutators
   * each get a distinct epoch instead of crashing. Non-numeric
-  * `e*` names (editor droppings, partial copies) are ignored. */
+  * `e*` names (editor droppings, partial copies) are ignored.
+  *
+  * [[reset]] (the bulk-rebuild path) is NOT part of that contract: it
+  * deletes the counter directory non-atomically, so a rebuild requires
+  * EXCLUSIVE access to the index — an appender racing a rebuild can
+  * claim epoch 1 against half-reset state and its rows would be
+  * indistinguishable from the rebuild's own. The CAS loop does tolerate
+  * the benign half of the race (a `NoSuchFileException` from the
+  * vanished directory re-creates it and retries) so a stray reader
+  * never crashes, but epoch-numbering correctness during a rebuild is
+  * the caller's lock to take, exactly as a lake's transaction log
+  * serializes its own truncation. */
 private[graft] object EpochLog {
   private val Name = "^e(\\d+)$".r
 
@@ -24,23 +35,28 @@ private[graft] object EpochLog {
     java.nio.file.Files.createDirectories(dir)
     var claimed = -1L
     while (claimed < 0) {
-      val ls = java.nio.file.Files.list(dir)
-      val m = try {
-        var mx = 0L
-        val it = ls.iterator()
-        while (it.hasNext) {
-          it.next().getFileName.toString match {
-            case Name(d) => mx = math.max(mx, d.toLong)
-            case _       => ()
-          }
-        }
-        mx
-      } finally ls.close()
       try {
+        val ls = java.nio.file.Files.list(dir)
+        val m = try {
+          var mx = 0L
+          val it = ls.iterator()
+          while (it.hasNext) {
+            it.next().getFileName.toString match {
+              case Name(d) => mx = math.max(mx, d.toLong)
+              case _       => ()
+            }
+          }
+          mx
+        } finally ls.close()
         java.nio.file.Files.createFile(dir.resolve(s"e${m + 1}"))
         claimed = m + 1
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // lost the race; re-list
+        case _: java.nio.file.NoSuchFileException =>
+          // a racing reset() deleted the dir between list and create —
+          // re-create and retry (epoch numbering vs that rebuild is the
+          // caller's lock, see class doc; this only keeps us crash-free)
+          java.nio.file.Files.createDirectories(dir)
       }
     }
     claimed

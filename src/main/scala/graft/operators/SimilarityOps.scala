@@ -721,7 +721,8 @@ object SimilarityOps {
     * [[knnLookupIvf]], the broadcast-index twin. */
   def knnIvfSaved(queries: DataFrame, path: String,
       isQuery: org.apache.spark.sql.Column, nprobe: Int = 4, k: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbeRows: Int = 200000): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val nq = normed(queries, idCol, vecCol).filter(isQuery)
@@ -740,6 +741,19 @@ object SimilarityOps {
     // the local relation below is the join's build side with no
     // second probe-routing job
     val probeRows = probesPlan.collect()
+    // the collected mass is nq×nprobe ROWS WITH FULL QUERY VECTORS —
+    // driver footprint scales with the query batch, not the ≤nCells
+    // cid set. Loud cap (like every driver-bounded collect in this
+    // library) naming the route that never collects: past it, the
+    // query batch is no longer a "probe set", it is a corpus — use
+    // knnLookupIvf (broadcast-index, streaming-safe) or knnIvfDet
+    // (full distributed join) instead. spark.driver.maxResultSize is
+    // the backstop below this check.
+    require(probeRows.length <= maxProbeRows,
+      s"knnIvfSaved collected ${probeRows.length} probe rows " +
+        s"(> maxProbeRows=$maxProbeRows): the query batch is too large " +
+        "for the collect-once serve path — route it through " +
+        "knnLookupIvf (broadcast index) or knnIvfDet (distributed join)")
     val probedCells = probeRows.map(_.getLong(3)).distinct.toSeq
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)

@@ -16,6 +16,12 @@ object CepStressProbe {
     val dir = args.headOption.getOrElse("/tmp/stress10")
     val budgetSec = args.lift(1).map(_.toInt).getOrElse(300)
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    require(k >= 1 && k <= 360,
+      s"density factor k=$k outside 1..360 — 360/k would truncate to a " +
+        "degenerate 0-minute band and the probe would measure nothing")
+    // integer division truncates (k=7 → 51 min, not 51.4) — report the
+    // band actually used so the printed tag never overstates the lever
+    val bandK = math.max(1, 360 / k)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +51,7 @@ object CepStressProbe {
       }
     }
     run(s"${k}x density, original band", 360)
-    run(s"${k}x density, band/k", 360 / k)
+    run(s"${k}x density, band/k", bandK)
     spark.stop()
   }
 }

@@ -77,6 +77,20 @@ class AnnIndexLayoutSpec extends SparkSpec {
     assert(served.collect().map(_.toSeq).toSet == direct)
   }
 
+  test("knnIvfSaved's probe collect fails loudly past maxProbeRows, naming the distributed routes") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-probe-cap").toString
+    SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)
+    val e = intercept[IllegalArgumentException] {
+      // every vector a query × nprobe=2 ≫ a 3-row cap
+      SimilarityOps.knnIvfSaved(emb, path, isQuery = lit(true),
+        nprobe = 2, k = 5, maxProbeRows = 3)
+    }
+    assert(e.getMessage.contains("maxProbeRows") &&
+      e.getMessage.contains("knnLookupIvf") &&
+      e.getMessage.contains("knnIvfDet"),
+      s"cap must name the scale-safe alternatives: ${e.getMessage}")
+  }
+
   test("versioned tombstones: delete -> re-append serves WITHOUT compaction, both kernels") {
     val path = graft.Scratch.dirString("graft-ivf-epoch")
     SimilarityOps.saveIvfIndex(emb, path, nCells = 8, iters = 2)

@@ -176,4 +176,24 @@ class DedupIndexSpec extends SparkSpec {
     assert(dirNames(s"$path/sets").exists(_.startsWith("bkt=")),
       "compaction must keep sets/ bucket-partitioned")
   }
+
+  test("append refuses a legacy UNPARTITIONED index layout, loudly") {
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx-legacy").toString
+    // simulate a pre-partitioning index: band/bkt as plain data columns,
+    // parquet files at the table root
+    val sets = DedupOps.shingleSets(docs.limit(20))
+    DedupOps.rowBands(sets).withColumn("epoch", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sets.withColumn("epoch", lit(0L))
+      .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.appendToDedupIndex(docs.limit(5), path)
+    }
+    assert(e.getMessage.contains("UNPARTITIONED") &&
+      e.getMessage.contains("saveDedupIndex"),
+      s"error must name the legacy layout and the rebuild route: ${e.getMessage}")
+    // and nothing was appended half-way: the legacy table still reads
+    assert(spark.read.parquet(s"$path/bands").count() > 0)
+  }
 }
