@@ -638,6 +638,56 @@ object ExtendedQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** [[windowEwmaLong]]'s recurrence fold generalized to ARBITRARY α —
+    * here α = 1/4: `t ← t·(1−α) + v`, `w ← w·(1−α) + 1`,
+    * `ewma = t/w`. The α = 1/2 special case wrote the decay as a
+    * division; the general form is one multiply by `(1−α)`, and with
+    * `1−α = 0.75` (a dyadic rational, exactly representable in
+    * binary64) every step is a single IEEE multiply + add in the SAME
+    * op order the DuckDB recursive CTE replays — so the certificate
+    * is still bit-exact, for any dyadic α. Same
+    * [[graft.operators.KeyedOps.mapSortedGroups]] contract: O(1) fold
+    * state, spillable secondary sort, run length unbounded.
+    *
+    * @note scale: identical to [[windowEwmaLong]] — one hash shuffle
+    *   on the key, external sort, per-task memory independent of the
+    *   deepest key's history. */
+  private val windowEwmaAlpha = Q(
+    "window_ewma_alpha",
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS j
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, j, value AS t, CAST(1 AS DOUBLE) AS w
+      |  FROM v WHERE j = 1
+      |  UNION ALL
+      |  SELECT v.user_id, v.event_id, v.j, r.t * 0.75 + v.value,
+      |    r.w * 0.75 + 1
+      |  FROM r JOIN v ON v.user_id = r.user_id AND v.j = r.j + 1)
+      |SELECT user_id, event_id, round(t / w, 6) AS ewma
+      |FROM r ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("user_id").cast("long"),
+        col("event_id").cast("long"), unix_micros(col("ts")),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+    graft.operators.KeyedOps.mapSortedGroups(ev, parts = 32)(
+      _._1, t => (t._3, t._2)) { (k, it) =>
+        var t = 0.0
+        var w = 0.0
+        it.map { case (_, eid, _, v) =>
+          t = t * 0.75 + v
+          w = w * 0.75 + 1
+          (k, eid, t / w)
+        }
+      }
+      .toDF("user_id", "event_id", "raw")
+      .withColumn("ewma", round(col("raw"), 6)).drop("raw")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Mode (most frequent value) with an EXPLICIT tiebreak — built-in
     * `mode()` leaves ties unspecified in both engines, so the key
     * states the deterministic form every production dedup-to-one query
@@ -2134,7 +2184,7 @@ object ExtendedQueries {
     joinAsofNative, aggPivot, flatmapPosexplode, windowNth, cdcUpsertLatest,
     cdcSnapshotDiff, stateMaxStreak, cdcScd2, stateMergeIntervals,
     windowPercentRank, aggUnpivot, joinAsofForward, aggCohortRetention,
-    windowZscore, windowEwma, windowEwmaLong, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
+    windowZscore, windowEwma, windowEwmaLong, windowEwmaAlpha, aggMode, aggCovar, aggCorr, cdcApplyChangelog, stateSessionIds,
     aggStringConcat, windowTimeRange, joinAsofTolerance, cdcMergeNewer,
     aggApproxDistinct, aggApproxQuantile, aggHllMergeable, aggKllMergeable,
     aggThetaSetops, aggTopkMergeable, aggTopkPortable, aggThetaRetention,
