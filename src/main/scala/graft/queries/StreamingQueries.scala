@@ -403,6 +403,72 @@ object StreamingQueries {
         "click_2_id", "view_2_id")
   }
 
+  /** T8 group quantifier, RELUCTANT RANGE — `(click view){1,2}? signup`
+    * ([[graft.streaming.CepOps.cepGroupRangeReluctant]], via
+    * [[graft.streaming.Pattern.group]]`.times(1, 2).reluctant
+    * .followedBy`): SQL MATCH_RECOGNIZE's non-greedy quantifier — per
+    * anchor (the group's first bound click), the SHORTEST repetition
+    * count whose chain a signup completes wins; the 2-rep rows
+    * survive only for anchors with NO 1-rep completion. The oracle
+    * extends [[cepGroupRange]]'s MATERIALIZED-CTE chains with the
+    * signup leg per count and applies the per-anchor argmin as a
+    * QUALIFY window — certifying the tie-break contract (minimal
+    * count per anchor, NO_SKIP all-combinations within it) the kernel
+    * documents. Ordering keeps `reps` right after the key so the
+    * null-padded rep-2 columns never discriminate. */
+  private val cepGroupRangeReluctant = Q(
+    "cep_group_range_reluctant",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |r1a AS MATERIALIZED (
+      |  SELECT user_id, event_id AS c1, ts AS t0
+      |  FROM ev WHERE event_type = 'click'),
+      |r1b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v1, e.ts AS t1 FROM r1a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t0 AND e.ts <= t0 + INTERVAL 360 MINUTE),
+      |p1 AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS pid, e.ts AS tp FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'signup'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 360 MINUTE),
+      |r2a AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS c2, e.ts AS t2 FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'click'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 360 MINUTE),
+      |r2b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v2, e.ts AS t3 FROM r2a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t2 AND e.ts <= t2 + INTERVAL 360 MINUTE),
+      |p2 AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS pid, e.ts AS tp FROM r2b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'signup'
+      |  AND e.ts > t3 AND e.ts <= t3 + INTERVAL 360 MINUTE),
+      |u AS (
+      |  SELECT user_id, c1 AS click_1_id, v1 AS view_1_id,
+      |    CAST(NULL AS BIGINT) AS click_2_id, CAST(NULL AS BIGINT) AS view_2_id,
+      |    pid AS signup_id, CAST(1 AS INT) AS reps,
+      |    epoch_us(tp) - epoch_us(t0) AS total_us
+      |  FROM p1
+      |  UNION ALL
+      |  SELECT user_id, c1, v1, c2, v2, pid, CAST(2 AS INT),
+      |    epoch_us(tp) - epoch_us(t0)
+      |  FROM p2)
+      |SELECT * FROM u
+      |QUALIFY reps = min(reps) OVER (PARTITION BY user_id, click_1_id)
+      |ORDER BY 1, 7, 2, 3, 4, 5, 6""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .group("360 minutes",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .times(1, 2)
+      .reluctant
+      .followedBy("signup", col("event_type") === "signup")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "reps", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id", "signup_id")
+  }
+
   /** T8 group Kleene — `(click view)+`
     * ([[graft.streaming.CepOps.cepGroupKleene]], via
     * [[graft.streaming.Pattern.group]]`.oneOrMore(3)`): one match per
@@ -940,6 +1006,59 @@ object StreamingQueries {
       .orderBy("user_id", "reps", "last_id")
   }
 
+  /** `A{n,m}? B` — RELUCTANT consecutive quantifier
+    * ([[graft.streaming.CepOps.cepTimesRangeReluctant]]; DSL
+    * `.times(2, 3).consecutive().within(...)
+    * .reluctantlyFollowedBy("purchase", …)`, MATCH_RECOGNIZE
+    * `PATTERN (A{2,3}? B)`): per run start, the SHORTEST click-run
+    * length whose tail a purchase closes within 12 h wins — a 2-run
+    * with no closer in ITS band loses to the 3-run extension whose
+    * later tail reaches one, which is what the per-anchor argmin
+    * decides (and what makes reluctance more than `times(n)`). The
+    * oracle restates both lag-window chains, joins the closer leg,
+    * and applies the argmin as a QUALIFY window. */
+  private val cepTimesRangeReluctant = Q(
+    "cep_times_range_reluctant",
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS pos
+      |           FROM events),
+      |m AS (SELECT user_id, ts, event_id, pos FROM p WHERE event_type = 'click'),
+      |l2 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 1) OVER w AS first_ts, lag(event_id, 1) OVER w AS first_id,
+      |         lag(pos, 1) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |l3 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id,
+      |         lag(pos, 2) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, first_id, event_id AS last_id, first_ts, ts AS last_ts,
+      |    CAST(2 AS INT) AS reps
+      |  FROM l2 WHERE first_pos IS NOT NULL AND pos - first_pos = 1
+      |    AND ts <= first_ts + INTERVAL 12 HOUR
+      |  UNION ALL
+      |  SELECT user_id, first_id, event_id, first_ts, ts, CAST(3 AS INT)
+      |  FROM l3 WHERE first_pos IS NOT NULL AND pos - first_pos = 2
+      |    AND ts <= first_ts + INTERVAL 12 HOUR),
+      |c AS (
+      |  SELECT r.user_id, r.first_id, r.last_id, q.event_id AS purchase_id,
+      |    r.reps, epoch_us(q.ts) - epoch_us(r.first_ts) AS span_us
+      |  FROM runs r JOIN p q ON q.user_id = r.user_id
+      |    AND q.event_type = 'purchase'
+      |    AND q.ts > r.last_ts AND q.ts <= r.last_ts + INTERVAL 12 HOUR)
+      |SELECT user_id, first_id, last_id, purchase_id, reps, span_us
+      |FROM c
+      |QUALIFY reps = min(reps) OVER (PARTITION BY user_id, first_id)
+      |ORDER BY user_id, first_id, last_id, purchase_id""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .reluctantlyFollowedBy("purchase", col("event_type") === "purchase")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "first_id", "last_id", "purchase_id")
+  }
+
   // ------------------------------------------------------- CEP Kleene B+
   /** Kleene CEP pattern ([[graft.streaming.CepOps.cepKleene]] — Flink
     * `A next B.oneOrMore().consecutive().greedy() next C within Δt`,
@@ -1470,7 +1589,8 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
-    cepGroupRange, cepGroupKleene, cepGroupMixed, cepGroupAlt,
+    cepGroupRange, cepGroupRangeReluctant, cepGroupKleene, cepGroupMixed,
+    cepGroupAlt, cepTimesRangeReluctant,
     streamGroupTimesReplay, streamGroupMixedReplay, cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,

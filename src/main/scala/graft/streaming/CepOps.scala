@@ -630,6 +630,21 @@ object CepOps {
   def cepTimes(ev: DataFrame, keyCol: String, tsCol: String, idCol: String,
       predicate: Column, n: Int, within: String): DataFrame = {
     require(n >= 2, "times(n) needs n >= 2")
+    timesRuns(ev, keyCol, tsCol, idCol, predicate, n, within)
+      .select(col(keyCol), col("first_id"), col("last_id"),
+        (unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+          .as("span_us"))
+  }
+
+  /** Shared run extractor behind the `times` family: every
+    * strict-contiguity `n`-run of `predicate` events as
+    * `(key, first_id, last_id, first_ts, last_ts)` — the rank-then-lag
+    * form [[cepTimes]] documents, with the run-edge TIMESTAMPS kept so
+    * callers that must join something onto the run's tail (the
+    * reluctant form's post step) don't re-derive them. */
+  private def timesRuns(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predicate: Column, n: Int,
+      within: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     ev.withColumn("__pos", row_number().over(w))
@@ -642,7 +657,7 @@ object CepOps {
         col("__pos") - col("first_pos") === lit(n - 1) &&
         col(tsCol) <= col("first_ts") + expr(s"INTERVAL $within"))
       .select(col(keyCol), col("first_id"), col(idCol).as("last_id"),
-        (unix_micros(col(tsCol)) - unix_micros(col("first_ts"))).as("span_us"))
+        col("first_ts"), col(tsCol).as("last_ts"))
   }
 
   /** Quantified pattern `A{n,m}` with strict contiguity — Flink
@@ -667,6 +682,126 @@ object CepOps {
         .select(col(keyCol), col("first_id"), col("last_id"), col("reps"),
           col("span_us"))
     }.reduce(_ unionByName _)
+  }
+
+  /** RELUCTANT quantified variable `A{n,m}? B` — SQL MATCH_RECOGNIZE's
+    * non-greedy quantifier: per match START, the SHORTEST run length
+    * `k ∈ n..m` of strictly-consecutive `predicate` events whose tail
+    * a `postPred` event closes within `within` wins; longer counts for
+    * the same anchor are discarded. Contrast [[cepTimesRange]] (the
+    * greedy/all-counts emission — one match PER count). The post step
+    * follows with RELAXED contiguity (Flink `followedBy`: non-matching
+    * events — including further `predicate` events — may sit between
+    * the run's tail and the closer), which is what makes the argmin
+    * non-trivial: a 2-run whose band holds no closer loses to the
+    * 3-run extension whose later tail reaches one.
+    *
+    * TIE-BREAK CONTRACT (the part the standard leaves to the SKIP
+    * clause): within the minimal count, EVERY qualifying closer event
+    * emits (the library's NO_SKIP contract, as everywhere); SQL's
+    * ONE ROW PER MATCH + SKIP PAST LAST additionally dedups
+    * overlapping anchors — a strictly stronger pruning, documented as
+    * out of contract here. Flink's Pattern API has no reluctant
+    * toggle for `times` at all (only SQL `{n,m}?`), so the SQL form
+    * is the semantics certified by the oracle. Returns
+    * `(key, first_id, last_id, <postName>_id, reps, span_us)` with
+    * `span_us` spanning first run event to the closer.
+    *
+    * @note scale: m−n+1 rank-then-lag window passes sharing one keyed
+    *   shuffle + one time-band join against the post events + one
+    *   (key, first_id) window for the argmin — all fan-out bounded by
+    *   events-per-key inside the band; no per-key history scan. */
+  def cepTimesRangeReluctant(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predicate: Column, n: Int, m: Int, within: String,
+      postName: String, postPred: Column): DataFrame = {
+    require(n >= 2 && m > n,
+      s"times($n,$m)?: need 2 <= n < m — times(n) is the fixed-count form")
+    val runs = (n to m).map { k =>
+      timesRuns(ev, keyCol, tsCol, idCol, predicate, k, within)
+        .withColumn("reps", lit(k).cast("int"))
+    }.reduce(_ unionByName _)
+    val p = ev.filter(postPred).select(col(keyCol).as("__pk"),
+      col(tsCol).as("__p_ts"), col(idCol).as(s"${postName}_id"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("first_id"))
+    runs.join(p, col(keyCol) === col("__pk") &&
+        col("__p_ts") > col("last_ts") &&
+        col("__p_ts") <= col("last_ts") + expr(s"INTERVAL $within"))
+      .select(col(keyCol), col("first_id"), col("last_id"),
+        col(s"${postName}_id"), col("reps"),
+        (unix_micros(col("__p_ts")) - unix_micros(col("first_ts")))
+          .as("span_us"))
+      .withColumn("__minr", min(col("reps")).over(wa))
+      .filter(col("reps") === col("__minr"))
+      .drop("__minr")
+  }
+
+  /** RELUCTANT group quantifier `(A B){n,m}? D…` — the sequence-group
+    * face of the non-greedy axis: per match START (the group's first
+    * bound event), the SHORTEST repetition count `r ∈ n..m` whose
+    * chain the `post` steps complete wins; longer counts for the same
+    * anchor are discarded. Compiled as the per-anchor argmin over the
+    * [[cepGroupRange]]-style union with the post steps appended to
+    * every per-count chain — which is exactly why `post` is REQUIRED:
+    * a standalone reluctant range degenerates (every match's n-rep
+    * prefix is itself a match with the same anchor, so the argmin
+    * always selects `n` — that form IS [[cepGroupTimes]]`(n)`) and is
+    * rejected loudly rather than keyed twice.
+    *
+    * Same TIE-BREAK CONTRACT as [[cepTimesRangeReluctant]]: minimal
+    * count per anchor, NO_SKIP all-combinations within it. Output:
+    * `(key, <step>_<rep>_id for rep = 1..m (null-padded), <post>_id …,
+    * reps, total_us)`.
+    *
+    * @note scale: Σ (r·|group| + |post|) keyed interval joins over the
+    *   unrolled chains (r = n..m) + one (key, anchor) window — each
+    *   chain is the bounded fixed-length shape, the union preserves
+    *   the key partitioning; no per-key history scan. */
+  def cepGroupRangeReluctant(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], n: Int, m: Int,
+      within: String, post: Seq[(String, Column)]): DataFrame = {
+    require(post.nonEmpty,
+      "a standalone reluctant range always selects n repetitions (every " +
+        "match's n-rep prefix shares its anchor) — that form is exactly " +
+        "cepGroupTimes(n); reluctance needs at least one post step to " +
+        "decide against")
+    require(group.nonEmpty, "a group needs at least one step")
+    require(n >= 1 && m > n,
+      s"times($n,$m)?: need 1 <= n < m — times(n) is the fixed-count form")
+    require(m <= 8,
+      s"times($n,$m)? unrolls to m·|group| joined slots with " +
+        s"band-fan-out^slots candidate growth; m=$m is outside the " +
+        "supported 2..8 — tighten the bound or the `within` band")
+    require(group.map(_._1).distinct.size == group.size,
+      "group step names must be distinct")
+    val padNames = (1 to m).flatMap(r =>
+      group.map { case (nm, _) => s"${nm}_${r}_id" })
+    val names = padNames ++ post.map(_._1 + "_id")
+    require(names.distinct.size == names.size,
+      s"post step names must not collide with the unrolled group " +
+        s"columns: $names")
+    val runs = (n to m).map { r =>
+      val unrolled = (1 to r).flatMap(rr =>
+        group.map { case (nm, p) => s"${nm}_$rr" -> p })
+      val run = cepAlternation(ev, keyCol, tsCol, idCol,
+        (unrolled ++ post).map { case (nm, p) =>
+          AltStep(nm, Seq(nm -> p), within) })
+      val idType = run.schema(s"${group.head._1}_1_id").dataType
+      val padded = (r + 1 to m)
+        .flatMap(rr => group.map { case (nm, _) => s"${nm}_${rr}_id" })
+        .foldLeft(run)((d, c) => d.withColumn(c, lit(null).cast(idType)))
+      padded.withColumn("reps", lit(r).cast("int"))
+    }
+    val anchor = s"${group.head._1}_1_id"
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col(anchor))
+    val outCols = (col(keyCol) +: padNames.map(col)) ++
+      post.map { case (nm, _) => col(s"${nm}_id") } ++
+      Seq(col("reps"), col("total_us"))
+    runs.reduce(_ unionByName _)
+      .withColumn("__minr", min(col("reps")).over(wa))
+      .filter(col("reps") === col("__minr"))
+      .select(outCols: _*)
   }
 
   /** 2-step pattern `A → B within Δt` under Flink's AFTER MATCH SKIP TO

@@ -53,6 +53,19 @@ import org.apache.spark.sql.functions._
   *                      repetition count in n..m, per-repetition
   *                      columns null-padded to the m-shape plus a
   *                      `reps` count; standalone only
+  *  - `A{n,m}? B`     — RELUCTANT range (SQL non-greedy) →
+  *                      [[CepOps.cepTimesRangeReluctant]]: per run
+  *                      start, the SHORTEST count whose tail a `B`
+  *                      closes wins. Unlike `B+?` (relaxed-Kleene
+  *                      syntax repurposed, above), `{n,m}?` carries
+  *                      SQL's actual non-greedy meaning; the
+  *                      tie-break contract is documented on the
+  *                      kernel
+  *  - `(A B){n,m}? D` — RELUCTANT group range →
+  *                      [[CepOps.cepGroupRangeReluctant]]: per-anchor
+  *                      shortest count whose chain the following
+  *                      plain variables complete; the group must
+  *                      LEAD the pattern
   *  - `(A B)+`        — group Kleene → [[CepOps.cepGroupKleene]]: one
   *                      match per repetition count, unrolled to
   *                      `groupMaxReps` (a HARD bound — candidate growth
@@ -100,9 +113,9 @@ object MatchRecognize {
   private val DefineRe = raw"(?is)DEFINE\s+(.*?)\s*(?:WITHIN\s+.*)?$$".r.unanchored
   private val WithinRe = raw"(?is)WITHIN\s+(.+?)\s*$$".r.unanchored
   private val TokenRe =
-    raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+(?:,\d+)?)\})?".r
-  private val GroupTokRe = raw"\(([^()]*)\)(\+\?|[+?]|\{\d+(?:,\d+)?\})?".r
-  private val TokSplitRe = raw"\([^()]*\)(?:\+\?|[+?]|\{\d+(?:,\d+)?\})?|\S+".r
+    raw"([A-Za-z_][A-Za-z0-9_]*)(\+\?|[+?]|\{(\d+(?:,\d+)?)\}\??)?".r
+  private val GroupTokRe = raw"\(([^()]*)\)(\+\?|[+?]|\{\d+(?:,\d+)?\}\??)?".r
+  private val TokSplitRe = raw"\([^()]*\)(?:\+\?|[+?]|\{\d+(?:,\d+)?\}\??)?|\S+".r
   private val IntervalRe = raw"(?i)(?:INTERVAL\s+)?'?(\d+)'?\s+([A-Za-z]+)".r
   private val SkipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+(?:ROW|EVENT))".r.unanchored
@@ -148,7 +161,10 @@ object MatchRecognize {
             "— {n}, {n,m} and + compile")
         }
       case TokenRe(name, q, n) =>
-        Tok(name, Option(q).map(x => if (x.startsWith("{")) n else x).getOrElse(""))
+        // {n,m}? keeps its reluctant marker on the inner spec ("n,m?")
+        Tok(name, Option(q).map(x =>
+          if (x.startsWith("{")) (if (x.endsWith("?")) n + "?" else n)
+          else x).getOrElse(""))
       case t => sys.error(s"unsupported pattern token '$t'")
     }
     require(toks.nonEmpty, "empty PATTERN")
@@ -218,6 +234,22 @@ object MatchRecognize {
     toks match {
       case Seq(Tok(a, "", Seq())) if toks.size == 1 =>
         sys.error("single plain variable is a filter, not a pattern")
+      case Seq(Tok(a, spec, Seq()), Tok(b, "", Seq())) if spec.matches(raw"\d+,\d+\?") =>
+        // A{n,m}? B — RELUCTANT range: per run start, the shortest
+        // count whose tail a B closes wins (cepTimesRangeReluctant
+        // documents the tie-break contract). NOTE the contrast with
+        // B+? (relaxed-Kleene syntax repurposed, above): {n,m}? is the
+        // one place this face carries SQL's actual non-greedy meaning.
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with A{n,m}?; the reps column " +
+            "carries the per-match count")
+        val Array(lo, hi) = spec.stripSuffix("?").split(",").map(_.toInt)
+        CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, binds(a),
+          lo, hi, normWithin, b, binds(b))
+      case Seq(Tok(a, spec, Seq())) if spec.matches(raw"\d+,\d+\?") =>
+        sys.error(s"$a{n,m}? without a following variable always matches " +
+          s"the minimal count — use $a{n}, or the greedy $a{n,m} for the " +
+          "all-counts emission")
       case Seq(Tok(a, spec, Seq())) if spec.matches(raw"\d+,\d+") =>
         // A{n,m} — bounded range with strict contiguity: one match per
         // (start, length) window per length, tagged reps; MEASURES is
@@ -304,6 +336,29 @@ object MatchRecognize {
             base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
               col("span_us")) ++ renamed: _*)
         }
+      case Tok(gn, gq, brs) +: tl if brs.nonEmpty && gq.startsWith("G{") &&
+          gq.endsWith("}?") =>
+        // (A B){n,m}? D… — RELUCTANT group range: per-anchor shortest
+        // count whose chain the following variables complete
+        // (cepGroupRangeReluctant documents the tie-break contract).
+        // The group must LEAD the pattern (the anchor is its first
+        // bound event) and mixes with plain following variables only.
+        require(tl.nonEmpty && tl.forall(t =>
+            t.quant == "" && t.branches.isEmpty),
+          s"($gn){n,m}? needs at least one PLAIN following variable to " +
+            "decide against (a standalone reluctant range is exactly " +
+            "the fixed {n} form) and mixes with plain variables only")
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with group quantifiers; every " +
+            "bound event is already a column")
+        val spec = gq.drop(2).dropRight(2) // "G{n,m}?" -> "n,m"
+        require(spec.contains(","),
+          s"($gn){n}? is not a range — reluctance needs {n,m}?")
+        val Array(lo, hi) = spec.split(",").map(_.trim.toInt)
+        val base = CepOps.cepGroupRangeReluctant(ev, keyCol, tsCol, idCol,
+          brs.map(b => b -> binds(b)), lo, hi, normWithin,
+          tl.map(t => t.name -> binds(t.name)))
+        base.filter(col("total_us") <= withinUs)
       case Seq(t) if t.branches.nonEmpty && t.quant.startsWith("G") =>
         // quantified SEQUENCE group `(A B){n}` / `(A B)+` →
         // cepGroupTimes / cepGroupKleene (standalone only — the whole
@@ -353,9 +408,11 @@ object MatchRecognize {
         base.filter(col("total_us") <= withinUs)
       case _ if toks.exists(t => t.quant.startsWith("G")) =>
         sys.error("unsupported group-quantifier mix: (A B){n} combines " +
-          "with PLAIN outer variables only, and (A B)+ / (A B){n,m} " +
+          "with PLAIN outer variables only, (A B)+ / (A B){n,m} " +
           "must be the entire PATTERN (their per-repetition unions " +
-          "would multiply by the outer chain)")
+          "would multiply by the outer chain), and (A B){n,m}? must " +
+          "LEAD the pattern (the reluctant anchor is its first bound " +
+          "event) followed by plain variables only")
       case _ if toks.exists(_.branches.nonEmpty) =>
         // named alternation `A (B|C) D` → cepAlternation; the group
         // slot's output columns are `<b1>_or_<b2>_id` + `_branch` (the

@@ -135,6 +135,41 @@ final class QuantifiedGroupRange private[streaming] (
   def over(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String): DataFrame =
     CepOps.cepGroupRange(ev, keyCol, tsCol, idCol, steps, n, m, within)
+
+  /** SQL `{n,m}?` — the NON-GREEDY range: per anchor, the shortest
+    * count whose chain the post steps complete wins. Needs at least
+    * one [[ReluctantGroupRange.followedBy]] post step (a standalone
+    * reluctant range is exactly `times(n)` — the kernel rejects it
+    * loudly). */
+  def reluctant: ReluctantGroupRange =
+    new ReluctantGroupRange(steps, within, n, m, Vector.empty)
+}
+
+/** A reluctant single-variable range ready to compile — see
+  * [[PatternBuilder.reluctantlyFollowedBy]]. */
+final class ReluctantTimesRange private[streaming] (
+    pred: Column, n: Int, m: Int, within: String, postName: String,
+    postPred: Column) {
+  def over(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, pred, n, m,
+      within, postName, postPred)
+}
+
+/** A reluctant range-quantified group collecting its post steps — see
+  * [[QuantifiedGroupRange.reluctant]];
+  * compiles [[CepOps.cepGroupRangeReluctant]]. */
+final class ReluctantGroupRange private[streaming] (
+    steps: Vector[(String, Column)], within: String, n: Int, m: Int,
+    post: Vector[(String, Column)]) {
+  /** Append an outer step AFTER the group (repeatable, call order) —
+    * the step(s) whose completion decides the per-anchor count. */
+  def followedBy(name: String, pred: Column): ReluctantGroupRange =
+    new ReluctantGroupRange(steps, within, n, m, post :+ (name -> pred))
+  def over(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame =
+    CepOps.cepGroupRangeReluctant(ev, keyCol, tsCol, idCol, steps, n, m,
+      within, post)
 }
 
 /** A quantified group ready to compile — see [[Pattern.group]]. Fixed
@@ -282,6 +317,24 @@ final class PatternBuilder private[streaming] (
   /** Strict contiguity for [[times]] (no other event of the key in
     * between). */
   def consecutive(): PatternBuilder = copy(consecutive = true)
+
+  /** SQL `A{n,m}? B` — the NON-GREEDY range: per run start, the
+    * SHORTEST count in `n..m` whose tail a `postPred` event closes
+    * (relaxed follow) wins. Terminal: returns the compiled form
+    * directly ([[CepOps.cepTimesRangeReluctant]] documents the
+    * tie-break contract). Requires `.times(n, m).consecutive()` and
+    * `.within(...)` set first. */
+  def reluctantlyFollowedBy(postName: String,
+      postPred: Column): ReluctantTimesRange = {
+    require(nTimes.isDefined && nTimesHi.isDefined && consecutive,
+      "reluctantlyFollowedBy needs .times(n, m).consecutive() first — " +
+        "the reluctant axis quantifies a strict-contiguity range")
+    val w = globalWithin.getOrElse(
+      sys.error("reluctant times pattern needs .within(...)"))
+    requireNoAlts("reluctant times")
+    new ReluctantTimesRange(steps.head.pred, nTimes.get, nTimesHi.get, w,
+      postName, postPred)
+  }
 
   /** No `pred`-matching event may follow the begin step inside the
     * `within` bound. */

@@ -484,4 +484,120 @@ class PatternDslSpec extends SparkSpec {
         .over(ev, "user_id", "ts", "event_id")
     }
   }
+
+  test("A{n,m}? reluctant: DSL == direct == MATCH_RECOGNIZE == the key; argmin per anchor") {
+    val dsl = Pattern.begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .reluctantlyFollowedBy("purchase", col("event_type") === "purchase")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepTimesRangeReluctant(ev, "user_id", "ts",
+      "event_id", col("event_type") === "click", n = 2, m = 3,
+      within = "12 hours", "purchase", col("event_type") === "purchase")
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_times_range_reluctant")(spark, sf)))
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (click{2,3}? purchase)
+        |DEFINE click AS event_type = 'click',
+        |       purchase AS event_type = 'purchase'
+        |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    assert(rows(mr) == rows(dsl))
+    // reluctance = per-anchor argmin: one reps value per (key, first_id)
+    assert(dsl.groupBy("user_id", "first_id")
+      .agg(countDistinct(col("reps")).as("n"))
+      .filter(col("n") > 1).count() == 0,
+      "an anchor must carry exactly its minimal count")
+    // standalone {n,m}? is rejected (it degenerates to the minimum)
+    intercept[RuntimeException] {
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN (click{2,3}?)
+          |DEFINE click AS event_type = 'click'
+          |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    }
+  }
+
+  test("reluctant semantics on a hand-built run: a 2-run without a closer loses to the 3-run") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // clicks at 0, 5, 10; purchase at 18; band 12 minutes (bounding
+    // BOTH the run's own span and the closer gap):
+    //  - anchor click@0 (id 1): 2-run tail=5 -> band (5,17], p@18 out;
+    //    3-run spans 10 <= 12, tail=10 -> band (10,22], p@18 in ->
+    //    reps=3 wins
+    //  - anchor click@5 (id 2): 2-run tail=10 -> p@18 in -> reps=2
+    val df = Seq((1L, t(0), 1L, "click"), (1L, t(5), 2L, "click"),
+      (1L, t(10), 3L, "click"), (1L, t(18), 9L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = CepOps.cepTimesRangeReluctant(df, "user_id", "ts",
+        "event_id", col("event_type") === "click", n = 2, m = 3,
+        within = "12 minutes", "purchase", col("event_type") === "purchase")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(out == Set((1L, 3L, 9L, 3), (2L, 3L, 9L, 2)),
+      s"expected anchor@0 to stretch to 3 reps and anchor@10 to stay " +
+        s"at 2, got $out")
+  }
+
+  test("(A B){n,m}? reluctant group: DSL == direct == MATCH_RECOGNIZE == the key; loud rejects") {
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val dsl = Pattern.group("360 minutes", grp: _*)
+      .times(1, 2)
+      .reluctant
+      .followedBy("signup", col("event_type") === "signup")
+      .over(ev, "user_id", "ts", "event_id")
+    assert(dsl.columns.toSeq == Seq("user_id", "click_1_id", "view_1_id",
+      "click_2_id", "view_2_id", "signup_id", "reps", "total_us"))
+    val direct = CepOps.cepGroupRangeReluctant(ev, "user_id", "ts",
+      "event_id", grp, n = 1, m = 2, within = "360 minutes",
+      post = Seq("signup" -> (col("event_type") === "signup")))
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_range_reluctant")(spark, sf)))
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN ((click view){1,2}? signup)
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view',
+        |       signup AS event_type = 'signup'
+        |WITHIN INTERVAL '360' MINUTE""".stripMargin)
+    assert(rows(mr.select(dsl.columns.map(col): _*)) ==
+      rows(dsl.filter(col("total_us") <= 360L * 60000000L)),
+      "MATCH_RECOGNIZE must equal the DSL under the whole-match bound")
+    // a surviving 2-rep anchor is one with NO 1-rep completion: its
+    // anchor must be absent from the 1-rep leg of the greedy union
+    val oneRep = CepOps.cepGroupRangeReluctant(ev, "user_id", "ts",
+      "event_id", grp, n = 1, m = 2, within = "360 minutes",
+      post = Seq("signup" -> (col("event_type") === "signup")))
+      .filter(col("reps") === 1).select("user_id", "click_1_id")
+    assert(dsl.filter(col("reps") === 2)
+      .join(oneRep, Seq("user_id", "click_1_id"), "left_semi")
+      .count() == 0,
+      "an anchor with a 1-rep completion must never emit at 2 reps")
+    // loud rejects: no post step; reluctant group not leading in MR
+    intercept[IllegalArgumentException] {
+      CepOps.cepGroupRangeReluctant(ev, "user_id", "ts", "event_id",
+        grp, n = 1, m = 2, within = "60 minutes", post = Nil)
+    }
+    intercept[RuntimeException] {
+      Pattern.group("60 minutes", grp: _*).times(1, 2).reluctant
+        .over(ev, "user_id", "ts", "event_id") // no followedBy
+    }
+    intercept[RuntimeException] { // standalone reluctant group in MR
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN ((click view){1,2}?)
+          |DEFINE click AS event_type = 'click',
+          |       view AS event_type = 'view'
+          |WITHIN INTERVAL '60' MINUTE""".stripMargin)
+    }
+    intercept[RuntimeException] { // reluctant group must LEAD
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN (signup (click view){1,2}? signup)
+          |DEFINE click AS event_type = 'click',
+          |       view AS event_type = 'view',
+          |       signup AS event_type = 'signup'
+          |WITHIN INTERVAL '60' MINUTE""".stripMargin)
+    }
+  }
 }
