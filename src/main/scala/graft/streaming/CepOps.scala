@@ -77,6 +77,82 @@ object CepOps {
       :+ (unix_micros(col("last_ts")) - col("first_us")).as("total_us"): _*)
   }
 
+  /** Chains shorter than this skip the density pre-count entirely —
+    * the measured cliff lives in the 5+-slot unrolled shapes
+    * (4-slot chains finished in-band at 10× density; the 6-slot mixed
+    * chain blew a 300 s budget), and skipping keeps every short key's
+    * plan and job count byte-identical. */
+  private val DensityGuardSlots = 5
+
+  /** Interval string ("360 minutes", "12 hours", "2 days") → µs; None
+    * when unparsable — the guard SKIPS rather than guesses. */
+  private def intervalUs(s: String): Option[Long] = {
+    val re = raw"(?i)\s*(\d+)\s+([A-Za-z]+)\s*".r
+    s match {
+      case re(n, u) =>
+        (u.toLowerCase.stripSuffix("s") match {
+          case "second" => Some(1000000L)
+          case "minute" => Some(60000000L)
+          case "hour"   => Some(3600000000L)
+          case "day"    => Some(86400000000L)
+          case _        => None
+        }).map(n.toLong * _)
+      case _ => None
+    }
+  }
+
+  /** DENSITY GUARD for long unrolled chains: relaxed-contiguity
+    * candidate growth is ~(band-fan-out)^slots, and the slot-count
+    * caps (`times` m ≤ 8, `maxReps` ≤ 8) bound SLOTS, not DENSITY — a
+    * hot key at 10× event density walked the measured 6-slot chain
+    * past a 300 s budget while every 1× key stayed under a second. So
+    * before building a ≥[[DensityGuardSlots]]-slot chain, ONE cheap
+    * aggregation over `ev` (per-slot match counts, ~distinct keys,
+    * time span) estimates the expected candidate-prefix mass under
+    * uniform timing — `c₁ · Π (cᵢ/keys · band/span)`, maxed over
+    * prefixes since intermediate joins pay it even when the full
+    * chain filters down — and refuses loudly past `cap`, naming the
+    * `within` band as the lever (band/10 measured returning the 10×
+    * fixture to budget: BASELINE.md stress section). Calibration:
+    * every shipped 1× chain estimates ≤ ~2·10⁴, the 10× 6-slot cliff
+    * ~2·10⁸ — the 5·10⁶ default sits two orders from both.
+    *
+    * Construction-time side effect (like [[SimilarityOps.knnIvfSaved]]'s
+    * probe collect, documented there too): building the frame runs one
+    * small Spark job. Batch-only by nature — the streaming twins run
+    * their own `maxPartials` guard per micro-batch instead. */
+  private def densityGuard(ev: DataFrame, keyCol: String, tsCol: String,
+      steps: Seq[AltStep], cap: Double): Unit = {
+    val bands = steps.map(s => intervalUs(s.within))
+    if (bands.exists(_.isEmpty)) return
+    val counts = steps.zipWithIndex.map { case (s, i) =>
+      val pred = s.branches.map(_._2).reduce(_ or _)
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"c_$i")
+    }
+    val aggs = counts ++ Seq(
+      approx_count_distinct(col(keyCol)).as("k"),
+      (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+        .as("span"))
+    val row = ev.agg(aggs.head, aggs.tail: _*).head()
+    if (row.isNullAt(row.fieldIndex("span"))) return // empty input
+    val k = math.max(1L, row.getAs[Long]("k"))
+    val span = math.max(1L, row.getAs[Long]("span"))
+    var est = row.getAs[Long]("c_0").toDouble
+    var mx = est
+    steps.indices.drop(1).foreach { i =>
+      val f = math.min(1.0, bands(i).get.toDouble / span)
+      est *= row.getAs[Long](s"c_$i").toDouble / k * f
+      mx = math.max(mx, est)
+    }
+    require(mx <= cap,
+      f"cep chain density guard: ~$mx%.3g expected candidate prefixes " +
+        f"across ${steps.size} slots exceed the supported $cap%.3g — " +
+        "relaxed-contiguity growth is (band-fan-out)^slots and the " +
+        "`within` band is the lever (band/10 measured returning the " +
+        "10x-density fixture to budget); tighten `within`, lower the " +
+        "repetition count, or split the pattern")
+  }
+
   /** One slot of an alternation pattern ([[cepAlternation]]): the slot
     * matches when ANY of its named `branches` `(branchName, predicate)`
     * matches — Flink CEP's group-pattern alternation `(B | C)` WITH
@@ -105,9 +181,12 @@ object CepOps {
     *   predicates are usually disjoint (distinct event types), so the
     *   legs partition the slot's input rather than multiply it. */
   def cepAlternation(ev: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, steps: Seq[AltStep]): DataFrame = {
+      idCol: String, steps: Seq[AltStep],
+      maxChainEstimate: Double = 5e6): DataFrame = {
     require(steps.size >= 2, "a pattern needs at least two slots")
     require(steps.forall(_.branches.nonEmpty), "every slot needs a branch")
+    if (steps.size >= DensityGuardSlots)
+      densityGuard(ev, keyCol, tsCol, steps, maxChainEstimate)
     require(steps.map(_.name).distinct.size == steps.size,
       "slot names must be distinct (they name the output columns)")
     require(steps.forall(s =>

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * budget. This probe measures the same group pattern on a blown
   * fixture at the ORIGINAL band and at band/k, each under a
   * wall-clock budget (a run past budget is killed and reported as
-  * `>budget`). Usage: `CepStressProbe <dir> [budgetSec] [k]`. */
+  * `>budget`). The 6-slot MIXED chain (cep_group_mixed's shape) runs
+  * last: there the construction-time density guard must FIRE at k×
+  * density instead of the job running away, and the band/k lever must
+  * bring it back under the cap. Usage:
+  * `CepStressProbe <dir> [budgetSec] [k]`. */
 object CepStressProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/stress10")
@@ -52,6 +56,33 @@ object CepStressProbe {
     }
     run(s"${k}x density, original band", 360)
     run(s"${k}x density, band/k", bandK)
+    // the 6-slot MIXED chain (cep_group_mixed's shape) is where the
+    // measured cliff lives (>300 s at 10x): the construction-time
+    // density guard must FIRE here instead of letting the job run
+    // away, and the band/k lever must bring it back under the cap
+    def runMixed(tag: String, withinMin: Int): Unit = {
+      val ev = graft.Tables.events(spark, dir).filter(col("user_id") < 30)
+      val t0 = System.nanoTime()
+      try {
+        val n = graft.streaming.CepOps.cepGroupTimesMixed(ev, "user_id",
+          "ts", "event_id",
+          pre = Seq("signup" -> (col("event_type") === "signup")),
+          group = Seq("hi" -> (col("value") >= 50),
+            "lo" -> (col("value") < 50)),
+          n = 2,
+          post = Seq("purchase" -> (col("event_type") === "purchase")),
+          within = s"$withinMin minutes").count()
+        println(f"[cepstress] mixed6 $tag (within=$withinMin min): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("density guard") =>
+          println(s"[cepstress] mixed6 $tag (within=$withinMin min): " +
+            s"GUARD FIRED — ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    runMixed(s"${k}x density, original band", 1440)
+    runMixed(s"${k}x density, band/k", math.max(1, 1440 / k))
     spark.stop()
   }
 }

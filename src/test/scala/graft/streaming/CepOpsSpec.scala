@@ -275,4 +275,28 @@ class CepOpsSpec extends SparkSpec {
     assert(rows(cons).nonEmpty)
     assert(rows(cons).subsetOf(rows(relaxed)))
   }
+
+  test("density guard: a 5+-slot chain past the cap fails loudly naming the within lever") {
+    val ev = Tables.events(spark, sf)
+    val slots = (1 to 5).map(i =>
+      CepOps.AltStep(s"s$i", Seq(s"s$i" -> (col("event_type") === "click")),
+        "12 hours"))
+    // a tiny cap forces the refusal on the normal fixture; the message
+    // must carry the guard's name and the lever
+    val e = intercept[IllegalArgumentException] {
+      CepOps.cepAlternation(ev, "user_id", "ts", "event_id", slots,
+        maxChainEstimate = 1.0)
+    }
+    assert(e.getMessage.contains("density guard") &&
+      e.getMessage.contains("within"),
+      s"guard must name itself and the lever: ${e.getMessage}")
+    // at the default cap the same chain builds and runs (1x density
+    // estimates sit orders below it), and 4-slot chains never run the
+    // pre-count at all (cap irrelevant even at 1.0)
+    assert(CepOps.cepAlternation(ev, "user_id", "ts", "event_id", slots)
+      .columns.contains("s5_id"))
+    assert(CepOps.cepAlternation(ev, "user_id", "ts", "event_id",
+        slots.take(4), maxChainEstimate = 1.0)
+      .columns.contains("s4_id"))
+  }
 }
