@@ -702,12 +702,31 @@ object StreamingQueries {
         "lo_2_id", "purchase_id")
   }
 
-  // The group KLEENE's streaming form stays spec-only on measurement:
-  // its per-count union multiplies the automaton's live-partial set by
-  // maxReps chains (the r14 join-form replay of (click view)+ measured
-  // ~56 s at sf0.1); GroupTimesStreamSpec certifies the times-form
-  // automaton on the real runtime, and the batch keys above hash-gate
-  // the unrolled semantics.
+  /** The group KLEENE `(click view)+` on the REAL streaming runtime —
+    * [[graft.streaming.StreamOps.cepGroupKleeneStream]]: the shape the
+    * join-form replay could never carry (the batch per-count UNION
+    * multiplies live partials by maxReps parallel chains — the r14
+    * join form measured ~56 s at sf0.1) runs here as ONE multiplexed
+    * automaton per key: slot predicates repeat mod |group|, so a
+    * single partial emits at every completed repetition boundary
+    * (first/last/count) and keeps running to maxReps — per-boundary
+    * emission instead of per-count chains, state stays one row per
+    * key. Same fixture and unrolled-three-chain oracle as the batch
+    * [[cepGroupKleene]] key — replay must equal the union exactly. */
+  private val streamGroupKleeneReplay = Q(
+    "stream_group_kleene_replay", cepGroupKleene.oracle.get) { (s, d) =>
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupKleeneStream(ev, "user_id",
+          "ts", "event_id", grp, maxReps = 3,
+          withinUs = 360L * 60L * 1000000L))(
+        _ => {
+          import s.implicits._
+          s.emptyDataset[graft.streaming.GKMatch]
+        })
+      .orderBy("user_id", "first_id", "last_id", "reps")
+  }
 
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
@@ -1591,7 +1610,8 @@ object StreamingQueries {
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
     cepGroupRange, cepGroupRangeReluctant, cepGroupKleene, cepGroupMixed,
     cepGroupAlt, cepTimesRangeReluctant,
-    streamGroupTimesReplay, streamGroupMixedReplay, cepAbsence,
+    streamGroupTimesReplay, streamGroupMixedReplay, streamGroupKleeneReplay,
+    cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,
     cepTimesRange,

@@ -135,6 +135,12 @@ case class GTEvent(k: Long, ts_us: Long, event_id: Long, mask: Int,
 case class GTState(idsFlat: Array[Long], lens: Array[Int],
     firstTs: Array[Long], lastTs: Array[Long])
 case class GTMatch(user_id: Long, ids: Seq[Long], total_us: Long)
+/** [[StreamOps.cepGroupKleeneStream]] rows — the group-Kleene boundary
+  * emission: FIRST/LAST/COUNT per completed repetition (the MEASURES a
+  * variable-length group supports), matching the batch
+  * [[CepOps.cepGroupKleene]] column shape. */
+case class GKMatch(user_id: Long, first_id: Long, last_id: Long,
+    reps: Int, total_us: Long)
 /** [[StreamOps.cepKleeneRelaxedMeasuresStream]] rows: the relaxed
   * anchor plus cumulative micro-unit prefix sums parallel to `bIds`
   * (`bSum6s(L−1)` IS prefix L's exact decimal(18,6) sum ×10⁶). */
@@ -1247,6 +1253,117 @@ object StreamOps {
         s"columns: ${all.map(_._1)}")
     cepSlotsStream(ev, keyCol, tsCol, idCol, all.map(_._2),
       all.map(_._1 + "_id"), withinUs, delay, maxPartials)
+  }
+
+  /** Streaming twin of [[CepOps.cepGroupTimes]]' KLEENE sibling
+    * ([[CepOps.cepGroupKleene]]) — `(s₁ … s_g)+` on the SAME
+    * multiplexed automaton, where the batch form's per-count union
+    * was the reason the replay stayed spec-only through r15: unioning
+    * `n = 1..maxReps` unrolled chains multiplies the live-partial set
+    * by maxReps state chains. Here NO union exists — the slot
+    * predicates repeat with period `g`, so a partial's next expected
+    * slot is `ids.length mod g`, the mask needs only `g` bits however
+    * many repetitions run, and ONE state row per key still holds every
+    * in-progress path. A partial EMITS AT EVERY completed `g·r`
+    * boundary as it passes it (first/last/count — Flink's oneOrMore
+    * per-count emission, the batch column shape) and KEEPS RUNNING
+    * until `g·maxReps`, so a 3-rep run reports its 1- and 2-rep
+    * prefixes from the same partial instead of from three parallel
+    * chains. All-paths semantics exactly as the batch union: events
+    * extend without consuming, every slot-1 event anchors.
+    *
+    * @note scale: one shuffle on the key, ONE state row per key; live
+    *   partials bounded by per-key event mass inside the `within`
+    *   horizon (same fan-out as the times form — the boundary
+    *   emission adds output rows, not state). `maxReps` is the same
+    *   hard cap as the batch form; `maxPartials` fails loudly on
+    *   pathological fan-out. */
+  def cepGroupKleeneStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], maxReps: Int,
+      withinUs: Long, delay: String = "10 minutes",
+      maxPartials: Int = 100000): Dataset[GKMatch] = {
+    val g = group.size
+    require(g >= 2,
+      "a 1-step group Kleene is plain B+ — use cepKleeneStream")
+    require(maxReps >= 1 && maxReps <= 8,
+      s"oneOrMore over a group is capped at 8 repetitions like the " +
+        s"batch form; maxReps=$maxReps is outside 1..8")
+    require(group.map(_._1).distinct.size == g,
+      "group step names must be distinct")
+    val maxLen = g * maxReps
+    val sp = ev.sparkSession
+    import sp.implicits._
+    val mask = group.map(_._2).zipWithIndex.map { case (p, j) =>
+      when(p, lit(1 << j)).otherwise(lit(0)) }.reduce(_ + _)
+    ev.withWatermark(tsCol, delay)
+      .withColumn("__mask", mask.cast("int"))
+      .filter(col("__mask") =!= 0)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col("__mask").as("mask"), col(tsCol).as("tsw"))
+      .as[GTEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[GTState, GKMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        final case class P(ids: Array[Long], firstTs: Long, lastTs: Long)
+        def unpack(s: GTState): List[P] = {
+          var off = 0
+          val b = List.newBuilder[P]
+          var i = 0
+          while (i < s.lens.length) {
+            b += P(java.util.Arrays.copyOfRange(s.idsFlat, off, off + s.lens(i)),
+              s.firstTs(i), s.lastTs(i))
+            off += s.lens(i)
+            i += 1
+          }
+          b.result()
+        }
+        def pack(ps: List[P]): GTState = GTState(
+          ps.iterator.flatMap(_.ids).toArray, ps.map(_.ids.length).toArray,
+          ps.map(_.firstTs).toArray, ps.map(_.lastTs).toArray)
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val live = state.getOption.map(unpack).getOrElse(Nil)
+            .filter(p => wmUs <= p.lastTs + withinUs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(pack(live))
+            armRelaxedTimer(state, live.map(_.lastTs + withinUs))
+          }
+          Iterator.empty
+        } else {
+          var partials = state.getOption.map(unpack).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GKMatch]
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            partials = partials.filter(p => e.ts_us <= p.lastTs + withinUs)
+            val grown = partials.flatMap { p =>
+              val slot = p.ids.length % g // predicates repeat mod g
+              if (((e.mask >> slot) & 1) == 1 && e.ts_us > p.lastTs) {
+                val ext = P(p.ids :+ e.event_id, p.firstTs, e.ts_us)
+                if (ext.ids.length % g == 0) // a repetition completed
+                  out += GKMatch(key, ext.ids.head, e.event_id,
+                    ext.ids.length / g, e.ts_us - ext.firstTs)
+                if (ext.ids.length >= maxLen) None else Some(ext)
+              } else None
+            }
+            partials = grown ::: partials
+            if ((e.mask & 1) == 1)
+              partials = P(Array(e.event_id), e.ts_us, e.ts_us) :: partials
+            require(partials.size <= maxPartials,
+              s"cepGroupKleeneStream: key $key holds ${partials.size} " +
+                s"live partial matches (> maxPartials=$maxPartials) — " +
+                "the within band times per-key event rate exceeds the " +
+                "supported fan-out; tighten `within` or lower maxReps")
+          }
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(pack(partials))
+            armRelaxedTimer(state, partials.map(_.lastTs + withinUs))
+          }
+          out.iterator
+        }
+      }
   }
 
   /** The shared slot-chain automaton behind [[cepGroupTimesStream]] /

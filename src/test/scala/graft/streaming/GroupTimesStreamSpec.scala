@@ -77,6 +77,33 @@ class GroupTimesStreamSpec extends SparkSpec {
     assert(rows(batch).nonEmpty, "fixture must contain mixed matches")
   }
 
+  test("group KLEENE (A B)+ replays to batch per-count-union parity") {
+    // the boundary-emission automaton vs the batch THREE-CHAIN union:
+    // a 3-rep run must report its 1- and 2-rep prefixes from ONE
+    // partial exactly as the union reports them from three chains
+    val grp2 = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    // 1440-min band: the smallest where sf0.001 holds a full 3-rep
+    // run (360 min tops out at reps=1)
+    val batch = CepOps.cepGroupKleene(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", grp2, maxReps = 3,
+      within = "1440 minutes")
+    val sp = spark
+    import sp.implicits._
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupKleeneStream(ev, "user_id", "ts", "event_id",
+        grp2, maxReps = 3, withinUs = 1440L * 60L * 1000000L))(
+      _ => sp.emptyDataset[GKMatch])
+    assert(streamed.columns.toSeq == batch.columns.toSeq,
+      "streaming output must carry the batch column shape")
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s == b,
+      s"streamed != batch: extra=${(s -- b).take(3)} missing=${(b -- s).take(3)}")
+    assert(b.exists(_.split('|')(3) == "3"),
+      "fixture must contain a full 3-rep run (prefix emission exercised)")
+  }
+
   test("maxPartials fails loudly instead of growing state silently") {
     val e = intercept[Exception] {
       BoundedReplay.replayEvents(spark, sf)(ev =>
