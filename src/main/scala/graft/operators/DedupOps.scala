@@ -1073,6 +1073,89 @@ object DedupOps {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** BUCKETED-BANDS variant of [[saveDedupIndex]] — the serve
+    * co-location trade: the plain layout's serve join shuffles BOTH
+    * sides on (band, bsig) every batch, and at corpus scale the index
+    * side IS the corpus (16 band rows per document) — re-exchanging it
+    * per serve batch is the dominant cost hive partitioning cannot
+    * remove (it prunes IO, not the exchange). Here `bands` is written
+    * as a `bucketBy(nBuckets)` SAVED TABLE on the single fused key
+    * `bkey = band:bsig` (fusing makes the bucket key EQUAL the join
+    * key — classic one-key bucket join, no reliance on
+    * subset-of-join-keys relaxations), so [[dedupAgainstIndexBucketed]]
+    * plans the band join with NO exchange on the index side: only the
+    * O(batch) probe side shuffles, into the index's bucketing.
+    *
+    * The price is real and why this is a VARIANT, not the default: a
+    * bucketed table lives in the session catalog (metastore +
+    * `path/bands_bucketed` files with Spark's bucket-file naming), so
+    * the plain-parquet "any engine reads it" portability of
+    * [[saveDedupIndex]] is lost, and cross-session reads must restore
+    * the table definition. `sets/` stays plain-partitioned parquet —
+    * its join is candidate-sized, not corpus-sized. Measured numbers:
+    * SCALE.md (dedup-serve co-location note); layout + plan shape
+    * pinned by `DedupIndexSpec`.
+    *
+    * Same rebuild-in-place reset semantics as [[saveDedupIndex]]. */
+  def saveDedupIndexBucketed(df: DataFrame, table: String, path: String,
+      nBuckets: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): Unit = {
+    rmTree(java.nio.file.Paths.get(s"$path/tombstones"))
+    EpochLog.reset(path)
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    rmTree(java.nio.file.Paths.get(s"$path/bands_bucketed"))
+    val sets = shingleSets(df, idCol, textCol, n).persist()
+    rowBands(sets).withColumn("epoch", lit(0L))
+      .withColumn("bkey", concat_ws(":", col("band"), col("bsig")))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "bkey").sortBy("bkey")
+      .option("path", s"$path/bands_bucketed")
+      .format("parquet")
+      .saveAsTable(table)
+    sets.withColumn("epoch", lit(0L))
+      .withColumn("bkt", pmod(hash(col("doc_id")), lit(16)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/sets")
+    sets.unpersist()
+    ()
+  }
+
+  /** Serve twin of [[saveDedupIndexBucketed]] — identical pair set and
+    * jaccard arithmetic to [[dedupAgainstIndex]] (the fused `bkey`
+    * equi-join forms exactly the (band, bsig) collision pairs), but
+    * the corpus-side exchange is gone: the bands table's bucketing IS
+    * the join distribution, so only the probe side shuffles.
+    *
+    * @note scale: one O(batch) probe-side shuffle into nBuckets, a
+    *   bucket-local join against the corpus bands, then the same
+    *   candidate-sized verify join against `sets/` as the plain
+    *   serve. */
+  def dedupAgainstIndexBucketed(newDocs: DataFrame, table: String,
+      path: String, minJaccard: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val nd = shingleSets(newDocs, idCol, textCol, n)
+    val probe = rowBands(nd)
+      .withColumn("bkey", concat_ws(":", col("band"), col("bsig")))
+      .join(nd.select(col("doc_id"), col("xs").as("new_xs"),
+        col("n_sh").as("new_n")), "doc_id")
+    val savedBands = minusDedupTombstones(spark, path, spark.table(table))
+      .select(col("doc_id").as("old_id"), col("bkey"))
+    val savedSets = minusDedupTombstones(spark, path,
+        spark.read.parquet(s"$path/sets"))
+      .select(col("doc_id").as("old_id"), col("xs").as("old_xs"),
+        col("n_sh").as("old_n"))
+    probe.join(savedBands, Seq("bkey"))
+      .dropDuplicates("doc_id", "old_id")
+      .join(savedSets, "old_id")
+      .withColumn("c",
+        size(array_intersect(col("new_xs"), col("old_xs"))).cast("double"))
+      .select(col("doc_id").as("new_id"), col("old_id"),
+        round(col("c") / (col("new_n") + col("old_n") - col("c")), 6)
+          .as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   def editSimilarityJoin(df: DataFrame, maxDist: Int,
       idCol: String = "doc_id", strCol: String = "text",
       dfCap: Int = 1000): DataFrame = {

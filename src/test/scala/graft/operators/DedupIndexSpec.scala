@@ -177,6 +177,49 @@ class DedupIndexSpec extends SparkSpec {
       "compaction must keep sets/ bucket-partitioned")
   }
 
+  test("bucketed-bands serve: same pairs as plain, ZERO corpus-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val nw = docs.filter(col("doc_id") % 2 === 1)
+    val plainPath = java.nio.file.Files.createTempDirectory("dedup-bb-p").toString
+    DedupOps.saveDedupIndex(old, plainPath)
+    val bucketPath = java.nio.file.Files.createTempDirectory("dedup-bb-b").toString
+    DedupOps.saveDedupIndexBucketed(old, "spec_bands_bucketed", bucketPath)
+    // pin the plan shape in the no-broadcast regime (at corpus scale
+    // nothing fits a broadcast) with a static plan (no AQE re-plan)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plain = DedupOps.dedupAgainstIndex(nw, plainPath, minJaccard = 0.5)
+      val bucketed = DedupOps.dedupAgainstIndexBucketed(nw,
+        "spec_bands_bucketed", bucketPath, minJaccard = 0.5)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs(bucketed) == pairs(plain),
+        "the fused-bkey join must form exactly the (band, bsig) pairs")
+      def scans(p: SparkPlan, frag: String): Boolean = p.collectFirst {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(frag)) => f
+      }.isDefined
+      def corpusOnly(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }
+          .count(e => scans(e.child, "/bands") &&
+            !scans(e.child, "documents.parquet"))
+      assert(corpusOnly(plain) >= 1,
+        "plain serve re-shuffles the corpus bands table (the trade)")
+      assert(corpusOnly(bucketed) == 0,
+        "bucketed serve must plan NO exchange over the corpus bands " +
+          "table — its bucketing IS the join distribution")
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS spec_bands_bucketed")
+    }
+  }
+
   test("append refuses a legacy UNPARTITIONED index layout, loudly") {
     val path = java.nio.file.Files.createTempDirectory("dedup-idx-legacy").toString
     // simulate a pre-partitioning index: band/bkt as plain data columns,
