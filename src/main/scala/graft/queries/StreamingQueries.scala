@@ -1606,6 +1606,46 @@ object StreamingQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** T1's documented Flink DIVERGENCE under a hash-verified contract —
+    * PER-KEY lateness ([[graft.streaming.PerKeyWatermark]]) on the
+    * real streaming runtime: Spark's watermark is a per-query global
+    * minimum (one slow key drags everyone; a fast key's progress can
+    * get a slow key's still-fresh events dropped), Flink judges
+    * lateness against the key's own progress. The replay arrives
+    * OUT OF ORDER via a deterministic jitter
+    * ([[graft.streaming.BoundedReplay.replayEventsJittered]] — the
+    * in-order replay can never mark anything late), and an event
+    * survives iff it lags ITS KEY's high-water mark by ≤ 2 days,
+    * other keys never interfering. The oracle reproduces the chunk
+    * assignment arithmetic exactly (pure row function + IEEE-exact
+    * double division) and the keep rule as a per-key
+    * strictly-earlier-chunk running max — in-chunk disorder can't
+    * late an event (the processor sorts each batch by (ts, event_id)),
+    * so only the cross-chunk max decides, which is what the window
+    * states. */
+  private val streamPerkeyWmReplay = Q(
+    "stream_perkey_wm_replay",
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7) * 86400000000 AS arr
+      |  FROM events),
+      |b AS (SELECT min(arr) AS lo, max(arr) - min(arr) + 1 AS span FROM e),
+      |c AS (SELECT e.*, least(4, CAST(floor((arr - lo) * 5 / span) AS INT)) AS ck
+      |      FROM e, b),
+      |m AS (SELECT *, max(ts_us) OVER (PARTITION BY user_id ORDER BY ck
+      |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |      FROM c)
+      |SELECT user_id, ts_us, event_id, value FROM m
+      |WHERE prev_max IS NULL OR ts_us >= prev_max - 172800000000
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    graft.streaming.BoundedReplay.replayEventsJittered(s, d,
+        jitterUs = 86400000000L, stateStore = "rocksdb")(ev =>
+        graft.streaming.PerKeyWatermark(ev, delayUs = 172800000000L))(
+        _ => { import s.implicits._; s.emptyDataset[graft.streaming.FillEvent] })
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
     cepGroupRange, cepGroupRangeReluctant, cepGroupKleene, cepGroupMixed,
@@ -1624,5 +1664,5 @@ object StreamingQueries {
     streamKleeneReplay, streamOverReplay, cepMeasures,
     streamMeasuresReplay, streamSessioncapReplay, streamGapfillReplay,
     cepSkipToNext, cepSkipPastLast, streamSkiplastReplay,
-    streamSkipnextReplay)
+    streamSkipnextReplay, streamPerkeyWmReplay)
 }

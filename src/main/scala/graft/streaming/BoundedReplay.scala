@@ -185,6 +185,27 @@ object BoundedReplay {
       shufflePartitions, cacheKey = Some(s"events|$sfDir"),
       stateStore = stateStore)(op)(Some(flush))
 
+  /** [[replayEvents]] with DETERMINISTIC ARRIVAL JITTER — the
+    * out-of-order replay the lateness semantics need: arrival stamp
+    * `ts + (event_id mod 7)·jitterUs`, so chunks range-split on
+    * ARRIVAL order and a bounded share of events lands whole chunks
+    * after their event time (the in-order replay can never mark
+    * anything late — state maxima only grow along event time). The
+    * jitter is a pure function of the row, so the chunk assignment is
+    * exactly reproducible in an oracle:
+    * `ck = least(chunks−1, floor((arr − min) · chunks / (max − min + 1)))`
+    * — all inputs exact longs ≤ 2⁵³, so the double division rounds
+    * identically in any IEEE engine. */
+  def replayEventsJittered(spark: SparkSession, sfDir: String,
+      jitterUs: Long, chunks: Int = 5, shufflePartitions: Int = 2,
+      stateStore: String = "hdfs")(
+      op: DataFrame => Dataset[_])(flush: String => Dataset[_]): DataFrame =
+    replayCore(spark, ss => Tables.events(ss, sfDir),
+      unix_micros(col("ts")) + pmod(col("event_id"), lit(7L)) * lit(jitterUs),
+      chunks, "graft-replay-jit", 1,
+      shufflePartitions, cacheKey = Some(s"events-jit$jitterUs|$sfDir"),
+      stateStore = stateStore)(op)(Some(flush))
+
   /** [[replayEvents]] for the EMBEDDINGS table — the query-stream
     * replay the serving-shape keys run under (synthetic arrival stamp
     * from vec_id, id-ordered chunks, REAL streaming query, no flush —
