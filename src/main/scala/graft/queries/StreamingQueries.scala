@@ -1078,6 +1078,57 @@ object StreamingQueries {
       .orderBy("user_id", "first_id", "last_id", "purchase_id")
   }
 
+  /** `A{n,m} B` — GREEDY consecutive quantifier
+    * ([[graft.streaming.CepOps.cepTimesRangeGreedy]]; DSL
+    * `.greedilyFollowedBy`, MATCH_RECOGNIZE `PATTERN (A{2,3} B)` —
+    * SQL's DEFAULT quantifier semantics / Flink `.greedy()`): per run
+    * start, the LONGEST click-run length whose tail a purchase closes
+    * within 12 h wins — the argmax mirror of
+    * [[cepTimesRangeReluctant]] over the identical union; same
+    * fixture, so the two keys certify both extremes of the same
+    * tie-break contract. */
+  private val cepTimesRangeGreedy = Q(
+    "cep_times_range_greedy",
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS pos
+      |           FROM events),
+      |m AS (SELECT user_id, ts, event_id, pos FROM p WHERE event_type = 'click'),
+      |l2 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 1) OVER w AS first_ts, lag(event_id, 1) OVER w AS first_id,
+      |         lag(pos, 1) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |l3 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id,
+      |         lag(pos, 2) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, first_id, event_id AS last_id, first_ts, ts AS last_ts,
+      |    CAST(2 AS INT) AS reps
+      |  FROM l2 WHERE first_pos IS NOT NULL AND pos - first_pos = 1
+      |    AND ts <= first_ts + INTERVAL 12 HOUR
+      |  UNION ALL
+      |  SELECT user_id, first_id, event_id, first_ts, ts, CAST(3 AS INT)
+      |  FROM l3 WHERE first_pos IS NOT NULL AND pos - first_pos = 2
+      |    AND ts <= first_ts + INTERVAL 12 HOUR),
+      |c AS (
+      |  SELECT r.user_id, r.first_id, r.last_id, q.event_id AS purchase_id,
+      |    r.reps, epoch_us(q.ts) - epoch_us(r.first_ts) AS span_us
+      |  FROM runs r JOIN p q ON q.user_id = r.user_id
+      |    AND q.event_type = 'purchase'
+      |    AND q.ts > r.last_ts AND q.ts <= r.last_ts + INTERVAL 12 HOUR)
+      |SELECT user_id, first_id, last_id, purchase_id, reps, span_us
+      |FROM c
+      |QUALIFY reps = max(reps) OVER (PARTITION BY user_id, first_id)
+      |ORDER BY user_id, first_id, last_id, purchase_id""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .greedilyFollowedBy("purchase", col("event_type") === "purchase")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "first_id", "last_id", "purchase_id")
+  }
+
   // ------------------------------------------------------- CEP Kleene B+
   /** Kleene CEP pattern ([[graft.streaming.CepOps.cepKleene]] — Flink
     * `A next B.oneOrMore().consecutive().greedy() next C within Δt`,
@@ -1649,7 +1700,7 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
     cepGroupRange, cepGroupRangeReluctant, cepGroupKleene, cepGroupMixed,
-    cepGroupAlt, cepTimesRangeReluctant,
+    cepGroupAlt, cepTimesRangeReluctant, cepTimesRangeGreedy,
     streamGroupTimesReplay, streamGroupMixedReplay, streamGroupKleeneReplay,
     cepAbsence,
     sessionDynamic, intervalJoin,

@@ -792,9 +792,30 @@ object CepOps {
     *   events-per-key inside the band; no per-key history scan. */
   def cepTimesRangeReluctant(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, predicate: Column, n: Int, m: Int, within: String,
-      postName: String, postPred: Column): DataFrame = {
+      postName: String, postPred: Column): DataFrame =
+    timesRangeClosed(ev, keyCol, tsCol, idCol, predicate, n, m, within,
+      postName, postPred, greedy = false)
+
+  /** GREEDY quantified variable `A{n,m} B` — SQL MATCH_RECOGNIZE's
+    * DEFAULT quantifier semantics and Flink's `.greedy()`: per match
+    * start, the LONGEST run length in `n..m` whose tail a `postPred`
+    * event closes wins — the argmax mirror of
+    * [[cepTimesRangeReluctant]] over the identical per-count union,
+    * same tie-break contract (extremal count per anchor, NO_SKIP
+    * all-combinations within it). Contrast [[cepTimesRange]], which
+    * keeps Flink's `times(from, to)` ALL-counts emission. */
+  def cepTimesRangeGreedy(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predicate: Column, n: Int, m: Int, within: String,
+      postName: String, postPred: Column): DataFrame =
+    timesRangeClosed(ev, keyCol, tsCol, idCol, predicate, n, m, within,
+      postName, postPred, greedy = true)
+
+  private def timesRangeClosed(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, predicate: Column, n: Int, m: Int,
+      within: String, postName: String, postPred: Column,
+      greedy: Boolean): DataFrame = {
     require(n >= 2 && m > n,
-      s"times($n,$m)?: need 2 <= n < m — times(n) is the fixed-count form")
+      s"times($n,$m): need 2 <= n < m — times(n) is the fixed-count form")
     val runs = (n to m).map { k =>
       timesRuns(ev, keyCol, tsCol, idCol, predicate, k, within)
         .withColumn("reps", lit(k).cast("int"))
@@ -803,6 +824,7 @@ object CepOps {
       col(tsCol).as("__p_ts"), col(idCol).as(s"${postName}_id"))
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol), col("first_id"))
+    val pick = if (greedy) max(col("reps")) else min(col("reps"))
     runs.join(p, col(keyCol) === col("__pk") &&
         col("__p_ts") > col("last_ts") &&
         col("__p_ts") <= col("last_ts") + expr(s"INTERVAL $within"))
@@ -810,9 +832,9 @@ object CepOps {
         col(s"${postName}_id"), col("reps"),
         (unix_micros(col("__p_ts")) - unix_micros(col("first_ts")))
           .as("span_us"))
-      .withColumn("__minr", min(col("reps")).over(wa))
-      .filter(col("reps") === col("__minr"))
-      .drop("__minr")
+      .withColumn("__xr", pick.over(wa))
+      .filter(col("reps") === col("__xr"))
+      .drop("__xr")
   }
 
   /** RELUCTANT group quantifier `(A B){n,m}? D…` — the sequence-group

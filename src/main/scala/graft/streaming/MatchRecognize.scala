@@ -53,6 +53,10 @@ import org.apache.spark.sql.functions._
   *                      repetition count in n..m, per-repetition
   *                      columns null-padded to the m-shape plus a
   *                      `reps` count; standalone only
+  *  - `A{n,m} B`      — GREEDY range (SQL's DEFAULT quantifier) →
+  *                      [[CepOps.cepTimesRangeGreedy]]: per run
+  *                      start, the LONGEST count whose tail a `B`
+  *                      closes wins (argmax mirror of `{n,m}?`)
   *  - `A{n,m}? B`     — RELUCTANT range (SQL non-greedy) →
   *                      [[CepOps.cepTimesRangeReluctant]]: per run
   *                      start, the SHORTEST count whose tail a `B`
@@ -245,6 +249,16 @@ object MatchRecognize {
             "carries the per-match count")
         val Array(lo, hi) = spec.stripSuffix("?").split(",").map(_.toInt)
         CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, binds(a),
+          lo, hi, normWithin, b, binds(b))
+      case Seq(Tok(a, spec, Seq()), Tok(b, "", Seq())) if spec.matches(raw"\d+,\d+") =>
+        // A{n,m} B — SQL's DEFAULT quantifier is GREEDY: the longest
+        // count per run start whose tail a B closes wins
+        // (cepTimesRangeGreedy — the argmax mirror of {n,m}?).
+        require(measureItems(rest).isEmpty,
+          "MEASURES is not supported with A{n,m} B; the reps column " +
+            "carries the per-match count")
+        val Array(lo, hi) = spec.split(",").map(_.toInt)
+        CepOps.cepTimesRangeGreedy(ev, keyCol, tsCol, idCol, binds(a),
           lo, hi, normWithin, b, binds(b))
       case Seq(Tok(a, spec, Seq())) if spec.matches(raw"\d+,\d+\?") =>
         sys.error(s"$a{n,m}? without a following variable always matches " +

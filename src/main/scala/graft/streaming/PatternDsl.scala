@@ -145,15 +145,20 @@ final class QuantifiedGroupRange private[streaming] (
     new ReluctantGroupRange(steps, within, n, m, Vector.empty)
 }
 
-/** A reluctant single-variable range ready to compile — see
-  * [[PatternBuilder.reluctantlyFollowedBy]]. */
-final class ReluctantTimesRange private[streaming] (
+/** A closed (post-step-decided) single-variable range ready to
+  * compile — see [[PatternBuilder.reluctantlyFollowedBy]] (argmin) /
+  * [[PatternBuilder.greedilyFollowedBy]] (argmax). */
+final class ClosedTimesRange private[streaming] (
     pred: Column, n: Int, m: Int, within: String, postName: String,
-    postPred: Column) {
+    postPred: Column, greedy: Boolean) {
   def over(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String): DataFrame =
-    CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, pred, n, m,
-      within, postName, postPred)
+    if (greedy)
+      CepOps.cepTimesRangeGreedy(ev, keyCol, tsCol, idCol, pred, n, m,
+        within, postName, postPred)
+    else
+      CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, pred, n, m,
+        within, postName, postPred)
 }
 
 /** A reluctant range-quantified group collecting its post steps — see
@@ -325,15 +330,27 @@ final class PatternBuilder private[streaming] (
     * tie-break contract). Requires `.times(n, m).consecutive()` and
     * `.within(...)` set first. */
   def reluctantlyFollowedBy(postName: String,
-      postPred: Column): ReluctantTimesRange = {
+      postPred: Column): ClosedTimesRange =
+    closedBy(postName, postPred, greedy = false, "reluctantlyFollowedBy")
+
+  /** SQL `A{n,m} B` under the DEFAULT (greedy) quantifier / Flink
+    * `.greedy()`: per run start, the LONGEST count whose tail a
+    * `postPred` event closes wins — the argmax mirror of
+    * [[reluctantlyFollowedBy]] ([[CepOps.cepTimesRangeGreedy]]). */
+  def greedilyFollowedBy(postName: String,
+      postPred: Column): ClosedTimesRange =
+    closedBy(postName, postPred, greedy = true, "greedilyFollowedBy")
+
+  private def closedBy(postName: String, postPred: Column,
+      greedy: Boolean, face: String): ClosedTimesRange = {
     require(nTimes.isDefined && nTimesHi.isDefined && consecutive,
-      "reluctantlyFollowedBy needs .times(n, m).consecutive() first — " +
-        "the reluctant axis quantifies a strict-contiguity range")
+      s"$face needs .times(n, m).consecutive() first — " +
+        "the greedy/reluctant axis quantifies a strict-contiguity range")
     val w = globalWithin.getOrElse(
-      sys.error("reluctant times pattern needs .within(...)"))
-    requireNoAlts("reluctant times")
-    new ReluctantTimesRange(steps.head.pred, nTimes.get, nTimesHi.get, w,
-      postName, postPred)
+      sys.error(s"$face pattern needs .within(...)"))
+    requireNoAlts(face)
+    new ClosedTimesRange(steps.head.pred, nTimes.get, nTimesHi.get, w,
+      postName, postPred, greedy)
   }
 
   /** No `pred`-matching event may follow the begin step inside the

@@ -514,6 +514,27 @@ class PatternDslSpec extends SparkSpec {
           |DEFINE click AS event_type = 'click'
           |WITHIN INTERVAL '12' HOUR""".stripMargin)
     }
+    // GREEDY mirror (SQL default): DSL == direct == MR == the key,
+    // and the two extremes genuinely differ on this fixture
+    val g = Pattern.begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .greedilyFollowedBy("purchase", col("event_type") === "purchase")
+      .over(ev, "user_id", "ts", "event_id")
+    assert(rows(g) == rows(CepOps.cepTimesRangeGreedy(ev, "user_id",
+      "ts", "event_id", col("event_type") === "click", n = 2, m = 3,
+      within = "12 hours", "purchase", col("event_type") === "purchase")))
+    assert(rows(g) == rows(
+      graft.SparkEntry.queries("cep_times_range_greedy")(spark, sf)))
+    val gmr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (click{2,3} purchase)
+        |DEFINE click AS event_type = 'click',
+        |       purchase AS event_type = 'purchase'
+        |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    assert(rows(gmr) == rows(g))
+    assert(g.groupBy("user_id", "first_id")
+      .agg(countDistinct(col("reps")).as("n"))
+      .filter(col("n") > 1).count() == 0,
+      "an anchor must carry exactly its maximal count")
   }
 
   test("reluctant semantics on a hand-built run: a 2-run without a closer loses to the 3-run") {
