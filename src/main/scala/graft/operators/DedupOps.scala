@@ -906,6 +906,7 @@ object DedupOps {
   def appendToDedupIndex(df: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
+    requireNotBucketed(path, "appendToDedupIndex")
     requirePartitionedLayout(path, "bands", "band")
     requirePartitionedLayout(path, "sets", "bkt")
     val e = EpochLog.next(path)
@@ -963,7 +964,8 @@ object DedupOps {
     * their id's tombstone survive) and drop `tombstones/` —
     * serve-before == serve-after, spec-pinned (`DedupIndexSpec`). */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
+      path: String): Unit = {
+    requireNotBucketed(path, "compactDedupIndex")
     dedupTombstonesOf(spark, path).foreach { _ =>
       // keep each table's lake layout across compactions, so the
       // pruning guarantees of [[saveDedupIndex]] survive the rewrite
@@ -978,6 +980,28 @@ object DedupOps {
       }
       rmTree(java.nio.file.Paths.get(s"$path/tombstones"))
     }
+  }
+
+  /** Refuse the plain-layout mutation ops on a BUCKETED index
+    * ([[saveDedupIndexBucketed]] writes `bands_bucketed/`, never
+    * `bands/`): without this check [[appendToDedupIndex]] would pass
+    * [[requirePartitionedLayout]] ("missing table is fine"), create a
+    * fresh `bands/` dir the bucketed serve NEVER reads, and the
+    * appended docs would be silently invisible to every later
+    * [[dedupAgainstIndexBucketed]] — permanent corruption with no
+    * error ([[compactDedupIndex]] would likewise fail cryptically on
+    * the missing `bands/`). The bucketed layout is REBUILD-ONLY by
+    * design (its ordered bucket files can't take appends without
+    * breaking the zero-exchange co-location guarantee): re-run
+    * [[saveDedupIndexBucketed]] over the grown corpus instead. */
+  private def requireNotBucketed(path: String, op: String): Unit =
+    require(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(path, "bands_bucketed")),
+      s"$path holds a BUCKETED dedup index (bands_bucketed/) — $op " +
+        "mutates the plain partitioned layout only and would leave the " +
+        "bucketed serve reading a stale index. The bucketed layout is " +
+        "rebuild-only: re-run saveDedupIndexBucketed over the grown " +
+        "corpus (or build a plain saveDedupIndex for append workloads).")
 
   /** Refuse to append into a pre-r15 UNPARTITIONED index directory:
     * mixing `<key>=…/` partition dirs into a root that already holds

@@ -740,20 +740,23 @@ object SimilarityOps {
     // static partition-pruned filter on the assigned-table scan, and
     // the local relation below is the join's build side with no
     // second probe-routing job
-    val probeRows = probesPlan.collect()
     // the collected mass is nq×nprobe ROWS WITH FULL QUERY VECTORS —
     // driver footprint scales with the query batch, not the ≤nCells
     // cid set. Loud cap (like every driver-bounded collect in this
     // library) naming the route that never collects: past it, the
     // query batch is no longer a "probe set", it is a corpus — use
     // knnLookupIvf (broadcast-index, streaming-safe) or knnIvfDet
-    // (full distributed join) instead. spark.driver.maxResultSize is
-    // the backstop below this check.
+    // (full distributed join) instead. The limit(cap+1) keeps the cap
+    // AHEAD of the collect — the driver never materializes more than
+    // cap+1 rows even on an oversized batch (a bare collect-then-check
+    // would hold the whole blow-up before the require fired, leaving
+    // only spark.driver.maxResultSize as the real backstop).
+    val probeRows = probesPlan.limit(maxProbeRows + 1).collect()
     require(probeRows.length <= maxProbeRows,
-      s"knnIvfSaved collected ${probeRows.length} probe rows " +
-        s"(> maxProbeRows=$maxProbeRows): the query batch is too large " +
-        "for the collect-once serve path — route it through " +
-        "knnLookupIvf (broadcast index) or knnIvfDet (distributed join)")
+      s"knnIvfSaved collected over maxProbeRows=$maxProbeRows probe " +
+        "rows: the query batch is too large for the collect-once serve " +
+        "path — route it through knnLookupIvf (broadcast index) or " +
+        "knnIvfDet (distributed join)")
     val probedCells = probeRows.map(_.getLong(3)).distinct.toSeq
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)

@@ -469,6 +469,145 @@ object StreamingQueries {
         "click_2_id", "view_2_id", "signup_id")
   }
 
+  /** T8 group quantifier, GREEDY RANGE — `(click view){1,2} signup`
+    * ([[graft.streaming.CepOps.cepGroupRangeGreedy]], via
+    * [[graft.streaming.Pattern.group]]`.times(1, 2).greedy
+    * .followedBy`): SQL MATCH_RECOGNIZE's DEFAULT quantifier / Flink
+    * `times(from, to).greedy()` — per anchor, the LONGEST repetition
+    * count whose chain a signup completes wins; the 1-rep rows survive
+    * only for anchors with NO 2-rep completion. Same CTE chains as
+    * [[cepGroupRangeReluctant]] with QUALIFY min flipped to max, at
+    * the 1440-min band — the band chosen BY MEASUREMENT so the two
+    * extremes GENUINELY differ on the fixture: at sf0.01, 24 anchors
+    * complete at both counts, splitting greedy (1:357, 2:71) vs
+    * reluctant-on-the-same-band (1:394, 2:35); at the reluctant key's
+    * 360-min band no anchor completes at both counts and the extremes
+    * coincide — a fixture that cannot certify the pick. */
+  private val cepGroupRangeGreedy = Q(
+    "cep_group_range_greedy",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |r1a AS MATERIALIZED (
+      |  SELECT user_id, event_id AS c1, ts AS t0
+      |  FROM ev WHERE event_type = 'click'),
+      |r1b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v1, e.ts AS t1 FROM r1a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t0 AND e.ts <= t0 + INTERVAL 1440 MINUTE),
+      |p1 AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS pid, e.ts AS tp FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'signup'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 1440 MINUTE),
+      |r2a AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS c2, e.ts AS t2 FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'click'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 1440 MINUTE),
+      |r2b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v2, e.ts AS t3 FROM r2a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t2 AND e.ts <= t2 + INTERVAL 1440 MINUTE),
+      |p2 AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS pid, e.ts AS tp FROM r2b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'signup'
+      |  AND e.ts > t3 AND e.ts <= t3 + INTERVAL 1440 MINUTE),
+      |u AS (
+      |  SELECT user_id, c1 AS click_1_id, v1 AS view_1_id,
+      |    CAST(NULL AS BIGINT) AS click_2_id, CAST(NULL AS BIGINT) AS view_2_id,
+      |    pid AS signup_id, CAST(1 AS INT) AS reps,
+      |    epoch_us(tp) - epoch_us(t0) AS total_us
+      |  FROM p1
+      |  UNION ALL
+      |  SELECT user_id, c1, v1, c2, v2, pid, CAST(2 AS INT),
+      |    epoch_us(tp) - epoch_us(t0)
+      |  FROM p2)
+      |SELECT * FROM u
+      |QUALIFY reps = max(reps) OVER (PARTITION BY user_id, click_1_id)
+      |ORDER BY 1, 7, 2, 3, 4, 5, 6""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .group("1440 minutes",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .times(1, 2)
+      .greedy
+      .followedBy("signup", col("event_type") === "signup")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "reps", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id", "signup_id")
+  }
+
+  /** T8 group quantifier, RELUCTANT RANGE WITH PRE STEPS —
+    * `signup (click view){1,2}? purchase`
+    * ([[graft.streaming.CepOps.cepGroupRangeReluctant]] with `pre`,
+    * via `.reluctant.precededBy(...).followedBy(...)`): the Flink-SQL
+    * shape where the lazy group does NOT lead the pattern. The
+    * ANCHOR-IDENTITY CONTRACT under test: the anchor is the MATCH
+    * START's bound event — the signup — so one signup choosing among
+    * several click entries still selects ONE minimal count across all
+    * of them (per-match laziness, not per-group-entry: QUALIFY
+    * partitions on `signup_id`, NOT on `click_1_id`). Oracle =
+    * [[cepGroupRangeReluctant]]'s CTE chains seeded from the signup
+    * leg, argmin per (user_id, signup_id); 1440-min band so the split
+    * is non-degenerate at sf0.01 (1:138, 2:8 — eight anchors whose
+    * only purchase-completed chain needs two repetitions). */
+  private val cepGroupRangeReluctantPre = Q(
+    "cep_group_range_reluctant_pre",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |s0 AS MATERIALIZED (
+      |  SELECT user_id, event_id AS sid, ts AS ta
+      |  FROM ev WHERE event_type = 'signup'),
+      |r1a AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS c1, e.ts AS t0 FROM s0 x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'click'
+      |  AND e.ts > ta AND e.ts <= ta + INTERVAL 1440 MINUTE),
+      |r1b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v1, e.ts AS t1 FROM r1a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t0 AND e.ts <= t0 + INTERVAL 1440 MINUTE),
+      |p1 AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS pid, e.ts AS tp FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'purchase'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 1440 MINUTE),
+      |r2a AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS c2, e.ts AS t2 FROM r1b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'click'
+      |  AND e.ts > t1 AND e.ts <= t1 + INTERVAL 1440 MINUTE),
+      |r2b AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS v2, e.ts AS t3 FROM r2a x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'view'
+      |  AND e.ts > t2 AND e.ts <= t2 + INTERVAL 1440 MINUTE),
+      |p2 AS MATERIALIZED (
+      |  SELECT x.*, e.event_id AS pid, e.ts AS tp FROM r2b x JOIN ev e
+      |  ON e.user_id = x.user_id AND e.event_type = 'purchase'
+      |  AND e.ts > t3 AND e.ts <= t3 + INTERVAL 1440 MINUTE),
+      |u AS (
+      |  SELECT user_id, sid AS signup_id, c1 AS click_1_id, v1 AS view_1_id,
+      |    CAST(NULL AS BIGINT) AS click_2_id, CAST(NULL AS BIGINT) AS view_2_id,
+      |    pid AS purchase_id, CAST(1 AS INT) AS reps,
+      |    epoch_us(tp) - epoch_us(ta) AS total_us
+      |  FROM p1
+      |  UNION ALL
+      |  SELECT user_id, sid, c1, v1, c2, v2, pid, CAST(2 AS INT),
+      |    epoch_us(tp) - epoch_us(ta)
+      |  FROM p2)
+      |SELECT * FROM u
+      |QUALIFY reps = min(reps) OVER (PARTITION BY user_id, signup_id)
+      |ORDER BY 1, 8, 2, 3, 4, 5, 6, 7""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .group("1440 minutes",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .times(1, 2)
+      .reluctant
+      .precededBy("signup", col("event_type") === "signup")
+      .followedBy("purchase", col("event_type") === "purchase")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "reps", "signup_id", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id", "purchase_id")
+  }
+
   /** T8 group Kleene — `(click view)+`
     * ([[graft.streaming.CepOps.cepGroupKleene]], via
     * [[graft.streaming.Pattern.group]]`.oneOrMore(3)`): one match per
@@ -726,6 +865,35 @@ object StreamingQueries {
           s.emptyDataset[graft.streaming.GKMatch]
         })
       .orderBy("user_id", "first_id", "last_id", "reps")
+  }
+
+  /** The group RANGE `(click view){1,2}` on the REAL streaming
+    * runtime — [[graft.streaming.StreamOps.cepGroupRangeStream]]: the
+    * boundary-emission generalization the Kleene automaton proved out,
+    * applied to Flink's `times(from, to)`. The batch form unions
+    * m−n+1 per-count chains; here the chain unrolls ONCE to `g·m`
+    * slots and a partial EMITS at every completed `g·r` boundary it
+    * passes (r ∈ n..m) then keeps running — so the range form costs
+    * the same state as the fixed times form (one packed row per key)
+    * and the per-count union multiplies output rows, never live
+    * partials. Same fixture and MATERIALIZED-CTE oracle as the batch
+    * [[cepGroupRange]] key — replay must equal the two-chain union
+    * exactly, null-padded m-shape and `reps` included. */
+  private val streamGroupRangeReplay = Q(
+    "stream_group_range_replay", cepGroupRange.oracle.get) { (s, d) =>
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val schema = graft.streaming.CepOps.cepGroupRange(
+      Tables.events(s, d), "user_id", "ts", "event_id", grp, n = 1, m = 2,
+      within = "360 minutes").schema
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupRangeStream(ev, "user_id",
+          "ts", "event_id", grp, n = 1, m = 2,
+          withinUs = 360L * 60L * 1000000L))(
+        _ => s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      .orderBy("user_id", "reps", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id")
   }
 
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
@@ -1127,6 +1295,69 @@ object StreamingQueries {
       .greedilyFollowedBy("purchase", col("event_type") === "purchase")
       .over(Tables.events(s, d), "user_id", "ts", "event_id")
       .orderBy("user_id", "first_id", "last_id", "purchase_id")
+  }
+
+  /** `A{n,m}? B C` — RELUCTANT quantifier with a post CHAIN
+    * ([[graft.streaming.CepOps.cepTimesRangeReluctant]]'s chain
+    * overload; DSL `.reluctantlyFollowedBy(...).followedBy(...)`,
+    * MATCH_RECOGNIZE `PATTERN (A{2,3}? B C)`): a count qualifies only
+    * when the WHOLE chain completes — purchase then view, each within
+    * 12 h of the previous bound event (relaxed contiguity) — so an
+    * anchor whose 2-run reaches a purchase but no view after it falls
+    * through to its 3-run completion. This retires the one-closer
+    * restriction the r16 face carried (the group kernel always took
+    * chains; the single-variable face now shares the generalization).
+    * Oracle = [[cepTimesRangeReluctant]]'s run chains + the second
+    * post leg joined after the first, argmin per anchor AFTER the full
+    * chain. */
+  private val cepTimesRangeChain = Q(
+    "cep_times_range_chain",
+    """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS pos
+      |           FROM events),
+      |m AS (SELECT user_id, ts, event_id, pos FROM p WHERE event_type = 'click'),
+      |l2 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 1) OVER w AS first_ts, lag(event_id, 1) OVER w AS first_id,
+      |         lag(pos, 1) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |l3 AS (SELECT user_id, ts, event_id, pos,
+      |         lag(ts, 2) OVER w AS first_ts, lag(event_id, 2) OVER w AS first_id,
+      |         lag(pos, 2) OVER w AS first_pos
+      |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, first_id, event_id AS last_id, first_ts, ts AS last_ts,
+      |    CAST(2 AS INT) AS reps
+      |  FROM l2 WHERE first_pos IS NOT NULL AND pos - first_pos = 1
+      |    AND ts <= first_ts + INTERVAL 12 HOUR
+      |  UNION ALL
+      |  SELECT user_id, first_id, event_id, first_ts, ts, CAST(3 AS INT)
+      |  FROM l3 WHERE first_pos IS NOT NULL AND pos - first_pos = 2
+      |    AND ts <= first_ts + INTERVAL 12 HOUR),
+      |c1 AS (
+      |  SELECT r.user_id, r.first_id, r.last_id, q.event_id AS purchase_id,
+      |    q.ts AS p_ts, r.reps, r.first_ts
+      |  FROM runs r JOIN p q ON q.user_id = r.user_id
+      |    AND q.event_type = 'purchase'
+      |    AND q.ts > r.last_ts AND q.ts <= r.last_ts + INTERVAL 12 HOUR),
+      |c2 AS (
+      |  SELECT c.user_id, c.first_id, c.last_id, c.purchase_id,
+      |    q.event_id AS view_id, c.reps,
+      |    epoch_us(q.ts) - epoch_us(c.first_ts) AS span_us
+      |  FROM c1 c JOIN p q ON q.user_id = c.user_id
+      |    AND q.event_type = 'view'
+      |    AND q.ts > c.p_ts AND q.ts <= c.p_ts + INTERVAL 12 HOUR)
+      |SELECT user_id, first_id, last_id, purchase_id, view_id, reps, span_us
+      |FROM c2
+      |QUALIFY reps = min(reps) OVER (PARTITION BY user_id, first_id)
+      |ORDER BY user_id, first_id, last_id, purchase_id, view_id""".stripMargin) { (s, d) =>
+    graft.streaming.Pattern
+      .begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .reluctantlyFollowedBy("purchase", col("event_type") === "purchase")
+      .followedBy("view", col("event_type") === "view")
+      .over(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy("user_id", "first_id", "last_id", "purchase_id", "view_id")
   }
 
   // ------------------------------------------------------- CEP Kleene B+
@@ -1699,9 +1930,12 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(tumbling, tumblingOffset, sliding, session, dedupFirst, forwardFill,
     cepSequence, cepFunnel, cepPattern, cepAlternation, cepGroupTimes,
-    cepGroupRange, cepGroupRangeReluctant, cepGroupKleene, cepGroupMixed,
+    cepGroupRange, cepGroupRangeReluctant, cepGroupRangeGreedy,
+    cepGroupRangeReluctantPre, cepGroupKleene, cepGroupMixed,
     cepGroupAlt, cepTimesRangeReluctant, cepTimesRangeGreedy,
+    cepTimesRangeChain,
     streamGroupTimesReplay, streamGroupMixedReplay, streamGroupKleeneReplay,
+    streamGroupRangeReplay,
     cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,

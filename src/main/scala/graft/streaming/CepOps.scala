@@ -183,10 +183,22 @@ object CepOps {
   def cepAlternation(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, steps: Seq[AltStep],
       maxChainEstimate: Double = 5e6): DataFrame = {
-    require(steps.size >= 2, "a pattern needs at least two slots")
-    require(steps.forall(_.branches.nonEmpty), "every slot needs a branch")
     if (steps.size >= DensityGuardSlots)
       densityGuard(ev, keyCol, tsCol, steps, maxChainEstimate)
+    alternationImpl(ev, keyCol, tsCol, idCol, steps)
+  }
+
+  /** [[cepAlternation]] WITHOUT the density guard — the per-count
+    * group kernels ([[cepGroupRange]], [[cepGroupKleene]], the
+    * closed-range family) build m−n+1 near-identical chains whose slot
+    * predicates repeat, so they run [[densityGuard]] ONCE on the
+    * longest chain (its prefix mass dominates every shorter one) and
+    * compile each count through this unguarded body instead of paying
+    * one estimation scan of `ev` per count. */
+  private def alternationImpl(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, steps: Seq[AltStep]): DataFrame = {
+    require(steps.size >= 2, "a pattern needs at least two slots")
+    require(steps.forall(_.branches.nonEmpty), "every slot needs a branch")
     require(steps.map(_.name).distinct.size == steps.size,
       "slot names must be distinct (they name the output columns)")
     require(steps.forall(s =>
@@ -247,10 +259,15 @@ object CepOps {
     require(group.size * n >= 2, "a pattern needs at least two slots")
     require(group.map(_._1).distinct.size == group.size,
       "group step names must be distinct")
-    val steps = (1 to n).flatMap(r => group.map { case (nm, p) =>
-      AltStep(s"${nm}_$r", Seq(s"${nm}_$r" -> p), within) })
-    cepAlternation(ev, keyCol, tsCol, idCol, steps)
+    cepAlternation(ev, keyCol, tsCol, idCol, groupSteps(group, n, within))
   }
+
+  /** The unrolled flat slot chain of `(group){r}` — shared by every
+    * group-quantifier compilation. */
+  private def groupSteps(group: Seq[(String, Column)], r: Int,
+      within: String): Seq[AltStep] =
+    (1 to r).flatMap(rr => group.map { case (nm, p) =>
+      AltStep(s"${nm}_$rr", Seq(s"${nm}_$rr" -> p), within) })
 
   /** Quantified sequence group with NAMED-ALTERNATION members —
     * `((B|C) D){n}`: each group member may itself be a branch set, so
@@ -354,8 +371,14 @@ object CepOps {
     require(group.size * n >= 2, "a pattern needs at least two slots")
     require(group.map(_._1).distinct.size == group.size,
       "group step names must be distinct")
+    // one guard on the longest chain — its prefix mass dominates every
+    // shorter count (see alternationImpl)
+    val longest = groupSteps(group, m, within)
+    if (longest.size >= DensityGuardSlots)
+      densityGuard(ev, keyCol, tsCol, longest, 5e6)
     val runs = (n to m).map { r =>
-      val run = cepGroupTimes(ev, keyCol, tsCol, idCol, group, r, within)
+      val run = alternationImpl(ev, keyCol, tsCol, idCol,
+        groupSteps(group, r, within))
       val idType = run.schema(s"${group.head._1}_1_id").dataType
       val padded = (r + 1 to m)
         .flatMap(rr => group.map { case (nm, _) => s"${nm}_${rr}_id" })
@@ -396,8 +419,14 @@ object CepOps {
       s"oneOrMore over a group unrolls to maxReps·|group| joined slots " +
         s"with band-fan-out^slots candidate growth; maxReps=$maxReps is " +
         "outside the supported 1..8 — tighten the bound or the `within` band")
+    require(group.map(_._1).distinct.size == group.size,
+      "group step names must be distinct")
+    // one guard on the longest chain (see alternationImpl)
+    val longest = groupSteps(group, maxReps, within)
+    if (longest.size >= DensityGuardSlots)
+      densityGuard(ev, keyCol, tsCol, longest, 5e6)
     val runs = (1 to maxReps).map { n =>
-      cepGroupTimes(ev, keyCol, tsCol, idCol, group, n, within)
+      alternationImpl(ev, keyCol, tsCol, idCol, groupSteps(group, n, within))
         .select(col(keyCol),
           col(s"${group.head._1}_1_id").as("first_id"),
           col(s"${group.last._1}_${n}_id").as("last_id"),
@@ -794,7 +823,21 @@ object CepOps {
       idCol: String, predicate: Column, n: Int, m: Int, within: String,
       postName: String, postPred: Column): DataFrame =
     timesRangeClosed(ev, keyCol, tsCol, idCol, predicate, n, m, within,
-      postName, postPred, greedy = false)
+      Seq(postName -> postPred), greedy = false)
+
+  /** [[cepTimesRangeReluctant]] with a post CHAIN `A{n,m}? B C …`: the
+    * run's tail must be followed (relaxed contiguity, each step within
+    * `within` of the previous) by EVERY `post` step in order for a
+    * count to qualify — the same generalization the group kernel
+    * ([[cepGroupRangeReluctant]]) carries, unified onto the
+    * single-variable face so one closer is no longer a restriction.
+    * Output: `(key, first_id, last_id, <post>_id …, reps, span_us)`
+    * with `span_us` spanning first run event to the LAST post event. */
+  def cepTimesRangeReluctant(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predicate: Column, n: Int, m: Int, within: String,
+      post: Seq[(String, Column)]): DataFrame =
+    timesRangeClosed(ev, keyCol, tsCol, idCol, predicate, n, m, within,
+      post, greedy = false)
 
   /** GREEDY quantified variable `A{n,m} B` — SQL MATCH_RECOGNIZE's
     * DEFAULT quantifier semantics and Flink's `.greedy()`: per match
@@ -808,100 +851,188 @@ object CepOps {
       idCol: String, predicate: Column, n: Int, m: Int, within: String,
       postName: String, postPred: Column): DataFrame =
     timesRangeClosed(ev, keyCol, tsCol, idCol, predicate, n, m, within,
-      postName, postPred, greedy = true)
+      Seq(postName -> postPred), greedy = true)
+
+  /** [[cepTimesRangeGreedy]] with a post CHAIN `A{n,m} B C …` — the
+    * argmax mirror of the chained reluctant face; see
+    * [[cepTimesRangeReluctant]]'s chain overload for the contract. */
+  def cepTimesRangeGreedy(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, predicate: Column, n: Int, m: Int, within: String,
+      post: Seq[(String, Column)]): DataFrame =
+    timesRangeClosed(ev, keyCol, tsCol, idCol, predicate, n, m, within,
+      post, greedy = true)
 
   private def timesRangeClosed(ev: DataFrame, keyCol: String,
       tsCol: String, idCol: String, predicate: Column, n: Int, m: Int,
-      within: String, postName: String, postPred: Column,
+      within: String, post: Seq[(String, Column)],
       greedy: Boolean): DataFrame = {
     require(n >= 2 && m > n,
       s"times($n,$m): need 2 <= n < m — times(n) is the fixed-count form")
+    require(post.nonEmpty,
+      "the greedy/reluctant axis needs at least one post step to decide " +
+        "against — the open range is cepTimesRange (all-counts emission)")
+    val postNames = post.map(_._1 + "_id")
+    require(postNames.distinct.size == postNames.size,
+      s"post step names must be distinct: ${post.map(_._1)}")
     val runs = (n to m).map { k =>
       timesRuns(ev, keyCol, tsCol, idCol, predicate, k, within)
         .withColumn("reps", lit(k).cast("int"))
     }.reduce(_ unionByName _)
-    val p = ev.filter(postPred).select(col(keyCol).as("__pk"),
-      col(tsCol).as("__p_ts"), col(idCol).as(s"${postName}_id"))
+    // chain the post steps with relaxed contiguity, each within the
+    // band of the previous bound event (the cepAlternation leg shape)
+    val chained = post.zipWithIndex.foldLeft(
+        runs.withColumn("__last", col("last_ts"))) {
+      case (acc, ((nm, p), i)) =>
+        val e = ev.filter(p).select(col(keyCol).as(s"__pk_$i"),
+          col(tsCol).as(s"__p_ts_$i"), col(idCol).as(s"${nm}_id"))
+        acc.join(e, col(keyCol) === col(s"__pk_$i") &&
+            col(s"__p_ts_$i") > col("__last") &&
+            col(s"__p_ts_$i") <= col("__last") + expr(s"INTERVAL $within"))
+          .withColumn("__last", col(s"__p_ts_$i"))
+          .drop(s"__pk_$i", s"__p_ts_$i")
+    }
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol), col("first_id"))
     val pick = if (greedy) max(col("reps")) else min(col("reps"))
-    runs.join(p, col(keyCol) === col("__pk") &&
-        col("__p_ts") > col("last_ts") &&
-        col("__p_ts") <= col("last_ts") + expr(s"INTERVAL $within"))
-      .select(col(keyCol), col("first_id"), col("last_id"),
-        col(s"${postName}_id"), col("reps"),
-        (unix_micros(col("__p_ts")) - unix_micros(col("first_ts")))
-          .as("span_us"))
+    chained
+      .select(Seq(col(keyCol), col("first_id"), col("last_id")) ++
+        postNames.map(col) ++ Seq(col("reps"),
+        (unix_micros(col("__last")) - unix_micros(col("first_ts")))
+          .as("span_us")): _*)
       .withColumn("__xr", pick.over(wa))
       .filter(col("reps") === col("__xr"))
       .drop("__xr")
   }
 
-  /** RELUCTANT group quantifier `(A B){n,m}? D…` — the sequence-group
-    * face of the non-greedy axis: per match START (the group's first
-    * bound event), the SHORTEST repetition count `r ∈ n..m` whose
-    * chain the `post` steps complete wins; longer counts for the same
-    * anchor are discarded. Compiled as the per-anchor argmin over the
-    * [[cepGroupRange]]-style union with the post steps appended to
-    * every per-count chain — which is exactly why `post` is REQUIRED:
-    * a standalone reluctant range degenerates (every match's n-rep
+  /** RELUCTANT group quantifier `[A …] (B C){n,m}? D…` — the
+    * sequence-group face of the non-greedy axis: per match START
+    * (the ANCHOR — see below), the SHORTEST repetition count
+    * `r ∈ n..m` whose chain the `post` steps complete wins; longer
+    * counts for the same anchor are discarded. Compiled as the
+    * per-anchor argmin over the [[cepGroupRange]]-style union with the
+    * `pre` steps prepended and the `post` steps appended to every
+    * per-count chain — which is exactly why `post` is REQUIRED: a
+    * standalone reluctant range degenerates (every match's n-rep
     * prefix is itself a match with the same anchor, so the argmin
-    * always selects `n` — that form IS [[cepGroupTimes]]`(n)`) and is
-    * rejected loudly rather than keyed twice.
+    * always selects `n` — that form IS [[cepGroupTimes]]`(n)`, with or
+    * without pre steps) and is rejected loudly rather than keyed twice.
+    *
+    * ANCHOR-IDENTITY CONTRACT: the anchor is the MATCH START's bound
+    * event — `pre.head`'s event when outer pre steps exist (SQL's
+    * match start for `A (B C){n,m}? D` is A's row), else the group's
+    * first bound event. The quantifier is lazy PER MATCH START, so one
+    * A-event choosing among several group entries still selects one
+    * minimal count across all of them — exactly MATCH_RECOGNIZE's
+    * per-match laziness, not per-group-entry.
     *
     * Same TIE-BREAK CONTRACT as [[cepTimesRangeReluctant]]: minimal
-    * count per anchor, NO_SKIP all-combinations within it. Output:
-    * `(key, <step>_<rep>_id for rep = 1..m (null-padded), <post>_id …,
-    * reps, total_us)`.
+    * count per anchor, NO_SKIP all-combinations within it.
+    * `matchWithinUs` (the PATTERN's whole-match WITHIN bound) prunes
+    * candidates BEFORE the argmin — an anchor whose minimal-count
+    * chain busts the bound falls through to its shortest IN-BOUND
+    * completion instead of being dropped (filter-after-argmin would
+    * diverge from reluctant semantics precisely on those anchors).
+    * Output: `(key, <pre>_id …, <step>_<rep>_id for rep = 1..m
+    * (null-padded), <post>_id …, reps, total_us)`.
     *
-    * @note scale: Σ (r·|group| + |post|) keyed interval joins over the
-    *   unrolled chains (r = n..m) + one (key, anchor) window — each
-    *   chain is the bounded fixed-length shape, the union preserves
-    *   the key partitioning; no per-key history scan. */
+    * @note scale: Σ (|pre| + r·|group| + |post|) keyed interval joins
+    *   over the unrolled chains (r = n..m) + one (key, anchor)
+    *   window — each chain is the bounded fixed-length shape, the
+    *   union preserves the key partitioning; no per-key history scan.
+    *   The density guard runs ONCE, on the longest chain. */
   def cepGroupRangeReluctant(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, group: Seq[(String, Column)], n: Int, m: Int,
-      within: String, post: Seq[(String, Column)]): DataFrame = {
+      within: String, post: Seq[(String, Column)],
+      pre: Seq[(String, Column)] = Nil,
+      matchWithinUs: Option[Long] = None): DataFrame =
+    groupRangeClosed(ev, keyCol, tsCol, idCol, pre, group, n, m, within,
+      post, greedy = false, matchWithinUs)
+
+  /** GREEDY group quantifier `[A …] (B C){n,m} D…` — SQL
+    * MATCH_RECOGNIZE's DEFAULT quantifier semantics and Flink's
+    * `times(from, to).greedy()` on a sequence group: per match start,
+    * the LONGEST repetition count whose chain the `post` steps
+    * complete wins — the argmax mirror of [[cepGroupRangeReluctant]]
+    * over the identical per-count union; same anchor-identity and
+    * tie-break contracts (extremal count per anchor, NO_SKIP
+    * all-combinations within it). `post` is required here too: the
+    * standalone greedy form is [[cepGroupRange]]'s all-counts union
+    * under a per-anchor max — compose those two rather than keying the
+    * union twice. */
+  def cepGroupRangeGreedy(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], n: Int, m: Int,
+      within: String, post: Seq[(String, Column)],
+      pre: Seq[(String, Column)] = Nil,
+      matchWithinUs: Option[Long] = None): DataFrame =
+    groupRangeClosed(ev, keyCol, tsCol, idCol, pre, group, n, m, within,
+      post, greedy = true, matchWithinUs)
+
+  /** Shared kernel of the closed (post-decided) group-range axis —
+    * [[cepGroupRangeReluctant]] (argmin) / [[cepGroupRangeGreedy]]
+    * (argmax) document the contracts. */
+  private def groupRangeClosed(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, pre: Seq[(String, Column)],
+      group: Seq[(String, Column)], n: Int, m: Int, within: String,
+      post: Seq[(String, Column)], greedy: Boolean,
+      matchWithinUs: Option[Long]): DataFrame = {
     require(post.nonEmpty,
-      "a standalone reluctant range always selects n repetitions (every " +
-        "match's n-rep prefix shares its anchor) — that form is exactly " +
-        "cepGroupTimes(n); reluctance needs at least one post step to " +
-        "decide against")
+      if (greedy)
+        "a standalone greedy range is cepGroupRange's all-counts union " +
+          "under a per-anchor max — compose those two; the greedy axis " +
+          "needs at least one post step to decide against"
+      else
+        "a standalone reluctant range always selects n repetitions (every " +
+          "match's n-rep prefix shares its anchor) — that form is exactly " +
+          "cepGroupTimes(n); reluctance needs at least one post step to " +
+          "decide against")
     require(group.nonEmpty, "a group needs at least one step")
     require(n >= 1 && m > n,
-      s"times($n,$m)?: need 1 <= n < m — times(n) is the fixed-count form")
+      s"times($n,$m): need 1 <= n < m — times(n) is the fixed-count form")
     require(m <= 8,
-      s"times($n,$m)? unrolls to m·|group| joined slots with " +
+      s"times($n,$m) unrolls to m·|group| joined slots with " +
         s"band-fan-out^slots candidate growth; m=$m is outside the " +
         "supported 2..8 — tighten the bound or the `within` band")
     require(group.map(_._1).distinct.size == group.size,
       "group step names must be distinct")
     val padNames = (1 to m).flatMap(r =>
       group.map { case (nm, _) => s"${nm}_${r}_id" })
-    val names = padNames ++ post.map(_._1 + "_id")
+    val names = pre.map(_._1 + "_id") ++ padNames ++ post.map(_._1 + "_id")
     require(names.distinct.size == names.size,
-      s"post step names must not collide with the unrolled group " +
+      s"outer step names must not collide with the unrolled group " +
         s"columns: $names")
-    val runs = (n to m).map { r =>
+    def chainSteps(r: Int): Seq[AltStep] = {
       val unrolled = (1 to r).flatMap(rr =>
         group.map { case (nm, p) => s"${nm}_$rr" -> p })
-      val run = cepAlternation(ev, keyCol, tsCol, idCol,
-        (unrolled ++ post).map { case (nm, p) =>
-          AltStep(nm, Seq(nm -> p), within) })
+      (pre ++ unrolled ++ post).map { case (nm, p) =>
+        AltStep(nm, Seq(nm -> p), within) }
+    }
+    // one guard on the longest chain (see alternationImpl)
+    val longest = chainSteps(m)
+    if (longest.size >= DensityGuardSlots)
+      densityGuard(ev, keyCol, tsCol, longest, 5e6)
+    val runs = (n to m).map { r =>
+      val run = alternationImpl(ev, keyCol, tsCol, idCol, chainSteps(r))
       val idType = run.schema(s"${group.head._1}_1_id").dataType
       val padded = (r + 1 to m)
         .flatMap(rr => group.map { case (nm, _) => s"${nm}_${rr}_id" })
         .foldLeft(run)((d, c) => d.withColumn(c, lit(null).cast(idType)))
       padded.withColumn("reps", lit(r).cast("int"))
     }
-    val anchor = s"${group.head._1}_1_id"
+    val anchor =
+      if (pre.nonEmpty) s"${pre.head._1}_id" else s"${group.head._1}_1_id"
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol), col(anchor))
-    val outCols = (col(keyCol) +: padNames.map(col)) ++
+    val pick = if (greedy) max(col("reps")) else min(col("reps"))
+    val outCols = (col(keyCol) +: pre.map(p => col(s"${p._1}_id"))) ++
+      padNames.map(col) ++
       post.map { case (nm, _) => col(s"${nm}_id") } ++
       Seq(col("reps"), col("total_us"))
-    runs.reduce(_ unionByName _)
-      .withColumn("__minr", min(col("reps")).over(wa))
-      .filter(col("reps") === col("__minr"))
+    val union = runs.reduce(_ unionByName _)
+    val bounded = matchWithinUs
+      .fold(union)(b => union.filter(col("total_us") <= b))
+    bounded
+      .withColumn("__xr", pick.over(wa))
+      .filter(col("reps") === col("__xr"))
       .select(outCols: _*)
   }
 

@@ -53,23 +53,31 @@ import org.apache.spark.sql.functions._
   *                      repetition count in n..m, per-repetition
   *                      columns null-padded to the m-shape plus a
   *                      `reps` count; standalone only
-  *  - `A{n,m} B`      — GREEDY range (SQL's DEFAULT quantifier) →
+  *  - `A{n,m} B [C …]` — GREEDY range (SQL's DEFAULT quantifier) →
   *                      [[CepOps.cepTimesRangeGreedy]]: per run
-  *                      start, the LONGEST count whose tail a `B`
-  *                      closes wins (argmax mirror of `{n,m}?`)
-  *  - `A{n,m}? B`     — RELUCTANT range (SQL non-greedy) →
+  *                      start, the LONGEST count whose tail the post
+  *                      CHAIN completes wins (argmax mirror of
+  *                      `{n,m}?`)
+  *  - `A{n,m}? B [C …]` — RELUCTANT range (SQL non-greedy) →
   *                      [[CepOps.cepTimesRangeReluctant]]: per run
-  *                      start, the SHORTEST count whose tail a `B`
-  *                      closes wins. Unlike `B+?` (relaxed-Kleene
-  *                      syntax repurposed, above), `{n,m}?` carries
-  *                      SQL's actual non-greedy meaning; the
-  *                      tie-break contract is documented on the
-  *                      kernel
-  *  - `(A B){n,m}? D` — RELUCTANT group range →
+  *                      start, the SHORTEST count whose tail the post
+  *                      chain completes wins. Unlike `B+?`
+  *                      (relaxed-Kleene syntax repurposed, above),
+  *                      `{n,m}?` carries SQL's actual non-greedy
+  *                      meaning; the tie-break contract is documented
+  *                      on the kernel
+  *  - `[A …] (B C){n,m}? D …` — RELUCTANT group range →
   *                      [[CepOps.cepGroupRangeReluctant]]: per-anchor
   *                      shortest count whose chain the following
-  *                      plain variables complete; the group must
-  *                      LEAD the pattern
+  *                      plain variables complete; plain variables may
+  *                      precede the group (the anchor is then the
+  *                      match start's event — the anchor-identity
+  *                      contract on the kernel)
+  *  - `[A …] (B C){n,m} D …` — GREEDY group range →
+  *                      [[CepOps.cepGroupRangeGreedy]]: the argmax
+  *                      mirror, same anchor-identity contract; the
+  *                      STANDALONE `(A B){n,m}` keeps Flink's
+  *                      all-counts emission (below) instead
   *  - `(A B)+`        — group Kleene → [[CepOps.cepGroupKleene]]: one
   *                      match per repetition count, unrolled to
   *                      `groupMaxReps` (a HARD bound — candidate growth
@@ -238,28 +246,31 @@ object MatchRecognize {
     toks match {
       case Seq(Tok(a, "", Seq())) if toks.size == 1 =>
         sys.error("single plain variable is a filter, not a pattern")
-      case Seq(Tok(a, spec, Seq()), Tok(b, "", Seq())) if spec.matches(raw"\d+,\d+\?") =>
-        // A{n,m}? B — RELUCTANT range: per run start, the shortest
-        // count whose tail a B closes wins (cepTimesRangeReluctant
-        // documents the tie-break contract). NOTE the contrast with
-        // B+? (relaxed-Kleene syntax repurposed, above): {n,m}? is the
-        // one place this face carries SQL's actual non-greedy meaning.
+      case Tok(a, spec, Seq()) +: tl if spec.matches(raw"\d+,\d+\?") &&
+          tl.nonEmpty && tl.forall(t => t.quant == "" && t.branches.isEmpty) =>
+        // A{n,m}? B [C …] — RELUCTANT range: per run start, the
+        // shortest count whose tail the post CHAIN completes wins
+        // (cepTimesRangeReluctant documents the tie-break contract).
+        // NOTE the contrast with B+? (relaxed-Kleene syntax
+        // repurposed, above): {n,m}? is the one place this face
+        // carries SQL's actual non-greedy meaning.
         require(measureItems(rest).isEmpty,
           "MEASURES is not supported with A{n,m}?; the reps column " +
             "carries the per-match count")
         val Array(lo, hi) = spec.stripSuffix("?").split(",").map(_.toInt)
         CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, binds(a),
-          lo, hi, normWithin, b, binds(b))
-      case Seq(Tok(a, spec, Seq()), Tok(b, "", Seq())) if spec.matches(raw"\d+,\d+") =>
-        // A{n,m} B — SQL's DEFAULT quantifier is GREEDY: the longest
-        // count per run start whose tail a B closes wins
-        // (cepTimesRangeGreedy — the argmax mirror of {n,m}?).
+          lo, hi, normWithin, tl.map(t => t.name -> binds(t.name)))
+      case Tok(a, spec, Seq()) +: tl if spec.matches(raw"\d+,\d+") &&
+          tl.nonEmpty && tl.forall(t => t.quant == "" && t.branches.isEmpty) =>
+        // A{n,m} B [C …] — SQL's DEFAULT quantifier is GREEDY: the
+        // longest count per run start whose tail the post chain
+        // completes wins (cepTimesRangeGreedy — the argmax mirror).
         require(measureItems(rest).isEmpty,
           "MEASURES is not supported with A{n,m} B; the reps column " +
             "carries the per-match count")
         val Array(lo, hi) = spec.split(",").map(_.toInt)
         CepOps.cepTimesRangeGreedy(ev, keyCol, tsCol, idCol, binds(a),
-          lo, hi, normWithin, b, binds(b))
+          lo, hi, normWithin, tl.map(t => t.name -> binds(t.name)))
       case Seq(Tok(a, spec, Seq())) if spec.matches(raw"\d+,\d+\?") =>
         sys.error(s"$a{n,m}? without a following variable always matches " +
           s"the minimal count — use $a{n}, or the greedy $a{n,m} for the " +
@@ -350,29 +361,52 @@ object MatchRecognize {
             base.select(Seq(col(keyCol), col("a_id"), col("c_id"),
               col("span_us")) ++ renamed: _*)
         }
-      case Tok(gn, gq, brs) +: tl if brs.nonEmpty && gq.startsWith("G{") &&
-          gq.endsWith("}?") =>
-        // (A B){n,m}? D… — RELUCTANT group range: per-anchor shortest
-        // count whose chain the following variables complete
-        // (cepGroupRangeReluctant documents the tie-break contract).
-        // The group must LEAD the pattern (the anchor is its first
-        // bound event) and mixes with plain following variables only.
-        require(tl.nonEmpty && tl.forall(t =>
-            t.quant == "" && t.branches.isEmpty),
-          s"($gn){n,m}? needs at least one PLAIN following variable to " +
-            "decide against (a standalone reluctant range is exactly " +
-            "the fixed {n} form) and mixes with plain variables only")
+      case ts0 if ts0.count(t => t.branches.nonEmpty &&
+            t.quant.startsWith("G{") && t.quant.contains(",")) == 1 &&
+          // a standalone greedy range is the all-counts form (below);
+          // a standalone RELUCTANT one still enters for its clear reject
+          (ts0.size > 1 || ts0.head.quant.endsWith("}?")) &&
+          ts0.filterNot(t => t.quant.startsWith("G{"))
+            .forall(t => t.quant == "" && t.branches.isEmpty) =>
+        // [A …] (B C){n,m}? D… / [A …] (B C){n,m} D… — the CLOSED
+        // group-range axis: reluctant ({n,m}? — per-anchor SHORTEST
+        // count) or greedy ({n,m} — SQL's default, per-anchor LONGEST
+        // count) decided by the post variables that complete the
+        // chain. Plain variables may PRECEDE the group — the anchor
+        // is then the MATCH START's event (pre.head), per the
+        // anchor-identity contract cepGroupRangeReluctant documents —
+        // and at least one plain variable must FOLLOW it (a standalone
+        // reluctant range is exactly the fixed {n} form; a standalone
+        // greedy range is the all-counts {n,m} under a per-anchor
+        // max). The whole-match WITHIN bound prunes candidates BEFORE
+        // the per-anchor pick (filter-after-argmin would wrongly drop
+        // anchors whose minimal count busts the bound but whose
+        // longer in-bound completion exists).
         require(measureItems(rest).isEmpty,
           "MEASURES is not supported with group quantifiers; every " +
             "bound event is already a column")
-        val spec = gq.drop(2).dropRight(2) // "G{n,m}?" -> "n,m"
-        require(spec.contains(","),
-          s"($gn){n}? is not a range — reluctance needs {n,m}?")
+        val gi = ts0.indexWhere(_.quant.startsWith("G{"))
+        val preToks = ts0.take(gi)
+        val gTok = ts0(gi)
+        val postToks = ts0.drop(gi + 1)
+        require(postToks.nonEmpty && postToks.forall(t =>
+            t.quant == "" && t.branches.isEmpty),
+          s"(${gTok.name}){n,m} range quantifiers need at least one " +
+            "PLAIN following variable to decide against and mix with " +
+            "plain variables only")
+        val reluctant = gTok.quant.endsWith("}?")
+        val spec = gTok.quant.drop(2)
+          .dropRight(if (reluctant) 2 else 1) // "G{n,m}[?]" -> "n,m"
         val Array(lo, hi) = spec.split(",").map(_.trim.toInt)
-        val base = CepOps.cepGroupRangeReluctant(ev, keyCol, tsCol, idCol,
-          brs.map(b => b -> binds(b)), lo, hi, normWithin,
-          tl.map(t => t.name -> binds(t.name)))
-        base.filter(col("total_us") <= withinUs)
+        val grp = gTok.branches.map(b => b -> binds(b))
+        val pre = preToks.map(t => t.name -> binds(t.name))
+        val post = postToks.map(t => t.name -> binds(t.name))
+        if (reluctant)
+          CepOps.cepGroupRangeReluctant(ev, keyCol, tsCol, idCol, grp,
+            lo, hi, normWithin, post, pre, matchWithinUs = Some(withinUs))
+        else
+          CepOps.cepGroupRangeGreedy(ev, keyCol, tsCol, idCol, grp,
+            lo, hi, normWithin, post, pre, matchWithinUs = Some(withinUs))
       case Seq(t) if t.branches.nonEmpty && t.quant.startsWith("G") =>
         // quantified SEQUENCE group `(A B){n}` / `(A B)+` →
         // cepGroupTimes / cepGroupKleene (standalone only — the whole

@@ -138,43 +138,73 @@ final class QuantifiedGroupRange private[streaming] (
 
   /** SQL `{n,m}?` — the NON-GREEDY range: per anchor, the shortest
     * count whose chain the post steps complete wins. Needs at least
-    * one [[ReluctantGroupRange.followedBy]] post step (a standalone
+    * one [[ClosedGroupRange.followedBy]] post step (a standalone
     * reluctant range is exactly `times(n)` — the kernel rejects it
     * loudly). */
-  def reluctant: ReluctantGroupRange =
-    new ReluctantGroupRange(steps, within, n, m, Vector.empty)
+  def reluctant: ClosedGroupRange =
+    new ClosedGroupRange(steps, within, n, m, Vector.empty, Vector.empty,
+      greedy = false)
+
+  /** SQL's DEFAULT (greedy) range / Flink `times(from, to).greedy()`:
+    * per anchor, the LONGEST count whose chain the post steps complete
+    * wins — the argmax mirror of [[reluctant]]. Needs at least one
+    * [[ClosedGroupRange.followedBy]] post step (the standalone greedy
+    * form is [[over]]'s all-counts union under a per-anchor max). */
+  def greedy: ClosedGroupRange =
+    new ClosedGroupRange(steps, within, n, m, Vector.empty, Vector.empty,
+      greedy = true)
 }
 
 /** A closed (post-step-decided) single-variable range ready to
   * compile — see [[PatternBuilder.reluctantlyFollowedBy]] (argmin) /
-  * [[PatternBuilder.greedilyFollowedBy]] (argmax). */
+  * [[PatternBuilder.greedilyFollowedBy]] (argmax). [[followedBy]]
+  * extends the closer to a post CHAIN (`A{n,m}? B C …`). */
 final class ClosedTimesRange private[streaming] (
-    pred: Column, n: Int, m: Int, within: String, postName: String,
-    postPred: Column, greedy: Boolean) {
+    pred: Column, n: Int, m: Int, within: String,
+    post: Vector[(String, Column)], greedy: Boolean) {
+  /** Append a further post step AFTER the closer (repeatable, call
+    * order) — a count qualifies only when the WHOLE chain completes. */
+  def followedBy(name: String, postPred: Column): ClosedTimesRange =
+    new ClosedTimesRange(pred, n, m, within, post :+ (name -> postPred),
+      greedy)
   def over(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String): DataFrame =
     if (greedy)
       CepOps.cepTimesRangeGreedy(ev, keyCol, tsCol, idCol, pred, n, m,
-        within, postName, postPred)
+        within, post)
     else
       CepOps.cepTimesRangeReluctant(ev, keyCol, tsCol, idCol, pred, n, m,
-        within, postName, postPred)
+        within, post)
 }
 
-/** A reluctant range-quantified group collecting its post steps — see
-  * [[QuantifiedGroupRange.reluctant]];
-  * compiles [[CepOps.cepGroupRangeReluctant]]. */
-final class ReluctantGroupRange private[streaming] (
+/** A closed (post-step-decided) range-quantified group collecting its
+  * outer steps — see [[QuantifiedGroupRange.reluctant]] (argmin) /
+  * [[QuantifiedGroupRange.greedy]] (argmax); compiles
+  * [[CepOps.cepGroupRangeReluctant]] / [[CepOps.cepGroupRangeGreedy]],
+  * which document the anchor-identity and tie-break contracts. */
+final class ClosedGroupRange private[streaming] (
     steps: Vector[(String, Column)], within: String, n: Int, m: Int,
-    post: Vector[(String, Column)]) {
+    pre: Vector[(String, Column)], post: Vector[(String, Column)],
+    greedy: Boolean) {
+  /** Prepend an outer step BEFORE the group (repeatable; steps keep
+    * call order) — the MATCH START moves to the first pre step, and
+    * with it the anchor the per-match count is decided for. */
+  def precededBy(name: String, pred: Column): ClosedGroupRange =
+    new ClosedGroupRange(steps, within, n, m, pre :+ (name -> pred),
+      post, greedy)
   /** Append an outer step AFTER the group (repeatable, call order) —
     * the step(s) whose completion decides the per-anchor count. */
-  def followedBy(name: String, pred: Column): ReluctantGroupRange =
-    new ReluctantGroupRange(steps, within, n, m, post :+ (name -> pred))
+  def followedBy(name: String, pred: Column): ClosedGroupRange =
+    new ClosedGroupRange(steps, within, n, m, pre, post :+ (name -> pred),
+      greedy)
   def over(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String): DataFrame =
-    CepOps.cepGroupRangeReluctant(ev, keyCol, tsCol, idCol, steps, n, m,
-      within, post)
+    if (greedy)
+      CepOps.cepGroupRangeGreedy(ev, keyCol, tsCol, idCol, steps, n, m,
+        within, post, pre)
+    else
+      CepOps.cepGroupRangeReluctant(ev, keyCol, tsCol, idCol, steps, n, m,
+        within, post, pre)
 }
 
 /** A quantified group ready to compile — see [[Pattern.group]]. Fixed
@@ -350,7 +380,7 @@ final class PatternBuilder private[streaming] (
       sys.error(s"$face pattern needs .within(...)"))
     requireNoAlts(face)
     new ClosedTimesRange(steps.head.pred, nTimes.get, nTimesHi.get, w,
-      postName, postPred, greedy)
+      Vector(postName -> postPred), greedy)
   }
 
   /** No `pred`-matching event may follow the begin step inside the

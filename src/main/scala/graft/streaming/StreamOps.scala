@@ -1366,17 +1366,58 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[CepOps.cepGroupRange]] — `(s₁ … s_g){n,m}` on
+    * the multiplexed automaton by BOUNDARY EMISSION, exactly as the
+    * Kleene twin ([[cepGroupKleeneStream]]) proved costs no extra
+    * state: the batch form's per-count UNION multiplies live partials
+    * by m−n+1 parallel chains, while here the slot chain is unrolled
+    * ONCE to `g·m` slots and a partial EMITS at every completed `g·r`
+    * boundary it passes for `r ∈ n..m`, then keeps running to `g·m` —
+    * a 2-rep run reports its 1-rep prefix from the same partial.
+    * Output is the batch column shape (`<member>_<rep>_id` null-padded
+    * to the m-shape, `reps`, `total_us`), so replay output compares
+    * against [[CepOps.cepGroupRange]]'s oracle directly.
+    *
+    * @note scale: one shuffle on the key, ONE state row per key; live
+    *   partials bounded by per-key event mass inside the `within`
+    *   horizon (boundary emission adds output rows, not state);
+    *   `maxPartials` fails loudly on pathological fan-out. */
+  def cepGroupRangeStream(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, group: Seq[(String, Column)], n: Int, m: Int,
+      withinUs: Long, delay: String = "10 minutes",
+      maxPartials: Int = 100000): DataFrame = {
+    val g = group.size
+    require(g >= 1 && n >= 1 && m > n,
+      s"times($n,$m): need 1 <= n < m — times(n) is cepGroupTimesStream")
+    require(g * n >= 2, "a group pattern needs at least two unrolled slots")
+    require(m <= 8,
+      s"times($n,$m) is capped at 8 repetitions like the batch form")
+    require(group.map(_._1).distinct.size == g,
+      "group step names must be distinct")
+    val slotPreds = (1 to m).flatMap(_ => group.map(_._2))
+    val outNames = (1 to m).flatMap(r =>
+      group.map { case (nm, _) => s"${nm}_${r}_id" })
+    cepSlotsStream(ev, keyCol, tsCol, idCol, slotPreds, outNames,
+      withinUs, delay, maxPartials, emitEvery = g, emitFromLen = g * n)
+  }
+
   /** The shared slot-chain automaton behind [[cepGroupTimesStream]] /
-    * [[cepGroupTimesMixedStream]]: an arbitrary flat slot chain, each
-    * event carrying a BITMASK of the slots it satisfies (bit = slot
-    * index, so repeated/overlapping slot predicates cost only their
-    * re-evaluation in the mask projection). ≤ 31 slots — the unrolled
-    * chains the batch forms compile are far shorter (their candidate
-    * growth is fan-out^slots; see the loud caps there). */
+    * [[cepGroupTimesMixedStream]] / [[cepGroupRangeStream]]: an
+    * arbitrary flat slot chain, each event carrying a BITMASK of the
+    * slots it satisfies (bit = slot index, so repeated/overlapping
+    * slot predicates cost only their re-evaluation in the mask
+    * projection). ≤ 31 slots — the unrolled chains the batch forms
+    * compile are far shorter (their candidate growth is
+    * fan-out^slots; see the loud caps there). With `emitEvery > 0`
+    * (the range form) a partial emits at every completed `emitEvery`
+    * boundary from `emitFromLen` on and dies at the full chain
+    * length; the output then carries a `reps` column
+    * (= bound-id count / emitEvery) with the unreached tail columns
+    * null — the batch null-padded m-shape. */
   private def cepSlotsStream(ev: DataFrame, keyCol: String, tsCol: String,
       idCol: String, slotPreds: Seq[Column], outNames: Seq[String],
       withinUs: Long, delay: String,
-      maxPartials: Int): DataFrame = {
+      maxPartials: Int, emitEvery: Int = 0, emitFromLen: Int = 0): DataFrame = {
     val slots = slotPreds.size
     require(slots >= 2 && slots <= 31,
       s"slot chain length $slots outside the supported 2..31")
@@ -1435,8 +1476,13 @@ object StreamOps {
               val slot = p.ids.length // next expected slot index
               if (((e.mask >> slot) & 1) == 1 && e.ts_us > p.lastTs) {
                 val ext = P(p.ids :+ e.event_id, p.firstTs, e.ts_us)
-                if (ext.ids.length == slots) {
+                val len = ext.ids.length
+                if (emitEvery > 0 && len >= emitFromLen &&
+                    len % emitEvery == 0)
                   out += GTMatch(key, ext.ids.toSeq, ext.lastTs - ext.firstTs)
+                if (len == slots) {
+                  if (emitEvery == 0)
+                    out += GTMatch(key, ext.ids.toSeq, ext.lastTs - ext.firstTs)
                   None
                 } else Some(ext)
               } else None
@@ -1458,11 +1504,17 @@ object StreamOps {
           out.iterator
         }
       }
+    val idCols = outNames.zipWithIndex.map { case (nm, i) =>
+      if (emitEvery > 0) get(col("ids"), lit(i)).as(nm) // null past a
+      else col("ids").getItem(i).as(nm) // short match's length (ANSI-safe)
+    }
+    val tailCols =
+      if (emitEvery > 0)
+        Seq((size(col("ids")) / emitEvery).cast("int").as("reps"),
+          col("total_us"))
+      else Seq(col("total_us"))
     matches.toDF().select(
-      col("user_id").as(keyCol) +:
-        outNames.zipWithIndex.map { case (nm, i) =>
-          col("ids").getItem(i).as(nm) } :+
-        col("total_us"): _*)
+      col("user_id").as(keyCol) +: idCols ++: tailCols: _*)
   }
 
   /** [[cepKleeneRelaxedStream]] carrying MEASURES: each anchor records

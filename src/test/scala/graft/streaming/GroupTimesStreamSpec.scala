@@ -104,6 +104,32 @@ class GroupTimesStreamSpec extends SparkSpec {
       "fixture must contain a full 3-rep run (prefix emission exercised)")
   }
 
+  test("group RANGE (A B){n,m} replays to batch per-count-union parity") {
+    // boundary emission on the times range: one g·m slot chain, a
+    // partial emits at every completed g·r boundary for r in n..m —
+    // must equal the batch m−n+1-chain UNION exactly, including the
+    // null-padded m-shape and the reps column
+    val grp2 = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val batch = CepOps.cepGroupRange(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", grp2, n = 1, m = 2,
+      within = "1440 minutes")
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupRangeStream(ev, "user_id", "ts", "event_id",
+        grp2, n = 1, m = 2, withinUs = 1440L * 60L * 1000000L))(
+      _ => emptyLike(batch.schema))
+    assert(streamed.columns.toSeq == batch.columns.toSeq,
+      "streaming output must carry the batch column shape")
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s == b,
+      s"streamed != batch: extra=${(s -- b).take(3)} missing=${(b -- s).take(3)}")
+    assert(b.exists(_.split('|')(5) == "2"),
+      "fixture must contain a full 2-rep run (boundary emission exercised)")
+    assert(b.exists(_.split('|')(5) == "1"),
+      "fixture must contain 1-rep matches (null-padded shape exercised)")
+  }
+
   test("maxPartials fails loudly instead of growing state silently") {
     val e = intercept[Exception] {
       BoundedReplay.replayEvents(spark, sf)(ev =>

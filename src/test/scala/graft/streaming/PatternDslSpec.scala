@@ -612,7 +612,7 @@ class PatternDslSpec extends SparkSpec {
           |       view AS event_type = 'view'
           |WITHIN INTERVAL '60' MINUTE""".stripMargin)
     }
-    intercept[RuntimeException] { // reluctant group must LEAD
+    intercept[RuntimeException] { // pre/post names must not collide
       MatchRecognize(ev, "user_id", "ts", "event_id",
         """PATTERN (signup (click view){1,2}? signup)
           |DEFINE click AS event_type = 'click',
@@ -620,5 +620,232 @@ class PatternDslSpec extends SparkSpec {
           |       signup AS event_type = 'signup'
           |WITHIN INTERVAL '60' MINUTE""".stripMargin)
     }
+  }
+
+  test("(A B){n,m} greedy group: DSL == direct == MATCH_RECOGNIZE == the key; argmax per anchor") {
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val dsl = Pattern.group("1440 minutes", grp: _*)
+      .times(1, 2)
+      .greedy
+      .followedBy("signup", col("event_type") === "signup")
+      .over(ev, "user_id", "ts", "event_id")
+    val direct = CepOps.cepGroupRangeGreedy(ev, "user_id", "ts",
+      "event_id", grp, n = 1, m = 2, within = "1440 minutes",
+      post = Seq("signup" -> (col("event_type") === "signup")))
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_range_greedy")(spark, sf)))
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN ((click view){1,2} signup)
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view',
+        |       signup AS event_type = 'signup'
+        |WITHIN INTERVAL '1440' MINUTE""".stripMargin)
+    // NOT dsl.filter(total_us <= bound): under argMAX the whole-match
+    // bound must prune BEFORE the pick — an anchor whose longest count
+    // busts the bound falls through to its in-bound shorter completion
+    // (this fixture holds such an anchor at sf0.001: user 2, click 794,
+    // whose 2-rep completion exceeds 1440 min but whose 1-rep fits —
+    // filter-after would drop the anchor entirely, the r16 ADVICE
+    // divergence)
+    val bounded = CepOps.cepGroupRangeGreedy(ev, "user_id", "ts",
+      "event_id", grp, n = 1, m = 2, within = "1440 minutes",
+      post = Seq("signup" -> (col("event_type") === "signup")),
+      matchWithinUs = Some(1440L * 60000000L))
+    assert(rows(mr.select(dsl.columns.map(col): _*)) == rows(bounded),
+      "MATCH_RECOGNIZE must equal the kernel with the bound INSIDE")
+    assert(rows(mr.select(dsl.columns.map(col): _*)) !=
+      rows(dsl.filter(col("total_us") <= 1440L * 60000000L)),
+      "filter-after-argmax must visibly diverge on this fixture — " +
+        "the reason the bound rides inside the kernel")
+    // greediness = per-anchor argmax: a surviving 1-rep anchor is one
+    // with NO 2-rep completion
+    val twoRep = direct.filter(col("reps") === 2)
+      .select("user_id", "click_1_id")
+    assert(dsl.filter(col("reps") === 1)
+      .join(twoRep, Seq("user_id", "click_1_id"), "left_semi")
+      .count() == 0,
+      "an anchor with a 2-rep completion must never emit at 1 rep")
+    // the two extremes genuinely differ where an anchor completes at
+    // BOTH counts (sf0.001 holds no such anchor; hand-build one):
+    // click@0 view@5 signup@8 closes 1 rep; click@10 view@15 signup@20
+    // extends the same anchor to an in-band 2-rep completion
+    locally {
+      val sp = spark
+      import sp.implicits._
+      import java.sql.Timestamp
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      val df = Seq((1L, t(0), 1L, "click"), (1L, t(5), 2L, "view"),
+        (1L, t(8), 3L, "signup"), (1L, t(10), 4L, "click"),
+        (1L, t(15), 5L, "view"), (1L, t(20), 6L, "signup"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val post = Seq("signup" -> (col("event_type") === "signup"))
+      def picks(d: org.apache.spark.sql.DataFrame) = d
+        .filter(col("click_1_id") === 1L)
+        .select("reps").collect().map(_.getInt(0)).toSet
+      assert(picks(CepOps.cepGroupRangeReluctant(df, "user_id", "ts",
+        "event_id", grp, n = 1, m = 2, within = "60 minutes",
+        post = post)) == Set(1), "argmin must stop at the 1-rep closer")
+      assert(picks(CepOps.cepGroupRangeGreedy(df, "user_id", "ts",
+        "event_id", grp, n = 1, m = 2, within = "60 minutes",
+        post = post)) == Set(2), "argmax must stretch to the 2-rep closer")
+    }
+    // standalone greedy range keeps the all-counts emission (the MR
+    // face routes it to cepGroupRange, not the argmax kernel)
+    val standalone = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN ((click view){1,2})
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view'
+        |WITHIN INTERVAL '1440' MINUTE""".stripMargin)
+    val allCounts = CepOps.cepGroupRange(ev, "user_id", "ts", "event_id",
+      grp, n = 1, m = 2, within = "1440 minutes")
+      .filter(col("total_us") <= 1440L * 60000000L)
+    assert(rows(standalone) == rows(allCounts))
+    // standalone greedy through the kernel is rejected loudly
+    intercept[IllegalArgumentException] {
+      CepOps.cepGroupRangeGreedy(ev, "user_id", "ts", "event_id",
+        grp, n = 1, m = 2, within = "60 minutes", post = Nil)
+    }
+  }
+
+  test("pre-step group range: anchor is the MATCH START (pre.head), DSL == direct == MR == the key") {
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val dsl = Pattern.group("1440 minutes", grp: _*)
+      .times(1, 2)
+      .reluctant
+      .precededBy("signup", col("event_type") === "signup")
+      .followedBy("purchase", col("event_type") === "purchase")
+      .over(ev, "user_id", "ts", "event_id")
+    assert(dsl.columns.toSeq == Seq("user_id", "signup_id", "click_1_id",
+      "view_1_id", "click_2_id", "view_2_id", "purchase_id", "reps",
+      "total_us"))
+    val direct = CepOps.cepGroupRangeReluctant(ev, "user_id", "ts",
+      "event_id", grp, n = 1, m = 2, within = "1440 minutes",
+      post = Seq("purchase" -> (col("event_type") === "purchase")),
+      pre = Seq("signup" -> (col("event_type") === "signup")))
+    assert(rows(dsl) == rows(direct))
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_group_range_reluctant_pre")(spark, sf)))
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (signup (click view){1,2}? purchase)
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view',
+        |       signup AS event_type = 'signup',
+        |       purchase AS event_type = 'purchase'
+        |WITHIN INTERVAL '1440' MINUTE""".stripMargin)
+    val bounded = CepOps.cepGroupRangeReluctant(ev, "user_id", "ts",
+      "event_id", grp, n = 1, m = 2, within = "1440 minutes",
+      post = Seq("purchase" -> (col("event_type") === "purchase")),
+      pre = Seq("signup" -> (col("event_type") === "signup")),
+      matchWithinUs = Some(1440L * 60000000L))
+    assert(rows(mr.select(dsl.columns.map(col): _*)) == rows(bounded),
+      "MATCH_RECOGNIZE must equal the kernel with the bound INSIDE")
+    // anchor identity: ONE reps value per (key, signup_id) — per-match
+    // laziness, not per-group-entry (which would partition on click_1)
+    assert(dsl.groupBy("user_id", "signup_id")
+      .agg(countDistinct(col("reps")).as("n"))
+      .filter(col("n") > 1).count() == 0,
+      "an anchor (= the pre.head event) must carry exactly one count")
+  }
+
+  test("whole-match WITHIN prunes BEFORE the per-anchor pick (greedy MR face)") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    // per-step band 60 min, whole-match WITHIN 80 min. Anchor click@0:
+    //  - 1-rep completion: view@10, signup@40 -> total 40 (in bound)
+    //  - 2-rep completion: view@10, click@35, view@45, signup@100 ->
+    //    total 100 (BUSTS the bound; signup@40 cannot close the 2-rep,
+    //    it precedes view@45)
+    // Greedy must fall through to the in-bound 1-rep match. Applying
+    // the bound AFTER the argmax would pick reps=2 first and then drop
+    // the anchor entirely — the divergence ADVICE r16 flagged. (The
+    // argMIN face cannot diverge under uniform bands: an in-bound
+    // longer completion always implies an in-bound shorter one for the
+    // same anchor — its tail events re-anchor as the shorter chain —
+    // so the greedy face is where the pre-argmin bound is observable.)
+    val df = Seq(
+      (1L, t(0), 1L, "click"), (1L, t(10), 2L, "view"),
+      (1L, t(35), 3L, "click"), (1L, t(45), 4L, "view"),
+      (1L, t(40), 5L, "signup"), (1L, t(100), 6L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val mr = MatchRecognize(df, "user_id", "ts", "event_id",
+      """PATTERN ((click view){1,2} signup)
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view',
+        |       signup AS event_type = 'signup'
+        |WITHIN INTERVAL '80' MINUTE""".stripMargin)
+    val got = mr.select("click_1_id", "reps", "signup_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 1, 5L)),
+      s"anchor click@0 must fall through to its in-bound 1-rep match, " +
+        s"got $got")
+    assert(!got.exists(_._2 == 2),
+      s"every 2-rep completion busts the 80-min bound, got $got")
+    // and the same compile WITHOUT the tight bound picks reps=2
+    val loose = MatchRecognize(df, "user_id", "ts", "event_id",
+      """PATTERN ((click view){1,2} signup)
+        |DEFINE click AS event_type = 'click',
+        |       view AS event_type = 'view',
+        |       signup AS event_type = 'signup'
+        |WITHIN INTERVAL '300' MINUTE""".stripMargin)
+      .select("click_1_id", "reps", "signup_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(loose.contains((1L, 2, 6L)),
+      s"with a loose bound the same anchor must stretch to 2 reps, " +
+        s"got $loose")
+  }
+
+  test("A{n,m}? post CHAIN: a count qualifies only when the whole chain completes") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // clicks at 0,5,10; purchase@12 then view@14 (chain for the 2-run
+    // anchored@0 via tail@5: p in (5,17], v in (12,24] — completes);
+    // second purchase@20 has NO view within its band reachable for the
+    // 3-run... fixture: anchor@0 2-run completes the full chain ->
+    // reps=2; anchor@5 (2-run tail@10, p@12, v@14) -> reps=2.
+    val df = Seq((1L, t(0), 1L, "click"), (1L, t(5), 2L, "click"),
+      (1L, t(10), 3L, "click"), (1L, t(12), 7L, "purchase"),
+      (1L, t(14), 8L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = CepOps.cepTimesRangeReluctant(df, "user_id", "ts",
+        "event_id", col("event_type") === "click", n = 2, m = 3,
+        within = "12 minutes",
+        post = Seq("purchase" -> (col("event_type") === "purchase"),
+          "view" -> (col("event_type") === "view")))
+    assert(out.columns.toSeq == Seq("user_id", "first_id", "last_id",
+      "purchase_id", "view_id", "reps", "span_us"))
+    val got = out.collect().map(r => (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getInt(5))).toSet
+    assert(got == Set((1L, 2L, 7L, 8L, 2), (2L, 3L, 7L, 8L, 2)),
+      s"both anchors complete the chain at their minimal count, got $got")
+    // drop the view and the SAME pattern yields nothing: the purchase
+    // alone no longer closes a chain that requires purchase THEN view
+    val noView = df.filter(col("event_id") =!= 8L)
+    assert(CepOps.cepTimesRangeReluctant(noView, "user_id", "ts",
+      "event_id", col("event_type") === "click", n = 2, m = 3,
+      within = "12 minutes",
+      post = Seq("purchase" -> (col("event_type") === "purchase"),
+        "view" -> (col("event_type") === "view"))).count() == 0)
+    // DSL face parity on the sf fixture + the key
+    val dsl = Pattern.begin("click", col("event_type") === "click")
+      .times(2, 3).consecutive().within("12 hours")
+      .reluctantlyFollowedBy("purchase", col("event_type") === "purchase")
+      .followedBy("view", col("event_type") === "view")
+      .over(ev, "user_id", "ts", "event_id")
+    assert(rows(dsl) == rows(
+      graft.SparkEntry.queries("cep_times_range_chain")(spark, sf)))
+    val mr = MatchRecognize(ev, "user_id", "ts", "event_id",
+      """PATTERN (click{2,3}? purchase view)
+        |DEFINE click AS event_type = 'click',
+        |       purchase AS event_type = 'purchase',
+        |       view AS event_type = 'view'
+        |WITHIN INTERVAL '12' HOUR""".stripMargin)
+    assert(rows(mr) == rows(dsl))
   }
 }
