@@ -436,6 +436,7 @@ object MatchRecognize {
       case _ if toks.count(_.quant.startsWith("G")) == 1 &&
           toks.find(_.quant.startsWith("G")).get.quant != "G+" &&
           !toks.find(_.quant.startsWith("G")).get.quant.contains(",") &&
+          !toks.find(_.quant.startsWith("G")).get.quant.endsWith("?") &&
           toks.filterNot(_.quant.startsWith("G"))
             .forall(t => t.quant == "" && t.branches.isEmpty) =>
         // MIXED fixed-count group `A (B C){n} D` → cepGroupTimesMixed:
@@ -455,12 +456,13 @@ object MatchRecognize {
           within = normWithin)
         base.filter(col("total_us") <= withinUs)
       case _ if toks.exists(t => t.quant.startsWith("G")) =>
-        sys.error("unsupported group-quantifier mix: (A B){n} combines " +
-          "with PLAIN outer variables only, (A B)+ / (A B){n,m} " +
-          "must be the entire PATTERN (their per-repetition unions " +
-          "would multiply by the outer chain), and (A B){n,m}? must " +
-          "LEAD the pattern (the reluctant anchor is its first bound " +
-          "event) followed by plain variables only")
+        sys.error("unsupported group-quantifier mix: (A B){n} and the " +
+          "closed ranges [pre…] (A B){n,m}[?] D… combine with PLAIN " +
+          "outer variables only (ranges need at least one FOLLOWING " +
+          "variable to decide against), (A B)+ must be the entire " +
+          "PATTERN (its per-repetition unions would multiply by the " +
+          "outer chain), and (A B){n}? is not a range — a fixed-count " +
+          "reluctant group is exactly (A B){n}")
       case _ if toks.exists(_.branches.nonEmpty) =>
         // named alternation `A (B|C) D` → cepAlternation; the group
         // slot's output columns are `<b1>_or_<b2>_id` + `_branch` (the

@@ -1491,10 +1491,12 @@ object StreamOps {
             if ((e.mask & 1) == 1 && slots > 1)
               partials = P(Array(e.event_id), e.ts_us, e.ts_us) :: partials
             require(partials.size <= maxPartials,
-              s"cepGroupTimesStream: key $key holds ${partials.size} live " +
-                s"partial matches (> maxPartials=$maxPartials) — the " +
-                "within band times per-key event rate exceeds the " +
-                "supported fan-out; tighten `within` or reduce n")
+              s"${if (emitEvery > 0) "cepGroupRangeStream"
+                else "cepGroupTimesStream"}: key $key holds " +
+                s"${partials.size} live partial matches " +
+                s"(> maxPartials=$maxPartials) — the within band times " +
+                "per-key event rate exceeds the supported fan-out; " +
+                "tighten `within` or reduce the repetition bound")
           }
           if (partials.isEmpty) state.remove()
           else {

@@ -620,6 +620,18 @@ class PatternDslSpec extends SparkSpec {
           |       signup AS event_type = 'signup'
           |WITHIN INTERVAL '60' MINUTE""".stripMargin)
     }
+    val fixedReluctant = intercept[RuntimeException] {
+      // (A B){n}? is not a range — clean reject, not a parse crash
+      MatchRecognize(ev, "user_id", "ts", "event_id",
+        """PATTERN ((click view){2}? signup)
+          |DEFINE click AS event_type = 'click',
+          |       view AS event_type = 'view',
+          |       signup AS event_type = 'signup'
+          |WITHIN INTERVAL '60' MINUTE""".stripMargin)
+    }
+    assert(fixedReluctant.getMessage.contains("not a range"),
+      s"expected the fixed-count-reluctant reject, got: " +
+        s"${fixedReluctant.getMessage}")
   }
 
   test("(A B){n,m} greedy group: DSL == direct == MATCH_RECOGNIZE == the key; argmax per anchor") {
