@@ -123,12 +123,18 @@ object Graft {
   /** CEP patterns batch-side: sequences, absence, quantifiers, Kleene
     * loops, after-match skip strategies (`cepSkipToNext` /
     * `cepSkipPastLast`), named alternation with branch identity
-    * (`cepAlternation` — `A (B|C) D`), and quantified sequence groups
-    * (`cepGroupTimes` / `cepGroupKleene` — `(A B){n}` / `(A B)+`);
+    * (`cepAlternation` — `A (B|C) D`), quantified sequence groups
+    * (`cepGroupTimes` / `cepGroupKleene` / `cepGroupRange` —
+    * `(A B){n}` / `(A B)+` / `(A B){n,m}`), and the CLOSED range axis
+    * (`cepTimesRangeReluctant`/`Greedy` with post chains,
+    * `cepGroupRangeReluctant`/`Greedy` with pre steps under the
+    * anchor-identity contract — SQL `{n,m}?` vs the greedy default);
     * streaming automata live on [[streams]] (`cepKleeneStream`,
-    * `cepSkipPastLastStream`). The [[graft.streaming.Pattern]] builder
-    * and [[graft.streaming.MatchRecognize]] SQL face compile onto
-    * these. */
+    * `cepSkipPastLastStream`, `cepGroupTimesStream`,
+    * `cepGroupRangeStream` and the buffering/resolution closed-range
+    * twins `cepGroupRangeReluctantStream`/`GreedyStream`). The
+    * [[graft.streaming.Pattern]] builder and
+    * [[graft.streaming.MatchRecognize]] SQL face compile onto these. */
   val cep: graft.streaming.CepOps.type = graft.streaming.CepOps
 
   object joins {

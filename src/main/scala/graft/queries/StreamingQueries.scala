@@ -896,6 +896,59 @@ object StreamingQueries {
         "click_2_id", "view_2_id")
   }
 
+  /** The CLOSED (reluctant) group range `(click view){1,2}? signup` on
+    * the REAL streaming runtime —
+    * [[graft.streaming.StreamOps.cepGroupRangeReluctantStream]]: the
+    * last CEP face that had no real-runtime twin, because the
+    * per-anchor argmin needs the anchor's COMPLETE completion set. The
+    * automaton forks a post-chain walker at every completed repetition
+    * boundary and BUFFERS completions per anchor until the anchor's
+    * last live partial dies (event-driven — no global barrier), then
+    * emits the minimal count's completions; anchors still open at end
+    * of replay resolve from checkpoint state
+    * ([[graft.streaming.StateFlush.groupRangeClosed]] — the stream is
+    * over, so their completion sets are complete too). Streamed ∪
+    * flush must equal the batch argmin kernel under the SAME oracle as
+    * [[cepGroupRangeReluctant]]. */
+  private val streamGroupRangeReluctantReplay = Q(
+    "stream_group_range_reluctant_replay",
+    cepGroupRangeReluctant.oracle.get) { (s, d) =>
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val post = Seq("signup" -> (col("event_type") === "signup"))
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupRangeReluctantStream(ev,
+          "user_id", "ts", "event_id", grp, n = 1, m = 2,
+          withinUs = 360L * 60L * 1000000L, post = post))(
+        ckpt => graft.streaming.StateFlush.groupRangeClosed(s, ckpt,
+          "user_id", grp, m = 2, post = post, greedy = false))
+      .orderBy("user_id", "reps", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id", "signup_id")
+  }
+
+  /** The GREEDY closed group range `(click view){1,2} signup` on the
+    * REAL streaming runtime — the argmax mirror on the same
+    * buffering/resolution automaton, against the batch greedy key's
+    * 1440-min-band oracle (the fixture where the two extremes
+    * genuinely differ, so this replay certifies the STREAMING pick is
+    * the greedy one — 24 anchors at sf0.01 resolve differently from
+    * the reluctant twin above). */
+  private val streamGroupRangeGreedyReplay = Q(
+    "stream_group_range_greedy_replay",
+    cepGroupRangeGreedy.oracle.get) { (s, d) =>
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val post = Seq("signup" -> (col("event_type") === "signup"))
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupRangeGreedyStream(ev,
+          "user_id", "ts", "event_id", grp, n = 1, m = 2,
+          withinUs = 1440L * 60L * 1000000L, post = post))(
+        ckpt => graft.streaming.StateFlush.groupRangeClosed(s, ckpt,
+          "user_id", grp, m = 2, post = post, greedy = true))
+      .orderBy("user_id", "reps", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id", "signup_id")
+  }
+
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
     * same user in the following 360 minutes. Oracle restates it as NOT
@@ -1935,7 +1988,8 @@ object StreamingQueries {
     cepGroupAlt, cepTimesRangeReluctant, cepTimesRangeGreedy,
     cepTimesRangeChain,
     streamGroupTimesReplay, streamGroupMixedReplay, streamGroupKleeneReplay,
-    streamGroupRangeReplay,
+    streamGroupRangeReplay, streamGroupRangeReluctantReplay,
+    streamGroupRangeGreedyReplay,
     cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,

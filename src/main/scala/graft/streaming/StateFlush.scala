@@ -70,6 +70,46 @@ object StateFlush {
       }
   }
 
+  /** Final resolution for a stopped
+    * [[StreamOps.cepGroupRangeReluctantStream]] /
+    * [[StreamOps.cepGroupRangeGreedyStream]] query: the stream is
+    * over, so every live partial is dead by definition and every
+    * anchor's buffered completion set is complete — resolve each
+    * anchor to its extremal count exactly as the automaton does when
+    * an anchor's last partial dies mid-stream. Streamed ∪ this = the
+    * batch closed-range kernel, exactly. */
+  def groupRangeClosed(spark: SparkSession, checkpoint: String,
+      keyCol: String, group: Seq[(String, org.apache.spark.sql.Column)],
+      m: Int, post: Seq[(String, org.apache.spark.sql.Column)],
+      greedy: Boolean): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val g = group.size
+    val rows = spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("k"),
+        col("value.groupState.cIdsFlat").as("cIdsFlat"),
+        col("value.groupState.cLens").as("cLens"),
+        col("value.groupState.cReps").as("cReps"),
+        col("value.groupState.cTotalUs").as("cTotalUs"))
+      .as[(Long, Seq[Long], Seq[Int], Seq[Int], Seq[Long])]
+      .flatMap { case (k, flat, lens, reps, totals) =>
+        val cs = scala.collection.mutable.ArrayBuffer
+          .empty[(Array[Long], Array[Long], Int, Long)]
+        var off = 0
+        lens.indices.foreach { i =>
+          val all = flat.slice(off, off + lens(i)).toArray
+          off += lens(i)
+          cs += ((all.take(g * reps(i)), all.drop(g * reps(i)),
+            reps(i), totals(i)))
+        }
+        cs.groupBy(_._1(0)).valuesIterator.flatMap { anch =>
+          val pick = if (greedy) anch.map(_._3).max else anch.map(_._3).min
+          anch.filter(_._3 == pick).map { case (gi, pi, r, t) =>
+            GRMatch(k, gi.toSeq, pi.toSeq, r, t) }
+        }
+      }
+    StreamOps.groupRangeClosedShape(rows.toDF(), keyCol, group, m, post)
+  }
+
   /** Final resolution for a stopped [[StreamOps.cepSkipToNextStream]]
     * query: the stream ends, so every unresolved start's candidate set
     * is complete in state — emit each pending A's earliest buffered B

@@ -141,6 +141,25 @@ case class GTMatch(user_id: Long, ids: Seq[Long], total_us: Long)
   * [[CepOps.cepGroupKleene]] column shape. */
 case class GKMatch(user_id: Long, first_id: Long, last_id: Long,
     reps: Int, total_us: Long)
+/** [[StreamOps.cepGroupRangeReluctantStream]] state — the closed-range
+  * automaton's live partials (packed primitive arrays exactly as
+  * [[GTState]]) PLUS the per-anchor PENDING COMPLETIONS the
+  * reluctant/greedy pick buffers until the anchor resolves (= its last
+  * live partial dies; until then a shorter/longer count could still
+  * complete). `phase(i)` = −1 while partial i walks the repeated group
+  * slots (next slot = len mod g), else `(reps << 8) | postIdx` while
+  * it walks the post chain at its forked repetition count. Completions
+  * pack as `cIdsFlat`/`cLens` (group ids then post ids) with their
+  * `cReps`/`cTotalUs`. */
+case class GRState(idsFlat: Array[Long], lens: Array[Int],
+    firstTs: Array[Long], lastTs: Array[Long], phase: Array[Int],
+    cIdsFlat: Array[Long], cLens: Array[Int], cReps: Array[Int],
+    cTotalUs: Array[Long])
+/** One resolved closed-range match: `gids` = the bound group events
+  * (length g·reps — the final projection null-pads to the m-shape),
+  * `pids` = the post-chain events. */
+case class GRMatch(user_id: Long, gids: Seq[Long], pids: Seq[Long],
+    reps: Int, total_us: Long)
 /** [[StreamOps.cepKleeneRelaxedMeasuresStream]] rows: the relaxed
   * anchor plus cumulative micro-unit prefix sums parallel to `bIds`
   * (`bSum6s(L−1)` IS prefix L's exact decimal(18,6) sum ×10⁶). */
@@ -1399,6 +1418,226 @@ object StreamOps {
       group.map { case (nm, _) => s"${nm}_${r}_id" })
     cepSlotsStream(ev, keyCol, tsCol, idCol, slotPreds, outNames,
       withinUs, delay, maxPartials, emitEvery = g, emitFromLen = g * n)
+  }
+
+  /** Streaming twin of [[CepOps.cepGroupRangeReluctant]] — the CLOSED
+    * (post-decided) group range `(s₁ … s_g){n,m}? D…` on the real
+    * runtime, the last CEP face that had no real-runtime twin. The
+    * batch form is a per-anchor argmin over the per-count union; an
+    * automaton cannot know the minimal completing count until no
+    * shorter count can still complete, so this one (a) walks ONE
+    * multiplexed chain per partial — in-group slots repeat mod g, and
+    * every completed `g·r` boundary with `r ∈ n..m` FORKS a post-chain
+    * partial at count r while the in-group partial keeps running to
+    * `g·m` — and (b) BUFFERS completions per anchor (the group's first
+    * bound event) until the anchor RESOLVES: its last live partial
+    * dies (out-waited by an in-order event, by the watermark timer, or
+    * by end of stream via [[StateFlush.groupRangeClosed]]), at which
+    * point the completion set is provably complete and the extremal
+    * count's completions all emit (NO_SKIP within it — the batch
+    * tie-break contract verbatim). Same in-order arrival contract and
+    * packed-primitive state as the whole automaton family.
+    *
+    * Output carries the batch column shape (`<member>_<rep>_id`
+    * null-padded to the m-shape, `<post>_id …`, `reps`, `total_us`),
+    * so a replay compares against the batch key's oracle directly.
+    *
+    * @note scale: one shuffle on the key, ONE state row per key; live
+    *   partials bounded by per-key event mass inside the `within`
+    *   horizon (the post forks add |post|-bounded walkers per
+    *   boundary, not chains), and buffered completions are bounded by
+    *   the anchor's within-horizon output mass — both under the loud
+    *   `maxPartials` cap. Resolution is event-driven (no global
+    *   barrier): an anchor holds state only while its own horizon is
+    *   open. */
+  def cepGroupRangeReluctantStream(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, group: Seq[(String, Column)], n: Int,
+      m: Int, withinUs: Long, post: Seq[(String, Column)],
+      delay: String = "10 minutes", maxPartials: Int = 100000): DataFrame =
+    groupRangeClosedStream(ev, keyCol, tsCol, idCol, group, n, m,
+      withinUs, post, greedy = false, delay, maxPartials)
+
+  /** The argmax mirror of [[cepGroupRangeReluctantStream]] — streaming
+    * twin of [[CepOps.cepGroupRangeGreedy]]; same buffering/resolution
+    * machinery, the resolved anchor keeps its LONGEST completed count. */
+  def cepGroupRangeGreedyStream(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, group: Seq[(String, Column)], n: Int,
+      m: Int, withinUs: Long, post: Seq[(String, Column)],
+      delay: String = "10 minutes", maxPartials: Int = 100000): DataFrame =
+    groupRangeClosedStream(ev, keyCol, tsCol, idCol, group, n, m,
+      withinUs, post, greedy = true, delay, maxPartials)
+
+  private def groupRangeClosedStream(ev: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, group: Seq[(String, Column)], n: Int,
+      m: Int, withinUs: Long, post: Seq[(String, Column)],
+      greedy: Boolean, delay: String, maxPartials: Int): DataFrame = {
+    val g = group.size
+    val np = post.size
+    require(post.nonEmpty,
+      "the closed-range axis needs at least one post step to decide " +
+        "against — the open range is cepGroupRangeStream, the fixed " +
+        "count cepGroupTimesStream")
+    require(g >= 1 && n >= 1 && m > n,
+      s"times($n,$m): need 1 <= n < m")
+    require(m <= 8, s"times($n,$m) is capped at 8 like the batch form")
+    require(g + np <= 24, "group + post slot predicates exceed the mask")
+    val names = group.map(_._1) ++ post.map(_._1)
+    require(names.distinct.size == names.size,
+      "group/post step names must be distinct")
+    val sp = ev.sparkSession
+    import sp.implicits._
+    // bit j < g: group member j; bit g+j: post step j
+    val mask = (group.map(_._2) ++ post.map(_._2)).zipWithIndex
+      .map { case (p, j) => when(p, lit(1 << j)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    val matches = ev.withWatermark(tsCol, delay)
+      .withColumn("__mask", mask.cast("int"))
+      .filter(col("__mask") =!= 0)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col("__mask").as("mask"), col(tsCol).as("tsw"))
+      .as[GTEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[GRState, GRMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (key, it, state) =>
+        final case class P(ids: Array[Long], firstTs: Long, lastTs: Long,
+          phase: Int)
+        final case class C(gids: Array[Long], pids: Array[Long], reps: Int,
+          totalUs: Long)
+        def unpack(s: GRState): (List[P], List[C]) = {
+          var off = 0
+          val pb = List.newBuilder[P]
+          var i = 0
+          while (i < s.lens.length) {
+            pb += P(java.util.Arrays.copyOfRange(s.idsFlat, off, off + s.lens(i)),
+              s.firstTs(i), s.lastTs(i), s.phase(i))
+            off += s.lens(i); i += 1
+          }
+          var coff = 0
+          val cb = List.newBuilder[C]
+          var j = 0
+          while (j < s.cLens.length) {
+            val all = java.util.Arrays.copyOfRange(s.cIdsFlat, coff, coff + s.cLens(j))
+            cb += C(all.take(g * s.cReps(j)), all.drop(g * s.cReps(j)),
+              s.cReps(j), s.cTotalUs(j))
+            coff += s.cLens(j); j += 1
+          }
+          (pb.result(), cb.result())
+        }
+        def pack(ps: List[P], cs: List[C]): GRState = GRState(
+          ps.iterator.flatMap(_.ids).toArray, ps.map(_.ids.length).toArray,
+          ps.map(_.firstTs).toArray, ps.map(_.lastTs).toArray,
+          ps.map(_.phase).toArray,
+          cs.iterator.flatMap(c => c.gids ++ c.pids).toArray,
+          cs.map(c => c.gids.length + c.pids.length).toArray,
+          cs.map(_.reps).toArray, cs.map(_.totalUs).toArray)
+        // an anchor resolves when NO live partial carries it: the
+        // completion set is complete, the extremal count's rows emit
+        def resolveDead(partials: List[P], pend: List[C],
+            out: scala.collection.mutable.ArrayBuffer[GRMatch]): List[C] = {
+          if (pend.isEmpty) pend
+          else {
+            val liveAnchors = partials.iterator.map(_.ids(0)).toSet
+            val (blocked, ready) = pend.partition(c => liveAnchors(c.gids(0)))
+            ready.groupBy(_.gids(0)).valuesIterator.foreach { cs =>
+              val pick = if (greedy) cs.map(_.reps).max else cs.map(_.reps).min
+              cs.filter(_.reps == pick).foreach(c => out +=
+                GRMatch(key, c.gids.toSeq, c.pids.toSeq, c.reps, c.totalUs))
+            }
+            blocked
+          }
+        }
+        if (state.hasTimedOut) {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ps0, cs0) = state.getOption.map(unpack).getOrElse((Nil, Nil))
+          val live = ps0.filter(p => wmUs <= p.lastTs + withinUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GRMatch]
+          val cs = resolveDead(live, cs0, out)
+          if (live.isEmpty && cs.isEmpty) state.remove()
+          else {
+            state.update(pack(live, cs))
+            if (live.nonEmpty)
+              armRelaxedTimer(state, live.map(_.lastTs + withinUs))
+          }
+          out.iterator
+        } else {
+          var (partials, pend) = state.getOption.map(unpack).getOrElse((Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GRMatch]
+          it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            partials = partials.filter(p => e.ts_us <= p.lastTs + withinUs)
+            pend = resolveDead(partials, pend, out)
+            val adds = scala.collection.mutable.ListBuffer.empty[P]
+            partials.foreach { pp =>
+              if (pp.phase == -1) {
+                val slot = pp.ids.length % g
+                if (((e.mask >> slot) & 1) == 1 && e.ts_us > pp.lastTs) {
+                  val ids2 = pp.ids :+ e.event_id
+                  val len = ids2.length
+                  if (len % g == 0) {
+                    val reps = len / g
+                    if (reps >= n)
+                      adds += P(ids2, pp.firstTs, e.ts_us, reps << 8)
+                    if (reps < m)
+                      adds += P(ids2, pp.firstTs, e.ts_us, -1)
+                  } else adds += P(ids2, pp.firstTs, e.ts_us, -1)
+                }
+              } else {
+                val reps = pp.phase >> 8
+                val pi = pp.phase & 0xff
+                if (((e.mask >> (g + pi)) & 1) == 1 && e.ts_us > pp.lastTs) {
+                  val ids2 = pp.ids :+ e.event_id
+                  if (pi + 1 == np)
+                    pend ::= C(ids2.take(g * reps), ids2.drop(g * reps),
+                      reps, e.ts_us - pp.firstTs)
+                  else
+                    adds += P(ids2, pp.firstTs, e.ts_us, (reps << 8) | (pi + 1))
+                }
+              }
+            }
+            partials = adds.toList ::: partials
+            if ((e.mask & 1) == 1) {
+              // seed; a 1-member group completes its first repetition
+              // AT the seed, so fork its post walker right here
+              partials = P(Array(e.event_id), e.ts_us, e.ts_us, -1) :: partials
+              if (g == 1 && n <= 1)
+                partials = P(Array(e.event_id), e.ts_us, e.ts_us, 1 << 8) :: partials
+            }
+            require(partials.size + pend.size <= maxPartials,
+              s"cepGroupRange${if (greedy) "Greedy" else "Reluctant"}" +
+                s"Stream: key $key holds ${partials.size} live partials " +
+                s"+ ${pend.size} buffered completions " +
+                s"(> maxPartials=$maxPartials) — the within band times " +
+                "per-key event rate exceeds the supported fan-out; " +
+                "tighten `within` or the repetition bound")
+          }
+          pend = resolveDead(partials, pend, out)
+          if (partials.isEmpty && pend.isEmpty) state.remove()
+          else {
+            state.update(pack(partials, pend))
+            if (partials.nonEmpty)
+              armRelaxedTimer(state, partials.map(_.lastTs + withinUs))
+          }
+          out.iterator
+        }
+      }
+    groupRangeClosedShape(matches.toDF(), keyCol, group, m, post)
+  }
+
+  /** The batch [[CepOps.cepGroupRangeReluctant]] column shape over
+    * [[GRMatch]] rows — shared by the automaton and its
+    * [[StateFlush.groupRangeClosed]] end-of-replay drain. */
+  private[streaming] def groupRangeClosedShape(rows: DataFrame,
+      keyCol: String, group: Seq[(String, Column)], m: Int,
+      post: Seq[(String, Column)]): DataFrame = {
+    val g = group.size
+    val padCols = (1 to m).flatMap(r => group.zipWithIndex.map {
+      case ((nm, _), j) => get(col("gids"), lit((r - 1) * g + j))
+        .as(s"${nm}_${r}_id") })
+    val postCols = post.zipWithIndex.map { case ((nm, _), j) =>
+      col("pids").getItem(j).as(s"${nm}_id") }
+    rows.select(col("user_id").as(keyCol) +: (padCols ++ postCols)
+      :+ col("reps") :+ col("total_us"): _*)
   }
 
   /** The shared slot-chain automaton behind [[cepGroupTimesStream]] /

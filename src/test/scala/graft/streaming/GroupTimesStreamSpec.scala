@@ -130,6 +130,45 @@ class GroupTimesStreamSpec extends SparkSpec {
       "fixture must contain 1-rep matches (null-padded shape exercised)")
   }
 
+  test("CLOSED range (A B){n,m}? D: streamed ∪ flush == batch per-anchor argmin") {
+    // the buffering/resolution automaton: completions wait until their
+    // anchor's last live partial dies (or end-of-replay state flush),
+    // then the minimal count's rows emit — must equal the batch
+    // argmin union EXACTLY, including anchors that resolve only in the
+    // flush (open horizon at end of data)
+    val grp2 = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val post = Seq("signup" -> (col("event_type") === "signup"))
+    val batch = CepOps.cepGroupRangeReluctant(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", grp2, n = 1, m = 2,
+      within = "1440 minutes", post = post)
+    val streamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupRangeReluctantStream(ev, "user_id", "ts",
+        "event_id", grp2, n = 1, m = 2,
+        withinUs = 1440L * 60L * 1000000L, post = post))(
+      ckpt => StateFlush.groupRangeClosed(spark, ckpt, "user_id", grp2,
+        m = 2, post = post, greedy = false))
+    assert(streamed.columns.toSeq == batch.columns.toSeq,
+      "streaming output must carry the batch column shape")
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s == b,
+      s"streamed != batch: extra=${(s -- b).take(3)} missing=${(b -- s).take(3)}")
+    assert(b.nonEmpty, "fixture must contain reluctant-range matches")
+    // the GREEDY mirror on the same fixture picks differently
+    val gbatch = CepOps.cepGroupRangeGreedy(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", grp2, n = 1, m = 2,
+      within = "1440 minutes", post = post)
+    val gstreamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupRangeGreedyStream(ev, "user_id", "ts",
+        "event_id", grp2, n = 1, m = 2,
+        withinUs = 1440L * 60L * 1000000L, post = post))(
+      ckpt => StateFlush.groupRangeClosed(spark, ckpt, "user_id", grp2,
+        m = 2, post = post, greedy = true))
+    assert(rows(gstreamed) == rows(gbatch),
+      "greedy streamed != greedy batch")
+  }
+
   test("maxPartials fails loudly instead of growing state silently") {
     val e = intercept[Exception] {
       BoundedReplay.replayEvents(spark, sf)(ev =>
