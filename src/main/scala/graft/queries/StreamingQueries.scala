@@ -949,6 +949,30 @@ object StreamingQueries {
         "click_2_id", "view_2_id", "signup_id")
   }
 
+  /** PRE steps on the streaming closed range —
+    * `signup (click view){1,2}? purchase` on the real runtime: the
+    * flat pre chain is walked before the repeated group slots and the
+    * ANCHOR moves to the match start's bound event (the signup —
+    * `gids(0)` either way, so the buffering/resolution machinery is
+    * unchanged). Same 1440-min fixture and argmin-per-(user, signup)
+    * oracle as the batch [[cepGroupRangeReluctantPre]] key. */
+  private val streamGroupRangePreReplay = Q(
+    "stream_group_range_pre_replay",
+    cepGroupRangeReluctantPre.oracle.get) { (s, d) =>
+    val grp = Seq("click" -> (col("event_type") === "click"),
+      "view" -> (col("event_type") === "view"))
+    val pre = Seq("signup" -> (col("event_type") === "signup"))
+    val post = Seq("purchase" -> (col("event_type") === "purchase"))
+    graft.streaming.BoundedReplay.replayEvents(s, d)(ev =>
+        graft.streaming.StreamOps.cepGroupRangeReluctantStream(ev,
+          "user_id", "ts", "event_id", grp, n = 1, m = 2,
+          withinUs = 1440L * 60L * 1000000L, post = post, pre = pre))(
+        ckpt => graft.streaming.StateFlush.groupRangeClosed(s, ckpt,
+          "user_id", grp, m = 2, post = post, greedy = false, pre = pre))
+      .orderBy("user_id", "reps", "signup_id", "click_1_id", "view_1_id",
+        "click_2_id", "view_2_id", "purchase_id")
+  }
+
   /** T8 negated — absence pattern ([[graft.streaming.CepOps.cepAbsence]],
     * Flink `notFollowedBy` + `within`): clicks with NO purchase by the
     * same user in the following 360 minutes. Oracle restates it as NOT
@@ -1989,7 +2013,7 @@ object StreamingQueries {
     cepTimesRangeChain,
     streamGroupTimesReplay, streamGroupMixedReplay, streamGroupKleeneReplay,
     streamGroupRangeReplay, streamGroupRangeReluctantReplay,
-    streamGroupRangeGreedyReplay,
+    streamGroupRangeGreedyReplay, streamGroupRangePreReplay,
     cepAbsence,
     sessionDynamic, intervalJoin,
     enrichStatic, skewMonitor, streamCumulate, streamTemporalJoin, cepTimes,

@@ -81,9 +81,11 @@ object StateFlush {
   def groupRangeClosed(spark: SparkSession, checkpoint: String,
       keyCol: String, group: Seq[(String, org.apache.spark.sql.Column)],
       m: Int, post: Seq[(String, org.apache.spark.sql.Column)],
-      greedy: Boolean): org.apache.spark.sql.DataFrame = {
+      greedy: Boolean,
+      pre: Seq[(String, org.apache.spark.sql.Column)] = Nil): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val g = group.size
+    val npre = pre.size
     val rows = spark.read.format("statestore").option("path", checkpoint).load()
       .select(col("key.value").as("k"),
         col("value.groupState.cIdsFlat").as("cIdsFlat"),
@@ -98,8 +100,8 @@ object StateFlush {
         lens.indices.foreach { i =>
           val all = flat.slice(off, off + lens(i)).toArray
           off += lens(i)
-          cs += ((all.take(g * reps(i)), all.drop(g * reps(i)),
-            reps(i), totals(i)))
+          val cut = npre + g * reps(i)
+          cs += ((all.take(cut), all.drop(cut), reps(i), totals(i)))
         }
         cs.groupBy(_._1(0)).valuesIterator.flatMap { anch =>
           val pick = if (greedy) anch.map(_._3).max else anch.map(_._3).min
@@ -107,7 +109,7 @@ object StateFlush {
             GRMatch(k, gi.toSeq, pi.toSeq, r, t) }
         }
       }
-    StreamOps.groupRangeClosedShape(rows.toDF(), keyCol, group, m, post)
+    StreamOps.groupRangeClosedShape(rows.toDF(), keyCol, pre, group, m, post)
   }
 
   /** Final resolution for a stopped [[StreamOps.cepSkipToNextStream]]

@@ -1453,8 +1453,9 @@ object StreamOps {
   def cepGroupRangeReluctantStream(ev: DataFrame, keyCol: String,
       tsCol: String, idCol: String, group: Seq[(String, Column)], n: Int,
       m: Int, withinUs: Long, post: Seq[(String, Column)],
+      pre: Seq[(String, Column)] = Nil,
       delay: String = "10 minutes", maxPartials: Int = 100000): DataFrame =
-    groupRangeClosedStream(ev, keyCol, tsCol, idCol, group, n, m,
+    groupRangeClosedStream(ev, keyCol, tsCol, idCol, pre, group, n, m,
       withinUs, post, greedy = false, delay, maxPartials)
 
   /** The argmax mirror of [[cepGroupRangeReluctantStream]] — streaming
@@ -1463,16 +1464,19 @@ object StreamOps {
   def cepGroupRangeGreedyStream(ev: DataFrame, keyCol: String,
       tsCol: String, idCol: String, group: Seq[(String, Column)], n: Int,
       m: Int, withinUs: Long, post: Seq[(String, Column)],
+      pre: Seq[(String, Column)] = Nil,
       delay: String = "10 minutes", maxPartials: Int = 100000): DataFrame =
-    groupRangeClosedStream(ev, keyCol, tsCol, idCol, group, n, m,
+    groupRangeClosedStream(ev, keyCol, tsCol, idCol, pre, group, n, m,
       withinUs, post, greedy = true, delay, maxPartials)
 
   private def groupRangeClosedStream(ev: DataFrame, keyCol: String,
-      tsCol: String, idCol: String, group: Seq[(String, Column)], n: Int,
+      tsCol: String, idCol: String, pre: Seq[(String, Column)],
+      group: Seq[(String, Column)], n: Int,
       m: Int, withinUs: Long, post: Seq[(String, Column)],
       greedy: Boolean, delay: String, maxPartials: Int): DataFrame = {
     val g = group.size
     val np = post.size
+    val npre = pre.size
     require(post.nonEmpty,
       "the closed-range axis needs at least one post step to decide " +
         "against — the open range is cepGroupRangeStream, the fixed " +
@@ -1480,14 +1484,16 @@ object StreamOps {
     require(g >= 1 && n >= 1 && m > n,
       s"times($n,$m): need 1 <= n < m")
     require(m <= 8, s"times($n,$m) is capped at 8 like the batch form")
-    require(g + np <= 24, "group + post slot predicates exceed the mask")
-    val names = group.map(_._1) ++ post.map(_._1)
+    require(npre + g + np <= 24,
+      "pre + group + post slot predicates exceed the mask")
+    val names = pre.map(_._1) ++ group.map(_._1) ++ post.map(_._1)
     require(names.distinct.size == names.size,
-      "group/post step names must be distinct")
+      "pre/group/post step names must be distinct")
     val sp = ev.sparkSession
     import sp.implicits._
-    // bit j < g: group member j; bit g+j: post step j
-    val mask = (group.map(_._2) ++ post.map(_._2)).zipWithIndex
+    // bit j < npre: pre step j; then g group-member bits; then post
+    val mask = (pre.map(_._2) ++ group.map(_._2) ++ post.map(_._2))
+      .zipWithIndex
       .map { case (p, j) => when(p, lit(1 << j)).otherwise(lit(0)) }
       .reduce(_ + _)
     val matches = ev.withWatermark(tsCol, delay)
@@ -1519,8 +1525,8 @@ object StreamOps {
           var j = 0
           while (j < s.cLens.length) {
             val all = java.util.Arrays.copyOfRange(s.cIdsFlat, coff, coff + s.cLens(j))
-            cb += C(all.take(g * s.cReps(j)), all.drop(g * s.cReps(j)),
-              s.cReps(j), s.cTotalUs(j))
+            val cut = npre + g * s.cReps(j)
+            cb += C(all.take(cut), all.drop(cut), s.cReps(j), s.cTotalUs(j))
             coff += s.cLens(j); j += 1
           }
           (pb.result(), cb.result())
@@ -1570,12 +1576,15 @@ object StreamOps {
             val adds = scala.collection.mutable.ListBuffer.empty[P]
             partials.foreach { pp =>
               if (pp.phase == -1) {
-                val slot = pp.ids.length % g
+                // walking the flat pre chain then the repeated group
+                val len0 = pp.ids.length
+                val slot =
+                  if (len0 < npre) len0 else npre + (len0 - npre) % g
                 if (((e.mask >> slot) & 1) == 1 && e.ts_us > pp.lastTs) {
                   val ids2 = pp.ids :+ e.event_id
                   val len = ids2.length
-                  if (len % g == 0) {
-                    val reps = len / g
+                  if (len > npre && (len - npre) % g == 0) {
+                    val reps = (len - npre) / g
                     if (reps >= n)
                       adds += P(ids2, pp.firstTs, e.ts_us, reps << 8)
                     if (reps < m)
@@ -1585,10 +1594,12 @@ object StreamOps {
               } else {
                 val reps = pp.phase >> 8
                 val pi = pp.phase & 0xff
-                if (((e.mask >> (g + pi)) & 1) == 1 && e.ts_us > pp.lastTs) {
+                if (((e.mask >> (npre + g + pi)) & 1) == 1 &&
+                    e.ts_us > pp.lastTs) {
                   val ids2 = pp.ids :+ e.event_id
+                  val cut = npre + g * reps
                   if (pi + 1 == np)
-                    pend ::= C(ids2.take(g * reps), ids2.drop(g * reps),
+                    pend ::= C(ids2.take(cut), ids2.drop(cut),
                       reps, e.ts_us - pp.firstTs)
                   else
                     adds += P(ids2, pp.firstTs, e.ts_us, (reps << 8) | (pi + 1))
@@ -1597,10 +1608,11 @@ object StreamOps {
             }
             partials = adds.toList ::: partials
             if ((e.mask & 1) == 1) {
-              // seed; a 1-member group completes its first repetition
-              // AT the seed, so fork its post walker right here
+              // seed (pre.head when pre steps exist, else group.head);
+              // with no pre, a 1-member group completes its first
+              // repetition AT the seed, so fork its post walker here
               partials = P(Array(e.event_id), e.ts_us, e.ts_us, -1) :: partials
-              if (g == 1 && n <= 1)
+              if (npre == 0 && g == 1 && n <= 1)
                 partials = P(Array(e.event_id), e.ts_us, e.ts_us, 1 << 8) :: partials
             }
             require(partials.size + pend.size <= maxPartials,
@@ -1621,22 +1633,27 @@ object StreamOps {
           out.iterator
         }
       }
-    groupRangeClosedShape(matches.toDF(), keyCol, group, m, post)
+    groupRangeClosedShape(matches.toDF(), keyCol, pre, group, m, post)
   }
 
   /** The batch [[CepOps.cepGroupRangeReluctant]] column shape over
-    * [[GRMatch]] rows — shared by the automaton and its
-    * [[StateFlush.groupRangeClosed]] end-of-replay drain. */
+    * [[GRMatch]] rows (`gids` = pre ids then the bound group events) —
+    * shared by the automaton and its [[StateFlush.groupRangeClosed]]
+    * end-of-replay drain. */
   private[streaming] def groupRangeClosedShape(rows: DataFrame,
-      keyCol: String, group: Seq[(String, Column)], m: Int,
+      keyCol: String, pre: Seq[(String, Column)],
+      group: Seq[(String, Column)], m: Int,
       post: Seq[(String, Column)]): DataFrame = {
     val g = group.size
+    val npre = pre.size
+    val preCols = pre.zipWithIndex.map { case ((nm, _), j) =>
+      col("gids").getItem(j).as(s"${nm}_id") } // always bound
     val padCols = (1 to m).flatMap(r => group.zipWithIndex.map {
-      case ((nm, _), j) => get(col("gids"), lit((r - 1) * g + j))
+      case ((nm, _), j) => get(col("gids"), lit(npre + (r - 1) * g + j))
         .as(s"${nm}_${r}_id") })
     val postCols = post.zipWithIndex.map { case ((nm, _), j) =>
       col("pids").getItem(j).as(s"${nm}_id") }
-    rows.select(col("user_id").as(keyCol) +: (padCols ++ postCols)
+    rows.select(col("user_id").as(keyCol) +: (preCols ++ padCols ++ postCols)
       :+ col("reps") :+ col("total_us"): _*)
   }
 

@@ -167,6 +167,21 @@ class GroupTimesStreamSpec extends SparkSpec {
         m = 2, post = post, greedy = true))
     assert(rows(gstreamed) == rows(gbatch),
       "greedy streamed != greedy batch")
+    // PRE steps: the flat pre chain precedes the repeated group and
+    // the anchor moves to the match start (gids(0) either way)
+    val pre = Seq("signup" -> (col("event_type") === "signup"))
+    val post2 = Seq("purchase" -> (col("event_type") === "purchase"))
+    val pbatch = CepOps.cepGroupRangeReluctant(Tables.events(spark, sf),
+      "user_id", "ts", "event_id", grp2, n = 1, m = 2,
+      within = "1440 minutes", post = post2, pre = pre)
+    val pstreamed = BoundedReplay.replayEvents(spark, sf)(ev =>
+      StreamOps.cepGroupRangeReluctantStream(ev, "user_id", "ts",
+        "event_id", grp2, n = 1, m = 2,
+        withinUs = 1440L * 60L * 1000000L, post = post2, pre = pre))(
+      ckpt => StateFlush.groupRangeClosed(spark, ckpt, "user_id", grp2,
+        m = 2, post = post2, greedy = false, pre = pre))
+    assert(pstreamed.columns.toSeq == pbatch.columns.toSeq)
+    assert(rows(pstreamed) == rows(pbatch), "pre-step streamed != batch")
   }
 
   test("maxPartials fails loudly instead of growing state silently") {
