@@ -874,6 +874,16 @@ object CepOps {
     val postNames = post.map(_._1 + "_id")
     require(postNames.distinct.size == postNames.size,
       s"post step names must be distinct: ${post.map(_._1)}")
+    // the kernel's own output columns: a post step named 'first'/'last'
+    // would collide as <name>_id, and 'reps'/'span_us'/the key column
+    // collide directly — reject loudly here instead of surfacing as an
+    // ambiguous-column analysis error deep in the chained join
+    val reserved = Set("first_id", "last_id", "reps", "span_us", keyCol)
+    val clash = post.map(_._1).filter(nm =>
+      reserved.contains(nm + "_id") || reserved.contains(nm))
+    require(clash.isEmpty,
+      s"post step names $clash collide with the kernel's output columns " +
+        s"(first_id/last_id/reps/span_us/$keyCol)")
     val runs = (n to m).map { k =>
       timesRuns(ev, keyCol, tsCol, idCol, predicate, k, within)
         .withColumn("reps", lit(k).cast("int"))

@@ -363,6 +363,12 @@ object MatchRecognize {
         }
       case ts0 if ts0.count(t => t.branches.nonEmpty &&
             t.quant.startsWith("G{") && t.quant.contains(",")) == 1 &&
+          // the comma-quantified group must be the ONLY G-quantified
+          // token: a fixed-count group alongside it (e.g. '(a b){2}
+          // (c d){1,2} e') would otherwise slip past the plain-token
+          // filter below and get rejected with the WRONG group named —
+          // the mixed-group pattern belongs to the catch-all mix error
+          ts0.count(_.quant.startsWith("G")) == 1 &&
           // a standalone greedy range is the all-counts form (below);
           // a standalone RELUCTANT one still enters for its clear reject
           (ts0.size > 1 || ts0.head.quant.endsWith("}?")) &&
