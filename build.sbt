@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the report (-oD) so the suite's wall-time
+// budget is measurable per spec (the r15 driver run was budget-killed
+// mid-suite; shrinking it starts with knowing where it goes).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Forked run output normally routes through sbt's logger, which prefixes
 // every stdout line with "[info] " — that decoration breaks the driver's
 // parse of Bench's single JSON result line. StdoutOutput passes the

@@ -296,37 +296,60 @@ object ViewOps {
   def maintainAggView(view: DataFrame, deltas: DataFrame,
       newBase: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String]): DataFrame = {
-    val sums = maintainSumView(
-      view.select((groupCols ++ Seq("cnt") ++ sumCols.map("sum_" + _))
-        .map(col): _*),
-      deltas, groupCols, sumCols)
-    val dExt = deltas.groupBy(groupCols.map(col): _*)
-      .agg(max(when(col("w") < 0, lit(1)).otherwise(lit(0)))
-          .as("has_neg"),
+    // ONE delta aggregation carrying counts, weighted sums, the
+    // has-negative flag and the insert-side extremes together, and ONE
+    // full-outer join against the stored view. (The r15 form composed
+    // maintainSumView + a second delta agg + a second view join + a
+    // final sums⋈extremes inner join — three view-sized joins and two
+    // delta scans per call for the same algebra; this runs per
+    // micro-batch in the streaming maintainer, where the extra plan
+    // mass was measured as pure planning/shuffle overhead. Results are
+    // pinned identical by ViewOpsSpec and the cdc_/stream_ view
+    // oracles.)
+    val dAggs = Seq(sum(col("w")).cast("long").as("d_cnt")) ++
+      sumCols.map(c =>
+        sum(col("w") * col(c)).cast("long").as("d_sum_" + c)) ++
+      Seq(max(when(col("w") < 0, lit(1)).otherwise(lit(0)))
+        .as("has_neg")) ++
+      minMaxCols.flatMap(c => Seq(
+        min(when(col("w") > 0, col(c))).as("d_min_" + c),
+        max(when(col("w") > 0, col(c))).as("d_max_" + c)))
+    val dAgg = deltas.groupBy(groupCols.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    val merged = view.join(dAgg, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) +
+          coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        coalesce(col("has_neg"), lit(0)).as("has_neg")) ++
+        sumCols.map(c => (coalesce(col("sum_" + c), lit(0L)) +
+          coalesce(col("d_sum_" + c), lit(0L))).as("sum_" + c)) ++
+        minMaxCols.flatMap(c => Seq(col("min_" + c), col("max_" + c),
+          col("d_min_" + c), col("d_max_" + c))): _*)
+      .filter(col("cnt") > 0) // zero-count groups vanish
+    val outCols = groupCols.map(col) ++ Seq(col("cnt")) ++
+      sumCols.map(c => col("sum_" + c)) ++
+      minMaxCols.flatMap(c => Seq(col("min_" + c), col("max_" + c)))
+    // regime split: insert-only groups merge extremes statelessly;
+    // delete-touched groups recompute them from `newBase` PRUNED to
+    // exactly those groups, with the already-merged counts/sums
+    // carried through the rescan (they are functionally dependent on
+    // the group key, so they ride the group-by keys for free)
+    val insertOnly = merged.filter(col("has_neg") === 0)
+      .select(groupCols.map(col) ++ Seq(col("cnt")) ++
+        sumCols.map(c => col("sum_" + c)) ++
         minMaxCols.flatMap(c => Seq(
-          min(when(col("w") > 0, col(c))).as("d_min_" + c),
-          max(when(col("w") > 0, col(c))).as("d_max_" + c))): _*)
-    val stored = view.select((groupCols ++
-      minMaxCols.flatMap(c => Seq("min_" + c, "max_" + c))).map(col): _*)
-    val incr = stored.join(dExt, groupCols, "full_outer")
-    // regime split on the maintained-group side
-    val insertOnly = incr.filter(coalesce(col("has_neg"), lit(0)) === 0)
-      .select(groupCols.map(col) ++ minMaxCols.flatMap(c => Seq(
-        least(col("min_" + c), col("d_min_" + c)).as("min_" + c),
-        greatest(col("max_" + c), col("d_max_" + c)).as("max_" + c))): _*)
-    val touchedNeg = incr.filter(col("has_neg") === 1)
-      .select(groupCols.map(col): _*)
+          least(col("min_" + c), col("d_min_" + c)).as("min_" + c),
+          greatest(col("max_" + c), col("d_max_" + c)).as("max_" + c))): _*)
+    val touchedNeg = merged.filter(col("has_neg") === 1)
+      .select((groupCols ++ Seq("cnt") ++ sumCols.map("sum_" + _))
+        .map(col): _*)
     val rescanAggs = minMaxCols.flatMap(c => Seq(
       min(col(c)).as("min_" + c), max(col(c)).as("max_" + c)))
     val rescanned = newBase.join(touchedNeg, groupCols)
-      .groupBy(groupCols.map(col): _*)
+      .groupBy((groupCols ++ Seq("cnt") ++ sumCols.map("sum_" + _))
+        .map(col): _*)
       .agg(rescanAggs.head, rescanAggs.tail: _*)
-      .select(groupCols.map(col) ++ minMaxCols.flatMap(c =>
-        Seq(col("min_" + c), col("max_" + c))): _*)
-    val ext = insertOnly.unionByName(rescanned)
-    sums.join(ext, groupCols, "inner")
-      .select(groupCols.map(col) ++ Seq(col("cnt")) ++
-        sumCols.map(c => col("sum_" + c)) ++
-        minMaxCols.flatMap(c => Seq(col("min_" + c), col("max_" + c))): _*)
+    insertOnly.select(outCols: _*)
+      .unionByName(rescanned.select(outCols: _*))
   }
 }

@@ -179,37 +179,69 @@ object ViewMaintain {
     Files.createDirectories(viewDir)
     def gbOf(d: DataFrame): Column = snapshotBuckets.fold(lit(0))(n =>
       pmod(hash(groupCols.map(d(_)): _*), lit(n)))
-    // bucketed snapshot dirs hold the schema only in their part files —
-    // a snapshot whose every row was deleted has none, so read with the
-    // schema pinned (flat parquet writes always emit a schema-bearing
-    // file and can keep inference)
-    val snapSchema = StructType(oldBase.schema.fields :+
+    // EVERY internal parquet read carries its schema pinned: bucketed
+    // snapshot dirs need it for correctness (a snapshot whose every
+    // row was deleted has no schema-bearing part file), and the flat
+    // reads need it for SPEED — each schema inference is a footer-
+    // reading Spark job, and this loop re-reads snapshots/slices/views
+    // every batch (measured r16, ViewProbe: 22 unlabeled jobs ≈ 3.2 s
+    // of a 14.4 s warm replay were exactly these). Pinned schemas are
+    // nullable-widened: column names/types are what the oracle gate
+    // compares; nullability flags never reach the declared result
+    // (the final view read stays inference-based).
+    def widen(s: StructType): StructType =
+      StructType(s.fields.map(_.copy(nullable = true)))
+    val flatSnapSchema = widen(oldBase.schema)
+    val snapSchema = StructType(flatSnapSchema.fields :+
       org.apache.spark.sql.types.StructField("gb",
         org.apache.spark.sql.types.IntegerType))
+    val sliceSchema = widen(deltas.schema)
     def readSnap(sb: SparkSession, dir: Path): DataFrame =
       if (snapshotBuckets.isDefined)
         sb.read.schema(snapSchema).parquet(dir.toString)
-      else sb.read.parquet(dir.toString)
+      else sb.read.schema(flatSnapSchema).parquet(dir.toString)
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", 1)
+    // per-batch plans here are micro-batch-sized (KB..tens of MB): AQE
+    // re-plans per query stage and submits each stage as its own job,
+    // which at this granularity is pure scheduling overhead (measured
+    // r16 ViewProbe: 12 jobs per view step); static planning with the
+    // session's small fixed partition count takes one job per action.
+    // A production deployment with unbounded per-batch volume keeps
+    // AQE on — this session is sized per micro-batch by contract.
+    ss.conf.set("spark.sql.adaptive.enabled",
+      sys.props.getOrElse("graft.vm.aqe", "false"))
+    def phase[A](sc: org.apache.spark.SparkContext, name: String)(f: => A): A = {
+      sc.setJobDescription(s"vm: $name")
+      try f finally sc.setJobDescription(null)
+    }
 
     // durable state seeds: base snapshot s0 + view version v0
-    writeSnap(oldBase, gbOf(oldBase), snapshotBuckets, snapDir.resolve("s0"))
-    buildView(readSnap(ss, snapDir.resolve("s0"))
+    phase(spark.sparkContext, "seed snapshot") {
+      writeSnap(oldBase, gbOf(oldBase), snapshotBuckets, snapDir.resolve("s0"))
+    }
+    val viewSchema = phase(ss.sparkContext, "seed view") {
+      val v0 = buildView(readSnap(ss, snapDir.resolve("s0"))
         .select(baseCols.map(col): _*))
-      .write.parquet(viewDir.resolve("v0").toString)
+      v0.write.parquet(viewDir.resolve("v0").toString)
+      widen(v0.schema)
+    }
 
     replayChunks(ss, root, deltas, orderCol, chunks) {
       (batch: DataFrame, batchId: Long) =>
         val sb = batch.sparkSession
         // 1) WAL: the slice commits before any state mutation —
-        //    batchId-keyed, small fixed partition count so a large
-        //    delta batch is not single-writer
+        //    batchId-keyed; the micro-batch keeps its source
+        //    partitioning (the file source already splits a large
+        //    chunk by maxPartitionBytes, so a big delta batch is not
+        //    single-writer; the old repartition(2) here paid a full
+        //    shuffle + sort-before-repartition per batch for nothing)
         val sliceDir = logDir.resolve(s"b$batchId")
-        batch.repartition(2).write.mode("overwrite")
-          .parquet(sliceDir.toString)
+        phase(sb.sparkContext, s"b$batchId slice") {
+          batch.write.mode("overwrite").parquet(sliceDir.toString)
+        }
         // 2) live base = latest snapshot ⊎ pending slices (at most
         //    compactEvery of them — idempotent on retry: a replayed
         //    batch overwrote its own slice above and recomputes from
@@ -225,8 +257,8 @@ object ViewMaintain {
         val pending = (snapV to batchId).map(b =>
           logDir.resolve(s"b$b").toString).filter(p =>
           Files.isDirectory(java.nio.file.Paths.get(p)))
-        val pendingDf =
-          if (pending.isEmpty) null else sb.read.parquet(pending: _*)
+        val pendingDf = if (pending.isEmpty) null
+          else sb.read.schema(sliceSchema).parquet(pending: _*)
         val live = if (pending.isEmpty) prevSnap
           else applyDelta(prevSnap, pendingDf, baseCols)
         // 3) compact on cadence: write the reconciled base as the new
@@ -239,20 +271,22 @@ object ViewMaintain {
           (batchId + 1 - snapV) >= compactEvery
         val newSnapDir = snapDir.resolve(s"s${batchId + 1}")
         val snap = if (compactNow) {
-          snapshotBuckets match {
-            case Some(_) =>
-              val touched = pendingDf
-                .select(gbOf(pendingDf).as("gb")).distinct()
-                .collect().map(_.getInt(0)).toSet // ≤ n values by construction
-              val snapTouched = readSnap(sb, prevSnapDir)
-                .filter(col("gb").isin(touched.toSeq: _*))
-                .select(baseCols.map(col): _*)
-              val reconciled = applyDelta(snapTouched, pendingDf, baseCols)
-              writeSnap(reconciled, gbOf(reconciled), snapshotBuckets,
-                newSnapDir)
-              linkUntouchedBuckets(prevSnapDir, newSnapDir, touched)
-            case None =>
-              live.write.mode("overwrite").parquet(newSnapDir.toString)
+          phase(sb.sparkContext, s"b$batchId compact") {
+            snapshotBuckets match {
+              case Some(_) =>
+                val touched = pendingDf
+                  .select(gbOf(pendingDf).as("gb")).distinct()
+                  .collect().map(_.getInt(0)).toSet // ≤ n values by construction
+                val snapTouched = readSnap(sb, prevSnapDir)
+                  .filter(col("gb").isin(touched.toSeq: _*))
+                  .select(baseCols.map(col): _*)
+                val reconciled = applyDelta(snapTouched, pendingDf, baseCols)
+                writeSnap(reconciled, gbOf(reconciled), snapshotBuckets,
+                  newSnapDir)
+                linkUntouchedBuckets(prevSnapDir, newSnapDir, touched)
+              case None =>
+                live.write.mode("overwrite").parquet(newSnapDir.toString)
+            }
           }
           readSnap(sb, newSnapDir)
         } else if (pending.isEmpty) {
@@ -263,22 +297,24 @@ object ViewMaintain {
         //    live base pruned to those groups — under the bucketed
         //    layout a bucket filter partition-prunes the snapshot scan
         //    before the semi join refines to exact groups
-        val slice = sb.read.parquet(sliceDir.toString)
-        val negKeys = slice.filter(col("w") < 0)
-          .select(groupCols.map(col): _*).distinct()
-        val snapForPrune =
-          if (snap.columns.contains("gb")) {
-            val negBuckets = negKeys.select(gbOf(negKeys).as("gb"))
-              .distinct().collect().map(_.getInt(0)).toSeq
-            snap.filter(col("gb").isin(negBuckets: _*))
-              .select(baseCols.map(col): _*)
-          } else snap.select(baseCols.map(col): _*)
-        val pruned = snapForPrune.join(negKeys, groupCols, "left_semi")
-        val prev =
-          sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
-        maintain(prev, slice, pruned)
-          .write.mode("overwrite")
-          .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
+        phase(sb.sparkContext, s"b$batchId view") {
+          val slice = sb.read.schema(sliceSchema).parquet(sliceDir.toString)
+          val negKeys = slice.filter(col("w") < 0)
+            .select(groupCols.map(col): _*).distinct()
+          val snapForPrune =
+            if (snap.columns.contains("gb")) {
+              val negBuckets = negKeys.select(gbOf(negKeys).as("gb"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              snap.filter(col("gb").isin(negBuckets: _*))
+                .select(baseCols.map(col): _*)
+            } else snap.select(baseCols.map(col): _*)
+          val pruned = snapForPrune.join(negKeys, groupCols, "left_semi")
+          val prev = sb.read.schema(viewSchema)
+            .parquet(viewDir.resolve(s"v$batchId").toString)
+          maintain(prev, slice, pruned)
+            .write.mode("overwrite")
+            .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
+        }
         // 5) truncate consumed state (only AFTER this batch's outputs
         //    committed): on compaction, the absorbed slices + the
         //    superseded snapshot
@@ -424,34 +460,46 @@ object ViewMaintain {
     def gbOfSide(d: DataFrame, cols: Seq[String]): Column =
       snapshotBuckets.fold(lit(0))(nb =>
         pmod(hash(cols.map(d(_)): _*), lit(nb)))
-    def sideSchema(old: DataFrame) = StructType(old.schema.fields :+
+    // schemas pinned on every internal read — same correctness/speed
+    // reasoning as the single-table loop (inference is a Spark job per
+    // read; nullability is widened and never reaches the result)
+    def widen(s: StructType): StructType =
+      StructType(s.fields.map(_.copy(nullable = true)))
+    def sideSchema(old: DataFrame) = StructType(widen(old.schema).fields :+
       org.apache.spark.sql.types.StructField("gb",
         org.apache.spark.sql.types.IntegerType))
     val (schemaA, schemaB) = (sideSchema(oldA), sideSchema(oldB))
+    val (flatA, flatB) = (widen(oldA.schema), widen(oldB.schema))
+    val envSchema = widen(envelope.schema)
     def readSide(sb: SparkSession, dir: Path,
         schema: StructType): DataFrame =
       if (snapshotBuckets.isDefined) sb.read.schema(schema).parquet(dir.toString)
-      else sb.read.parquet(dir.toString)
+      else sb.read.schema(if (schema eq schemaA) flatA else flatB)
+        .parquet(dir.toString)
 
     writeSnap(oldA, gbOfSide(oldA, aCols), snapshotBuckets,
       snapADir.resolve("s0"))
     writeSnap(oldB, gbOfSide(oldB, bCols), snapshotBuckets,
       snapBDir.resolve("s0"))
-    buildJoinView(
-        readSide(ss, snapADir.resolve("s0"), schemaA)
-          .select(aCols.map(col): _*),
-        readSide(ss, snapBDir.resolve("s0"), schemaB)
-          .select(bCols.map(col): _*))
-      .write.parquet(viewDir.resolve("v0").toString)
+    val v0 = buildJoinView(
+      readSide(ss, snapADir.resolve("s0"), schemaA)
+        .select(aCols.map(col): _*),
+      readSide(ss, snapBDir.resolve("s0"), schemaB)
+        .select(bCols.map(col): _*))
+    v0.write.parquet(viewDir.resolve("v0").toString)
+    val viewSchema = widen(v0.schema)
 
     replayChunks(ss, root, envelope, orderCol, chunks) {
       (batch: DataFrame, batchId: Long) =>
         val sb = batch.sparkSession
-        // 1) WAL slice (both sides together — the transaction)
+        // 1) WAL slice (both sides together — the transaction); keeps
+        //    the micro-batch's source partitioning (see the
+        //    single-table loop for why the old repartition(2) was a
+        //    per-batch shuffle for nothing)
         val sliceDir = logDir.resolve(s"b$batchId")
-        batch.repartition(2).write.mode("overwrite")
-          .parquet(sliceDir.toString)
-        val slice = sb.read.parquet(sliceDir.toString)
+        sb.sparkContext.setJobDescription(s"vm: b$batchId slice")
+        batch.write.mode("overwrite").parquet(sliceDir.toString)
+        val slice = sb.read.schema(envSchema).parquet(sliceDir.toString)
         def sideOf(d: DataFrame, side: String, cols: Seq[String]) =
           d.filter(col("side") === side).select((cols :+ "w").map(col): _*)
         val dA = sideOf(slice, "A", aCols)
@@ -470,17 +518,20 @@ object ViewMaintain {
             .select(cols.map(col): _*)
           if (pendingPrev.isEmpty) snap
           else applyDelta(snap,
-            sideOf(sb.read.parquet(pendingPrev: _*), side, cols), cols)
+            sideOf(sb.read.schema(envSchema).parquet(pendingPrev: _*),
+              side, cols), cols)
         }
         val prevA = liveSide(snapADir, "A", aCols, schemaA)
         val prevB = liveSide(snapBDir, "B", bCols, schemaB)
         val dJ = ViewOps.joinViewDeltas(prevA, dA, prevB, dB,
           joinKeys, aVals, bVals)
-        val prevV =
-          sb.read.parquet(viewDir.resolve(s"v$batchId").toString)
+        val prevV = sb.read.schema(viewSchema)
+          .parquet(viewDir.resolve(s"v$batchId").toString)
+        sb.sparkContext.setJobDescription(s"vm: b$batchId view")
         ViewOps.maintainSumView(prevV, dJ, viewGroupCols, viewSumCols)
           .write.mode("overwrite")
           .parquet(viewDir.resolve(s"v${batchId + 1}").toString)
+        sb.sparkContext.setJobDescription(s"vm: b$batchId compact")
         // 3) compact both snapshots on cadence, then truncate the
         //    absorbed slices + superseded snapshots. Bucketed layout:
         //    fold the WHOLE pending range (strictly-before slices +
@@ -498,7 +549,9 @@ object ViewMaintain {
                 val pendingAll = (snapV to batchId).map(b =>
                   logDir.resolve(s"b$b").toString).filter(pp =>
                   Files.isDirectory(java.nio.file.Paths.get(pp)))
-                val dAll = sideOf(sb.read.parquet(pendingAll: _*), side, cols)
+                val dAll = sideOf(
+                  sb.read.schema(envSchema).parquet(pendingAll: _*),
+                  side, cols)
                 val touched = dAll.select(gbOfSide(dAll, cols).as("gb"))
                   .distinct().collect().map(_.getInt(0)).toSet
                 val prevDir = snapSideDir.resolve(s"s$snapV")
@@ -520,6 +573,7 @@ object ViewMaintain {
           rm(snapADir.resolve(s"s$snapV"))
           rm(snapBDir.resolve(s"s$snapV"))
         }
+        sb.sparkContext.setJobDescription(null)
         ()
     }
     spark.read.parquet(
@@ -580,12 +634,14 @@ object ViewMaintain {
     val ckpt = root.resolve("ckpt").toString
     // the changelog (often a full-outer rowDeltas join) is consumed
     // twice — the bounds agg and the staging write — so cache it once
+    val sc = deltas.sparkSession.sparkContext
+    sc.setJobDescription("vm: staging")
     val d = deltas.persist()
     val b = d.agg(min(col(orderCol)).as("lo"),
       max(col(orderCol)).as("hi")).head()
     // empty changelog: nothing to stage or replay — the seeded version
     // 0 (built from the base snapshot) is already the final view
-    if (b.isNullAt(0)) { d.unpersist(); return }
+    if (b.isNullAt(0)) { d.unpersist(); sc.setJobDescription(null); return }
     val (lo, span) =
       (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0) + 1L))
     val bucket = coalesce(least(lit(chunks - 1),
@@ -595,6 +651,7 @@ object ViewMaintain {
     d.withColumn("ck", bucket).repartition(col("ck"))
       .write.partitionBy("ck").parquet(stage.toString)
     d.unpersist()
+    sc.setJobDescription(null)
     val deltaSchema = StructType(deltas.schema.fields)
 
     val q = ss.readStream.schema(deltaSchema).parquet(src)

@@ -20,13 +20,41 @@ object ViewProbe {
     // honest "rewrite cost" metric (wall time at sf0.1 is dominated by
     // fixture recompute + per-batch floor; hard links write nothing)
     val bytesWritten = new java.util.concurrent.atomic.AtomicLong()
+    // per-phase job-wall attribution: ViewMaintain labels its actions
+    // via setJobDescription ("vm: <phase>"); sum job wall per label
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val phaseMs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val phaseJobs = new java.util.concurrent.ConcurrentHashMap[String, Int]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (e.taskMetrics != null)
             bytesWritten.addAndGet(e.taskMetrics.outputMetrics.bytesWritten)
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("(none)")
+          val label = if (d.startsWith("vm: ")) d.stripPrefix("vm: ") else "other"
+          jobStart.put(e.jobId, (e.time, label))
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = jobStart.remove(e.jobId)
+          if (s != null) {
+            phaseMs.merge(s._2, e.time - s._1, (a, b) => a + b)
+            phaseJobs.merge(s._2, 1, (a, b) => a + b)
+          }
+        }
       })
+    def dumpPhases(): Unit = {
+      import scala.jdk.CollectionConverters._
+      phaseMs.asScala.toSeq.sortBy(-_._2).foreach { case (l, ms) =>
+        println(f"[viewprobe]   phase $l%-16s ${ms / 1000.0}%7.2f s  (${phaseJobs.get(l)} jobs)")
+      }
+      phaseMs.clear(); phaseJobs.clear()
+    }
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val b0 = bytesWritten.get()
@@ -68,13 +96,17 @@ object ViewProbe {
         println(s"[viewprobe]   deltas rows: ${d.count()}")
         d
       }
-      t("maintainViewStream total") {
+      // measured r16: shufflePartitions 8/32/2 on this fixture land
+      // within noise (13.8/14.6/14.1 s warm) — parallelism is NOT the
+      // lever; the per-batch job orchestration is. Trace it per phase.
+      t("maintainViewStream sp=8  total") {
         graft.streaming.ViewMaintain.maintainViewStream(spark, oldS,
             deltas, orderCol = "l_orderkey", chunks = 3,
             groupCols = Seq("pk"), sumCols = Seq("qty_c"),
             minMaxCols = Seq("price_c"))
           .queryExecution.toRdd.count()
       }
+      dumpPhases()
     }
 
     // SKEWED-CHURN face: the bench fixture above rewrites 75% of the
@@ -104,7 +136,7 @@ object ViewProbe {
       valCols = Seq("pk", "qty_c", "price_c"))
     println(s"[viewprobe]   skewed deltas rows: ${dSk.count()} " +
       s"(base ${oldSk.count()})")
-    (1 to 2).foreach { rep =>
+    (1 to 1).foreach { rep =>
       println(s"[viewprobe] --- skewed rep $rep ---")
       def run(label: String, buckets: Option[Int], every: Int = 1): Unit =
         t(label) {
@@ -116,10 +148,9 @@ object ViewProbe {
             .queryExecution.toRdd.count()
         }
       run("flat            maintain", None)
-      run("bucketed(8)     maintain", Some(8))
-      run("bucketed(64)    maintain", Some(64))
-      run("flat  every=3   maintain", None, every = 3)
-      run("buck64 every=3  maintain", Some(64), every = 3)
+      dumpPhases()
+      run("bucketed(32)    maintain", Some(32)) // the bench key's layout
+      dumpPhases()
     }
     spark.stop()
   }
