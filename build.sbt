@@ -15,6 +15,14 @@ run / fork := true
 // budget is measurable per spec (the r15 driver run was budget-killed
 // mid-suite; shrinking it starts with knowing where it goes).
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// Run suites CONCURRENTLY inside the forked test JVM: each suite holds
+// its own SparkSession (SparkSpec.newSession — session-scoped conf /
+// temp views / streams), so suites are independent jobs on one shared
+// local SparkContext and overlap safely (guide §2.6). Measured r16:
+// 392 tests, 23:50 sequential → see OPTIMIZATION_r16.md for the
+// parallel number; this is what keeps `sbt test` inside the driver's
+// budget.
+Test / testForkedParallel := true
 // Forked run output normally routes through sbt's logger, which prefixes
 // every stdout line with "[info] " — that decoration breaks the driver's
 // parse of Bench's single JSON result line. StdoutOutput passes the

@@ -865,16 +865,22 @@ object SimilarityOps {
 
   /** Deterministic argmax-cosine cell assignment — `(cos DESC, cid)`
     * tie-break, shared by the det IVF forms. */
-  private def detAssignCells(n: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__cos").desc, col("cid"))
+  private def detAssignCells(n: DataFrame, cents: DataFrame): DataFrame =
+    // argmax-by-aggregation instead of row_number over a window: the
+    // min(struct) carries the (−cos, cid) order key plus the payload,
+    // aggregates map-side before one exchange of ≤ one row per vector,
+    // and never sorts. (−x) preserves Double.compare order exactly, so
+    // the (cos DESC, cid ASC) pick is bit-identical to the old window;
+    // (−cos, cid) is unique per vector, so the payload fields are
+    // never reached by the struct comparison.
     n.crossJoin(broadcast(cents))
       .withColumn("__cos",
         expr("vec_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(negate(col("__cos")).as("nc"), col("cid"),
+        col("v"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cid").as("cid"))
 
   /** Deterministic k-means cells (lowest-id seeds, exact-BIGINT
     * 10⁻⁹-unit re-centering, `iters` fixed passes) — the trainer the
@@ -909,17 +915,22 @@ object SimilarityOps {
   /** Each query's `np` nearest cells, `(cos DESC, cid)`-ranked:
     * `(qid, qv, qn, cid)`. */
   private def detProbes(n: DataFrame, cents: DataFrame,
-      isQuery: org.apache.spark.sql.Column, np: Int): DataFrame = {
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("__cos").desc, col("cid"))
+      isQuery: org.apache.spark.sql.Column, np: Int): DataFrame =
+    // top-np by sorted-slice aggregation instead of a window: one
+    // hash agg of ≤ nCells structs per query, sliced to np — the
+    // (−cos, cid) struct sort is bit-identical to the old
+    // (cos DESC, cid ASC) window order (see detAssignCells).
     n.filter(isQuery)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
       .withColumn("__cos", expr("vec_dot(qv, cv)") / (col("qn") * col("cnrm")))
-      .withColumn("__rk", row_number().over(wq))
-      .filter(col("__rk") <= np)
-      .select(col("qid"), col("qv"), col("qn"), col("cid"))
-  }
+      .groupBy(col("qid"))
+      .agg(slice(array_sort(collect_list(struct(
+        negate(col("__cos")).as("nc"), col("cid"),
+        col("qv"), col("qn")))), 1, np).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.qv").as("qv"), col("e.qn").as("qn"),
+        col("e.cid").as("cid"))
 
   /** [[knnPq]] with DETERMINISTIC, oracle-rebuildable codebook training
     * — [[knnIvfDet]]'s exact-BIGINT re-centering applied per SUBSPACE,
@@ -975,14 +986,16 @@ object SimilarityOps {
   /** Deterministic argmin-L2 code assignment — `(dist ASC, code ASC)`
     * tie-break, squared-difference fold left-to-right. */
   private def detAssignCodes(sp: DataFrame, book: DataFrame): DataFrame =
+    // argmin-by-aggregation (see detAssignCells): min(struct(d, c))
+    // replicates the (dist ASC, code ASC) window pick exactly — (d, c)
+    // is unique per (vector, subspace) — with a map-side partial agg
+    // instead of an exchange + sort of corpus·kCodes rows.
     sp.join(broadcast(book), "j")
       .withColumn("__d", expr(
         "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("j"))
-          .orderBy(col("__d").asc, col("c"))))
-      .filter(col("__rk") === 1)
-      .select(col("vec_id"), col("j"), col("c"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("__d"), col("c"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.c").as("c"))
 
   /** Deterministic per-subspace codebooks (lowest-id seeds, code index
     * = seed id rank, exact-BIGINT re-centering, empty codes keep their
